@@ -1,0 +1,242 @@
+"""Deduplication operators.
+
+Reference parity
+----------------
+``rank_dedup`` replicates the reference's load-batch dedup (SURVEY.md §2.5
+W1; /root/reference/step_4_source_to_curated.py:114-132): ``rank()`` over a
+partition ordered by recency, keep rank 1 — **rank keeps ties**, which is
+load-batch semantics, not per-key row_number. The reference implements it as
+window → filter → key-project → self-join (J2/J3); here it is a single
+window + filter (same result set, one less shuffle/join).
+
+Large-scale extensions (LLM training-data pipeline)
+---------------------------------------------------
+- ``exact_dedup_groups``: hash-groupBy on a normalized fingerprint.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: shingle → MinHash → banded
+  LSH → candidate pairs → exact-Jaccard verification. MinHash values are
+  lexicographic minima of seeded md5 hex strings (portable across engines,
+  see functions.hashing). Scale path: the only shuffles are the groupBys on
+  (doc, seed) / band key and the band-bucket self-join; no all-pairs stage.
+- ``simhash16``: 16-bit SimHash from per-token md5 bits (integer arithmetic
+  only). Near-dup buckets = equal fingerprints.
+- ``jaccard_pairs``: exact shingle-Jaccard via inverted-index self-join —
+  the quadratic-verify baseline the sketches are measured against. At scale
+  the join key (shingle) keeps candidate generation sparse as long as
+  shingle frequency is bounded; pair it with a frequency cap for safety.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_md5
+from ..functions.text import fingerprint, normalized_text
+
+
+def rank_dedup(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    keep_ties: bool = True,
+) -> DataFrame:
+    """Keep the top-ranked rows per partition. ``keep_ties=True`` uses
+    ``rank()`` (faithful to /root/reference/step_4_source_to_curated.py:117);
+    ``False`` uses ``row_number()`` (corrected profile, one row per key)."""
+    fn = F.rank() if keep_ties else F.row_number()
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rk", fn.over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: one row per distinct
+    content with the minimum id as the canonical keeper and the group size.
+    Single hash-aggregate; fully map-side combinable."""
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Explode distinct k-word shingles of the normalized text.
+    Output: (id_col, shingle). Shingling is a narrow transform (no shuffle)."""
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    # sequence(1, x) with x < 1 would produce a *descending* array in Spark,
+    # so documents shorter than k tokens get an explicitly empty index list.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 6
+) -> DataFrame:
+    """MinHash signature per document: for each seed, the lexicographic MIN
+    of md5(seed|shingle). One groupBy(id) aggregate computes all seeds at
+    once (no per-seed shuffle). Output: (id_col, h0..h{n-1})."""
+    aggs = [
+        F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """Banded LSH: band key = md5 of the concatenated row hashes of the band;
+    candidate pairs share ≥1 band key. Output: distinct (id_a, id_b) with
+    id_a < id_b. The self-join is per-band-bucket (sparse at scale)."""
+    rows_per_band = num_hashes // bands
+    band_entries = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_entries.append(
+            sig_df.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    buckets = reduce(DataFrame.unionByName, band_entries)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets via inverted-index self-join.
+
+    intersection(a,b) = count of shared shingles (join on shingle);
+    union = |a| + |b| - intersection. Jaccard = int/int division — a single
+    IEEE double op, deterministic across engines. If ``candidates`` is given
+    (id_a, id_b), only those pairs are verified (the LSH path).
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if candidates is not None:
+        # Verify ONLY the candidate pairs: attach a's shingles to each pair,
+        # then match b's shingles on (id_b, shingle). Work is proportional
+        # to |candidates| × shingles/doc, never to the co-shingle pair count
+        # — this is what makes LSH pay off at scale.
+        sh_a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = shingle_df.alias("sa")
+        b = shingle_df.alias("sb")
+        inter = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"sa.{id_col}").alias("id_a"),
+                F.col(f"sb.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash per document from per-token md5 bits.
+
+    For each distinct token: value = first 4 hex chars of md5(token) → 16
+    bits. For each bit position, sum (2*bit - 1) over tokens; the sign gives
+    the fingerprint bit. Pure integer arithmetic → portable to SQL. The
+    explode is 16× distinct tokens (bounded); one groupBy(id) shuffle.
+    Output: (id_col, simhash) with simhash in [0, 65535].
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias(
+                "tok"
+            ),
+        )
+        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, 4))
+    )
+    # hex char i (1-based) of h4 contributes bits 4*(4-i) .. 4*(4-i)+3.
+    bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    exploded = toks.select(F.col(id_col), F.col("h4"), bit)
+    ch = F.substring(F.col("h4"), 4 - (F.col("bit") / 4).cast("int"), 1)
+    # conv(hex_char, 16, 10) = numeric value 0..15 (oracle twin:
+    # instr('0123456789abcdef', ch) - 1 — same function, different builtin).
+    val = F.conv(ch, 16, 10).cast("int")
+    bitval = F.floor(val / F.pow(F.lit(2), F.col("bit") % 4)).cast("int") % 2
+    contrib = (bitval * 2 - 1).alias("contrib")
+    return (
+        exploded.select(F.col(id_col), F.col("bit"), contrib)
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            F.col(id_col),
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint"))
+            .otherwise(F.lit(0))
+            .alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term").cast("bigint").alias("simhash"))
+    )

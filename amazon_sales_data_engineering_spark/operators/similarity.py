@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference surface (it has no array types, SURVEY.md §1.3) —
+this is the LLM-data-pipeline extension. Two paths:
+
+- ``cosine_topk``: brute-force top-k — broadcast the probe set, score every
+  (probe, candidate) pair with built-in higher-order functions
+  (zip_with/aggregate: JVM-side, codegen, no Python), rank per probe.
+  At scale this is a single broadcast-nested pass over the corpus: no
+  shuffle except the final per-probe top-k (tiny).
+- ``lsh_bucket_topk``: sign-bucket ANN — bucket every vector by the sign
+  bits of its leading dimensions (a deterministic hyperplane family), join
+  probes to candidates within the same bucket only, then rank. Recall is
+  traded for a candidate set ~corpus/2^bits per probe.
+
+Determinism note (correctness gate): dot products are computed as a
+sequential left-fold over index order (``aggregate``), with every element
+cast to double first — the same fold order DuckDB's ``list_sum`` uses — so
+scores are bit-identical across engines. Ranking tiebreak is the vector id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each probe vector.
+
+    Output: (probe_id, neighbor_id, rank) — rank 1..k by cosine desc,
+    neighbor id asc on ties. Probes are broadcast; candidates stream."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Deterministic LSH bucket: bit i set iff vec[i] >= 0 (i 1-based
+    element_at). A fixed axis-aligned hyperplane family — portable to any
+    engine, no RNG."""
+    terms = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = F.lit(0)
+    for t in terms:
+        out = out + t
+    return out.cast("int")
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """ANN: probes only scored against candidates in the same sign-bucket.
+    Output: (probe_id, neighbor_id, rank)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

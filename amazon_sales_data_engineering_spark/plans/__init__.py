@@ -1,0 +1,18 @@
+"""Query plans: the engine's public query surface.
+
+Importing this package populates the registry with every implemented
+operator/query (one module per theme). ``registry.REGISTRY`` is the single
+source of truth consumed by ``__spark_entry__`` and ``bench.py``.
+"""
+
+from . import (  # noqa: F401  (import for registration side effects)
+    dedup_ops,
+    events_ops,
+    multimodal_ops,
+    parity,
+    similarity_ops,
+    text_ops,
+)
+from .registry import REGISTRY, Query
+
+__all__ = ["REGISTRY", "Query"]

@@ -1,0 +1,162 @@
+"""Deduplication queries over the ``documents`` table — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard (BASELINE.json north_star). Implementations in
+operators.dedup; oracles replicate the same math in DuckDB SQL (portable
+md5-based sketches — see functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles,
+    simhash16,
+)
+from .registry import register
+from .util import t
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# k=3-word shingles; DuckDB list comprehension mirrors operators.dedup.shingles.
+_SHINGLES = f"""
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+                ELSE [] END
+         )) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+"""
+
+_JACCARD_TAIL = """
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM}) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: hash-groupBy on the normalized-text fingerprint; "
+    "min-id canonical keeper. One map-side-combinable aggregate.",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str):
+    return exact_dedup_groups(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+{_JACCARD_TAIL}
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+""",
+    doc="Exact 3-word-shingle Jaccard near-dup pairs via inverted-index "
+    "self-join (the quadratic-verify baseline for the sketches).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    sh = shingles(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(h4 || '|' || h5) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.id_a, c.id_b,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM cand c
+JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+""",
+    doc="MinHash (6 hashes = lexicographic-min seeded md5) + banded LSH "
+    "(3 bands × 2 rows) candidate generation, exact-Jaccard verification "
+    "at 0.5. The scale path: no all-pairs stage, shuffles only on "
+    "(doc,band) keys.",
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    sh = shingles(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=6)
+    cand = minhash_lsh_pairs(sig, "doc_id", num_hashes=6, bands=3)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cand)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok FROM norm),
+h AS (SELECT doc_id, substring(md5(tok), 1, 4) AS h4 FROM tok),
+bits AS (SELECT doc_id, h4, unnest(range(0, 16)) AS bit FROM h),
+vals AS (
+  SELECT doc_id, bit,
+         CAST(instr('0123456789abcdef',
+                    substring(h4, 4 - CAST(floor(bit / 4) AS INT), 1)) - 1 AS INT) AS val
+  FROM bits
+),
+contrib AS (
+  SELECT doc_id, bit,
+         (CAST(floor(val / power(2, bit % 4)) AS INT) % 2) * 2 - 1 AS c
+  FROM vals
+),
+sums AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id,
+         CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END AS term
+  FROM sums
+)
+SELECT doc_id, CAST(SUM(term) AS BIGINT) AS simhash FROM terms GROUP BY doc_id
+""",
+    doc="16-bit SimHash per document from per-token md5 bits — integer "
+    "arithmetic only (engine-exact). Near-dup buckets = equal fingerprints.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    return simhash16(t(spark, sf_dir, "documents"), "text", "doc_id")

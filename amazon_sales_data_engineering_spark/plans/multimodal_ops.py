@@ -1,0 +1,35 @@
+"""Multimodal-column queries: binary payloads + mapInPandas extraction.
+
+``documents.text`` is packed into a binary column (utf-8 encode) to stand in
+for an opaque media payload; the metadata extraction then runs through the
+real Arrow/mapInPandas plumbing (multimodal.binary_ops). The oracle verifies
+the byte-level facts with pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.binary_ops import extract_binary_meta
+from .registry import register
+from .util import t
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+""",
+    doc="Binary-column plumbing: utf-8 payload → Arrow-batched mapInPandas "
+    "metadata extraction (stub decoder, real batch shape/schema/flow).",
+    tags=("multimodal",),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_binary_meta(d, "doc_id", "payload")

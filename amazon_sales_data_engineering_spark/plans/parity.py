@@ -1,0 +1,618 @@
+"""Reference-parity queries (SURVEY.md §2 operator inventory), expressed on
+the driver's TPC-H-ish corpus (FIXTURES.md §3 mapping: orders+lineitem ≈
+sales orders, region/nation ≈ region_dim, customer ≈ customer_dim, part ≈
+product_dim).
+
+Every query pairs an idiomatic-Spark plan with a DuckDB oracle. See
+plans.registry for the determinism rules (decimal-sum idiom etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import decimal_sum, decimal_sum_expr
+from ..operators.datespine import date_spine
+from ..operators.dedup import rank_dedup
+from ..operators.delta import new_rows
+from ..operators.sequences import dense_keys
+from ..operators.setops import union_distinct
+from .registry import register
+from .util import t, ts_lit
+
+# ---------------------------------------------------------------------------
+# Aggregation pipeline: TPC-H-style headline queries (bench set)
+# ---------------------------------------------------------------------------
+
+# Money-sum determinism (see plans.registry): per-row cast at scale 8 —
+# strictly beyond the data's intrinsic 6-dp precision, so no rounding ties —
+# then rescale the exact decimal SUM to scale 2 before the double cast so
+# the unscaled total stays below 2^53 (where decimal→double conversion is
+# engine-identical).
+_REVENUE_SQL = (
+    "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8)))"
+    " AS DECIMAL(25,6)) AS DOUBLE)"
+)
+
+
+def _revenue_col():
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,8)"
+    )
+
+
+def _revenue_sum():
+    return F.sum(_revenue_col()).cast("decimal(25,6)").cast("double")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  {_REVENUE_SQL} AS sum_disc_price,
+  CAST(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(25,8))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary: scan-filter-aggregate with full "
+    "map-side partial aggregation (SURVEY §2.4 extended).",
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    charge = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(25,8)")
+    return (
+        l.filter(F.col("l_shipdate") <= ts_lit(l, "l_shipdate", "2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", alias="sum_qty"),
+            decimal_sum("l_extendedprice", alias="sum_base_price"),
+            _revenue_sum().alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(25,6)").cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT
+  l_orderkey AS order_key,
+  CAST(o_orderdate AS DATE) AS order_dt,
+  o_orderpriority AS order_priority,
+  {_REVENUE_SQL} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_key ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3-style: selective dim filter, two joins, agg, total-order "
+    "top-k (SURVEY §2.3 J6 / §2.6 O1).",
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    o = o.filter(F.col("o_orderdate") < ts_lit(o, "o_orderdate", "1998-01-01 00:00:00"))
+    l = l.filter(F.col("l_shipdate") > ts_lit(l, "l_shipdate", "1998-01-01 00:00:00"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_dt"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle=f"""
+SELECT n_name, {_REVENUE_SQL} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5-style local-supplier volume: 6-way join with broadcast "
+    "dims (region/nation pinned broadcast; AQE handles the rest).",
+    tags=("join", "agg", "broadcast"),
+    bench=True,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str):
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = o.filter(
+        (F.col("o_orderdate") >= ts_lit(o, "o_orderdate", "1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit(o, "o_orderdate", "1999-01-01 00:00:00"))
+    )
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+@register(
+    "star_join_enriched",
+    oracle=f"""
+SELECT r_name AS region_name, p_brand AS brand,
+       {_REVENUE_SQL} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY 1, 2
+""",
+    doc="Full star-join fact assembly + rollup (SURVEY §2.3 J6): fact never "
+    "shuffles for the true dims (broadcast); orders/customer join via "
+    "shuffle since they scale with the fact.",
+    tags=("join", "agg", "broadcast", "star"),
+    bench=True,
+)
+def star_join_enriched(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("p_brand").alias("brand"))
+        .agg(
+            _revenue_sum().alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_limit",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+ORDER BY c_custkey
+LIMIT 10
+""",
+    doc="Projection + total-order LIMIT — the reference's connectivity smoke "
+    "query (SURVEY §2.1 S12; /root/reference/step_1_check_connection.py:54-66).",
+    tags=("scan",),
+)
+def scan_project_limit(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(10)
+    )
+
+
+@register(
+    "filter_status_priority",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS order_dt,
+       'OPEN_URGENT' AS bucket
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+""",
+    doc="Chained equality filters + literal injection — the Paid∧Delivered "
+    "pattern (SURVEY §2.2 P1/P2/P4; /root/reference/step_4_source_to_curated.py:40-58,97-103).",
+    tags=("filter",),
+)
+def filter_status_priority(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("order_dt"),
+            F.lit("OPEN_URGENT").alias("bucket"),
+        )
+    )
+
+
+@register(
+    "project_cast_rename",
+    oracle="""
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_number,
+       CAST(l_quantity AS DECIMAL(18,0)) AS order_quantity,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS extended_price,
+       CAST(l_shipdate AS DATE) AS ship_dt,
+       l_returnflag AS return_flag
+FROM lineitem
+""",
+    doc="Projection with rename + explicit casts — the positional-cast load "
+    "shape (SURVEY §2.2 P5/P7/P8; /root/reference/step_3_load_from_stage_to_source.py:28-43).",
+    tags=("project", "cast"),
+)
+def project_cast_rename(spark: SparkSession, sf_dir: str):
+    return t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").cast("decimal(18,0)").alias("order_quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+        F.col("l_shipdate").cast("date").alias("ship_dt"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+
+
+@register(
+    "lit_and_case_default",
+    oracle="""
+SELECT o_orderkey,
+       COALESCE(CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END, 'NA') AS priority_or_na,
+       'US' AS country,
+       'AMER' AS region
+FROM orders
+""",
+    doc="CASE/NULL-default + constant columns — promo-code 'NA' pattern "
+    "(SURVEY §2.2 P4/P9; /root/reference/step_5_curated_to_consumption.py:205-214).",
+    tags=("project",),
+)
+def lit_and_case_default(spark: SparkSession, sf_dir: str):
+    nullable = F.when(F.col("o_orderpriority") == "5-LOW", F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.coalesce(nullable, F.lit("NA")).alias("priority_or_na"),
+        F.lit("US").alias("country"),
+        F.lit("AMER").alias("region"),
+    )
+
+
+@register(
+    "currency_conversion",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS local_amt,
+       l_extendedprice / (1.0 + l_tax) AS usd_amt
+FROM lineitem
+""",
+    doc="Arithmetic projection (division) with decimal pinning — the USD "
+    "conversion (SURVEY §2.2 P10; /root/reference/step_4_source_to_curated.py:150-153).",
+    tags=("project", "arithmetic"),
+)
+def currency_conversion(spark: SparkSession, sf_dir: str):
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("local_amt"),
+        (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_tax"))).alias("usd_amt"),
+    )
+
+
+@register(
+    "split_key_segments",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_brand || '/' || p_type || '/' || CAST(p_size AS VARCHAR), '/', 1) AS brand_seg,
+       split_part(p_brand || '/' || p_type || '/' || CAST(p_size AS VARCHAR), '/', 2) AS type_seg,
+       split_part(p_brand || '/' || p_type || '/' || CAST(p_size AS VARCHAR), '/', 3) AS size_seg
+FROM part
+""",
+    doc="split()[i] segment extraction — the mobile_key Brand/Model/Color/"
+    "Memory parse (SURVEY §2.8 F1; /root/reference/step_5_curated_to_consumption.py:132-135).",
+    tags=("string",),
+)
+def split_key_segments(spark: SparkSession, sf_dir: str):
+    key = F.concat_ws(
+        "/", F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")
+    )
+    parts = F.split(key, "/")
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        parts.getItem(0).alias("brand_seg"),
+        parts.getItem(1).alias("type_seg"),
+        parts.getItem(2).alias("size_seg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / sets / windows (SURVEY §2.3, §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_daily_totals",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS order_value
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.d, s.d) AS day,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(order_value, CAST(0.0 AS DOUBLE)) AS order_value,
+       COALESCE(n_lines, 0) AS n_lines
+FROM o FULL OUTER JOIN s ON o.d = s.d
+""",
+    doc="Full-outer equi-join of two daily rollups — the sales×forex outer "
+    "join (SURVEY §2.3 J1; /root/reference/step_4_source_to_curated.py:106-111).",
+    tags=("join", "outer"),
+    bench=True,
+)
+def full_outer_daily_totals(spark: SparkSession, sf_dir: str):
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", alias="order_value"),
+        )
+    )
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return o.join(s, o["d"] == s["d"], "outer").select(
+        F.coalesce(o["d"], s["d"]).alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("order_value"), F.lit(0.0)).alias("order_value"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+    )
+
+
+@register(
+    "window_rank_dedup",
+    oracle="""
+SELECT l_orderkey, l_linenumber, ship_dt FROM (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_dt,
+         rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC) AS rk
+  FROM lineitem
+) WHERE rk = 1
+""",
+    doc="rank()-based latest-per-partition dedup, ties kept (SURVEY §2.5 W1; "
+    "/root/reference/step_4_source_to_curated.py:114-132 — collapsed from "
+    "window+filter+self-join to a single window+filter).",
+    tags=("window", "dedup"),
+    bench=True,
+)
+def window_rank_dedup(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "lineitem")
+    out = rank_dedup(
+        l,
+        partition_by=["l_orderkey"],
+        order_by=[F.col("l_shipdate").desc()],
+        keep_ties=True,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_dt")
+    )
+
+
+@register(
+    "union_distinct_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100
+UNION
+SELECT c_custkey, c_name FROM customer WHERE c_custkey BETWEEN 51 AND 150
+""",
+    doc="Deduplicating UNION — Snowpark union semantics (SURVEY §2.7 U1; "
+    "/root/reference/step_5_curated_to_consumption.py:469).",
+    tags=("setop",),
+)
+def union_distinct_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") <= 100).select("c_custkey", "c_name")
+    b = c.filter(F.col("c_custkey").between(51, 150)).select("c_custkey", "c_name")
+    return union_distinct(a, b)
+
+
+@register(
+    "left_anti_new_dims",
+    oracle="""
+SELECT DISTINCT p_brand, p_type FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT DISTINCT p_brand, p_type FROM part WHERE p_size <= 25) e
+  WHERE e.p_brand = p.p_brand AND e.p_type = p.p_type
+)
+""",
+    doc="Left-anti delta detection on a column list (SURVEY §2.3 J4/J5; "
+    "/root/reference/step_5_curated_to_consumption.py:169-173 etc.).",
+    tags=("join", "anti"),
+)
+def left_anti_new_dims(spark: SparkSession, sf_dir: str):
+    p = t(spark, sf_dir, "part")
+    incoming = p.select("p_brand", "p_type").dropDuplicates(["p_brand", "p_type"])
+    existing = p.filter(F.col("p_size") <= 25).select("p_brand", "p_type")
+    return new_rows(incoming, existing, ["p_brand", "p_type"])
+
+
+@register(
+    "groupby_dim_distinct",
+    oracle="""
+SELECT p_brand, p_type, COUNT(*) AS n_parts
+FROM part GROUP BY 1, 2
+""",
+    doc="groupBy-as-DISTINCT dim builder (SURVEY §2.4 A1; "
+    "/root/reference/step_5_curated_to_consumption.py:84,149-151).",
+    tags=("agg",),
+)
+def groupby_dim_distinct(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank_in_brand
+  FROM part
+) WHERE rank_in_brand <= 3
+""",
+    doc="Top-k per group via ranking window (extension of SURVEY §2.5/§2.6).",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("int").alias("rank_in_brand"),
+        )
+        .filter(F.col("rank_in_brand") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequences / date spine / metadata (SURVEY §2.8 F7-F15, §2.1 S10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "surrogate_keys_dense",
+    oracle="""
+SELECT CAST(1000 + row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+       c_custkey, c_name
+FROM customer
+""",
+    doc="Sequence/NEXTVAL emulation: dense surrogate keys with offset "
+    "(SURVEY §1.1, §4.3; dims only — facts use unique_keys at scale).",
+    tags=("sequence",),
+)
+def surrogate_keys_dense(spark: SparkSession, sf_dir: str):
+    return dense_keys(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key_col="customer_sk",
+        order_by=["c_custkey"],
+        start=1001,
+    ).select("customer_sk", "c_custkey", "c_name")
+
+
+@register(
+    "date_dim_spine",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS mn, CAST(max(o_orderdate) AS DATE) AS mx FROM orders
+), s AS (
+  SELECT mn, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS order_dt FROM b
+)
+SELECT order_dt,
+       CAST(year(order_dt) AS INT) AS order_year,
+       CAST(month(order_dt) AS INT) AS order_month,
+       CAST(quarter(order_dt) AS INT) AS order_quarter,
+       CAST(day(order_dt) AS INT) AS order_day,
+       CAST(isodow(order_dt) AS INT) AS order_isodow,
+       dayname(order_dt) AS order_dayname,
+       CAST(date_diff('day', mn, order_dt) + 1 AS INT) AS day_counter,
+       CASE WHEN isodow(order_dt) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS order_daytype
+FROM s
+""",
+    doc="Distributed date-dim spine — sequence()+explode replaces the "
+    "reference's driver-side pandas date math (SURVEY §2.8 F7-F13; "
+    "/root/reference/step_5_curated_to_consumption.py:386-425).",
+    tags=("datespine",),
+)
+def date_dim_spine(spark: SparkSession, sf_dir: str):
+    return date_spine(t(spark, sf_dir, "orders"), "o_orderdate")
+
+
+@register(
+    "metadata_file_stats",
+    oracle="""
+SELECT regexp_extract(filename, '[^/]+$') AS file_name, COUNT(*) AS n_rows
+FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
+GROUP BY 1
+""",
+    doc="File-metadata columns (SURVEY §2.1 S10): Spark's hidden _metadata "
+    "struct replaces Snowflake metadata$filename "
+    "(/root/reference/step_3_load_from_stage_to_source.py:44-46). Oracle "
+    "pinned to the sf0.01 path the driver uses for the gate.",
+    tags=("metadata",),
+)
+def metadata_file_stats(spark: SparkSession, sf_dir: str):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
+                "file_name"
+            )
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -1,0 +1,60 @@
+"""Registry of named queries with DuckDB oracles.
+
+Every operator the engine claims (SURVEY.md §2 and the LLM-data-pipeline
+extensions) is registered here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an equivalent
+ANSI/DuckDB SQL string run against the same parquet tables. The driver's
+correctness gate compares the two at sf=0.01 (row count + schema +
+order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- float aggregations are made order-independent by casting to DECIMAL
+  per-element before SUM (exact, associative), then casting the result to
+  DOUBLE (deterministic nearest-double) — never summing raw doubles;
+- single arithmetic ops on doubles (a/b, a*b with fixed parenthesisation)
+  are IEEE-deterministic and safe to compare bit-for-bit;
+- no LIMIT without a total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # DuckDB SQL, or None → driver runs rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query under ``name`` with its oracle."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(
+            name=name, spark_fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            tags=tuple(tags), bench=bench,
+        )
+        return fn
+
+    return wrap

@@ -1,0 +1,160 @@
+"""Text-analysis queries over the ``documents`` table — the LLM-data-
+pipeline extension (BASELINE.json north_star). All built-in functions,
+no Python UDFs; each has an exact DuckDB twin.
+
+Shared normalization (must stay in lockstep with functions.text):
+Spark  ``trim(regexp_replace(lower(text), '\\s+', ' '))``
+DuckDB ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``  — note
+DuckDB replaces only the first match unless the 'g' flag is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    distinct_token_count,
+    fingerprint,
+    normalized_text,
+    stopword_count,
+    token_count,
+)
+from .registry import register
+from .util import t
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NTOK = f"(length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1)"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(CASE WHEN length({_NORM}) = 0 THEN 0 ELSE {_NTOK} END AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split({_NORM}, ' '))) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(string_split({_NORM}, ' '))) AS DOUBLE)
+         / CAST(CASE WHEN length({_NORM}) = 0 THEN 1 ELSE {_NTOK} END AS DOUBLE) AS ttr
+FROM documents
+""",
+    doc="Token counting: whitespace arithmetic + distinct tokens + type-"
+    "token ratio (BPE-ish counting is pipeline.multimodal's job; this is "
+    "the exact whitespace baseline).",
+    tags=("text",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    ndis = distinct_token_count("text")
+    safe_ntok = F.when(ntok == 0, F.lit(1)).otherwise(ntok)
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        ndis.alias("n_distinct"),
+        (ndis.cast("double") / safe_ntok.cast("double")).alias("ttr"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length({_NORM}) AS BIGINT) AS n_chars_norm,
+         CAST({_NTOK} AS BIGINT) AS n_tokens,
+         CAST(length(replace({_NORM}, ' ', '')) AS BIGINT) AS n_nonspace,
+         CAST(len(list_filter(string_split({_NORM}, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars_norm, n_tokens,
+       CAST(floor((n_nonspace * 1000.0) / n_tokens) AS BIGINT) AS avg_token_len_milli,
+       CAST(floor((n_stop * 1000.0) / n_tokens) AS BIGINT) AS stopword_milli,
+       CASE
+         WHEN n_tokens >= 20 AND n_tokens <= 1000
+              AND floor((n_stop * 1000.0) / n_tokens) >= 20 THEN 'good'
+         WHEN n_tokens >= 5 THEN 'fair'
+         ELSE 'poor'
+       END AS quality
+FROM m
+""",
+    doc="Quality scoring from length/stopword-density signals — integer "
+    "arithmetic only, so scores are engine-exact.",
+    tags=("text",),
+    bench=True,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    ntok = token_count("text")
+    nonspace = F.length(F.regexp_replace(norm, " ", "")).cast("bigint")
+    nstop = stopword_count("text")
+    avg_milli = F.floor((nonspace * F.lit(1000.0)) / ntok).cast("bigint")
+    stop_milli = F.floor((nstop * F.lit(1000.0)) / ntok).cast("bigint")
+    quality = (
+        F.when(
+            (ntok >= 20) & (ntok <= 1000) & (stop_milli >= 20), F.lit("good")
+        )
+        .when(ntok >= 5, F.lit("fair"))
+        .otherwise(F.lit("poor"))
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        ntok.alias("n_tokens"),
+        avg_milli.alias("avg_token_len_milli"),
+        stop_milli.alias("stopword_milli"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST({_NTOK} AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split({_NORM}, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN floor((n_stop * 1000.0) / n_tokens) >= 100 THEN 'en'
+         WHEN floor((n_stop * 1000.0) / n_tokens) >= 40 THEN 'mixed'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM m
+""",
+    doc="Language-ID n-gram/stopword-density heuristic. Deterministic "
+    "integer thresholds; emitted next to the labeled lang column.",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    nstop = stopword_count("text")
+    milli = F.floor((nstop * F.lit(1000.0)) / ntok)
+    pred = (
+        F.when(milli >= 100, F.lit("en"))
+        .when(milli >= 40, F.lit("mixed"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint, source
+FROM documents
+""",
+    doc="Document fingerprinting: md5 over normalized text (the rolling-"
+    "hash/content-address primitive under exact dedup).",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fingerprint"), "source"
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Analogue of the reference's session builders (``get_snowpark_session``,
+/root/reference/step_1_check_connection.py:24-36 and
+/root/reference/step_3_load_from_stage_to_source.py:117-129) which read
+.env config and open a Snowflake session. Here the "warehouse sizing"
+(/root/reference/Snowflake Worksheets/1. Setup.sql:3-10) maps to Spark conf.
+
+Defaults are chosen to scale: AQE (runtime coalesce + skew-join), parquet
+filter pushdown, Arrow for any pandas interchange, UTC session timezone so
+date/timestamp semantics never depend on the host.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB default is conservative; dims in this workload are tiny and the
+    # star joins (SURVEY.md §2.3 J6) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # One shuffle partition per local core; a real cluster overrides this
+    # (or relies on AQE coalescing from a higher initial value).
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
+}
+
+
+def get_spark(
+    app_name: str = "amazon-sales-data-engineering-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``SPARK_MASTER`` / ``SPARK_GRAFT_CPUS`` env vars override the master;
+    explicit ``conf`` entries override ``DEFAULT_CONF``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in {**DEFAULT_CONF, **(conf or {})}.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
