@@ -30,24 +30,28 @@ from pyspark.sql import functions as F
 META_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int"
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder. A real implementation would parse the container header
-    (PNG/JPEG/WAV...) and return width/height/duration; the fake returns
-    deterministic byte-level facts so tests and oracles can verify the
-    plumbing end to end."""
-    return {
-        "n_bytes": len(payload),
-        "first_byte": payload[0] if payload else -1,
-    }
-
-
 def extract_binary_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Arrow-batched metadata extraction over a binary column via
-    mapInPandas. Narrow (no shuffle); output schema is fixed/typed."""
+    mapInPandas. Narrow (no shuffle); output schema is fixed/typed.
+
+    The decoder is nested inside the closure so cloudpickle serializes it
+    by VALUE — executors never need this package on their PYTHONPATH
+    (the external driver may launch Spark from any cwd).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> dict:
+            # STUB decoder. A real implementation would parse the container
+            # header (PNG/JPEG/WAV...) and return width/height/duration; the
+            # fake returns deterministic byte-level facts so tests and
+            # oracles can verify the plumbing end to end.
+            return {
+                "n_bytes": len(payload),
+                "first_byte": payload[0] if payload else -1,
+            }
+
         for pdf in batches:
-            metas = pdf[payload_col].map(lambda b: _fake_decode(bytes(b)))
+            metas = pdf[payload_col].map(lambda b: fake_decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

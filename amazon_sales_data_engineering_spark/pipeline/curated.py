@@ -1,0 +1,134 @@
+"""Source → curated transform (reference step_4 parity).
+
+Per country (/root/reference/step_4_source_to_curated.py:61-169):
+filter Paid ∧ Delivered → add Country/Region constants → join forex →
+load-batch dedup → 22-column curated shape with USD conversion.
+
+Faithful-profile quirks preserved (SURVEY.md §2.11):
+- forex join is FULL OUTER (J1) — fabricates order-less rows for forex
+  dates with no sales; they are pruned by the key-based self-join (J2/J3),
+  which drops NULL sales_order_key rows. We collapse window+filter+
+  self-join into window+filter+IS NOT NULL — provably the same result set
+  (sales_order_key is unique), one shuffle and one join cheaper.
+- dedup is rank() with ties kept, partitioned by order_dt ordered by
+  _metadata_last_modified DESC (W1) — load-batch semantics, not per-order.
+- persistent typo'd names: exhchange_rate, conctact_no (7. Source to
+  Curated Layer.sql:41,48).
+- append without idempotency (§2.11.8) — re-running duplicates, as in the
+  reference; the corrected profile should be paired with ledger-style
+  tracking upstream.
+
+Corrected profile: LEFT join (no fabricated rows) and row_number dedup per
+order_id.
+
+Scale notes: the forex side is tiny (~120 rows/year) → broadcast in the
+corrected (left) profile; a full outer join cannot broadcast and becomes a
+sort-merge join (SURVEY §4.2), which is exactly why the corrected profile
+exists. The W1 window partitions by order_dt — few fat partitions at load
+time; AQE skew handling applies, salting is the fallback (SURVEY §7.3.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import rank_dedup
+from ..sources.sinks import save_table_if_nonempty
+from .config import PROFILES, curated_table, source_table
+
+CURATED_COLUMNS = [
+    "sales_order_key",
+    "order_id",
+    "order_dt",
+    "customer_name",
+    "mobile_key",
+    "country",
+    "region",
+    "order_quantity",
+    "local_currency",
+    "local_unit_price",
+    "promotion_code",
+    "local_total_order_amt",
+    "local_tax_amt",
+    "exhchange_rate",  # sic (7. Source to Curated Layer.sql:41)
+    "us_total_order_amt",
+    "usd_tax_amt",
+    "payment_status",
+    "shipping_status",
+    "payment_method",
+    "payment_provider",
+    "conctact_no",  # sic (7. Source to Curated Layer.sql:48)
+    "shipping_address",
+]
+
+
+def curate_sales(
+    spark: SparkSession, cc: str, faithful: bool = True
+) -> DataFrame:
+    """Build (lazily) the curated DataFrame for one country."""
+    p = PROFILES[cc]
+    src = spark.table(source_table(cc))
+    forex = spark.table("common.exchange_rate")
+
+    filtered = (
+        src.filter(F.col("payment_status") == "Paid")
+        .filter(F.col("shipping_status") == "Delivered")
+        .withColumn("country", F.lit(p.country))
+        .withColumn("region", F.lit(p.region))
+    )
+
+    if faithful:
+        joined = filtered.join(
+            forex, filtered["order_dt"] == forex["date"], "outer"
+        )
+        deduped = rank_dedup(
+            joined,
+            partition_by=["order_dt"],
+            order_by=[F.col("_metadata_last_modified").desc()],
+            keep_ties=True,
+        ).filter(F.col("sales_order_key").isNotNull())  # ≡ J2/J3 inner self-join
+    else:
+        joined = filtered.join(
+            F.broadcast(forex), filtered["order_dt"] == forex["date"], "left"
+        )
+        deduped = rank_dedup(
+            joined,
+            partition_by=["order_id"],
+            order_by=[F.col("_metadata_last_modified").desc(), F.col("sales_order_key")],
+            keep_ties=False,
+        )
+
+    rate = F.col(p.forex_col).cast("decimal(15,7)")
+    return deduped.select(
+        F.col("sales_order_key"),
+        F.col("order_id"),
+        F.col("order_dt"),
+        F.col("customer_name"),
+        F.col("mobile_key"),
+        F.col("country"),
+        F.col("region"),
+        F.col("order_quantity"),
+        F.lit(p.currency).alias("local_currency"),
+        F.col("unit_price").alias("local_unit_price"),
+        F.col("promotion_code"),
+        F.col("final_order_amount").alias("local_total_order_amt"),
+        F.col("tax_amount").alias("local_tax_amt"),
+        rate.alias("exhchange_rate"),
+        (F.col("final_order_amount") / rate)
+        .cast("decimal(23,8)")
+        .alias("us_total_order_amt"),
+        (F.col("tax_amount") / rate).cast("decimal(23,8)").alias("usd_tax_amt"),
+        F.col("payment_status"),
+        F.col("shipping_status"),
+        F.col("payment_method"),
+        F.col("payment_provider"),
+        F.col(p.contact_col).alias("conctact_no"),
+        F.col("shipping_address"),
+    )
+
+
+def run_curated(spark: SparkSession, faithful: bool = True) -> None:
+    """step_4 main(): curate and append all three countries."""
+    for cc in PROFILES:
+        save_table_if_nonempty(curate_sales(spark, cc, faithful), curated_table(cc))

@@ -15,11 +15,16 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
     s = get_spark(
         app_name="asde-tests",
         master="local[8]",
-        conf={"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"},
+        conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": str(warehouse),
+        },
     )
     s.sparkContext.setLogLevel("WARN")
     yield s
