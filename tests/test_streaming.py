@@ -1,0 +1,158 @@
+"""Structured Streaming tests: bounded file streams drained with
+Trigger.AvailableNow + maxFilesPerTrigger=1, so the watermark genuinely
+advances between micro-batches and append-mode close semantics are
+exercised. A far-future sentinel event (user_id=-1) pushes the watermark
+past every real session/window so they all emit; sentinel output rows are
+filtered before asserting.
+
+Values are multiples of 0.25 (exact doubles), so streaming vs batch sums
+compare bit-for-bit regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from amazon_sales_data_engineering_spark.streaming import (
+    hourly_agg_stream,
+    incremental_append,
+    run_available_now,
+    sessionize_session_window,
+    sessionize_stateful,
+    stream_source,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _mk(eid, uid, etype, minutes, value):
+    return (eid, uid, etype, T0 + dt.timedelta(minutes=minutes), value)
+
+# user 1: two sessions (gap > 30 min between minute 20 and 70)
+# user 2: one session
+EVENTS = [
+    _mk(1, 1, "click", 0, 1.0),
+    _mk(2, 1, "click", 20, 0.5),
+    _mk(3, 1, "view", 70, 2.0),
+    _mk(4, 2, "click", 5, 0.25),
+    _mk(5, 2, "view", 25, 0.25),
+]
+SENTINEL = [_mk(99, -1, "eos", 60 * 24 * 30, 0.0)]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet files with distinct mtimes: real events, then sentinel."""
+    d = tmp_path_factory.mktemp("events-stream")
+    for i, batch in enumerate([EVENTS, SENTINEL]):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch{i}")
+        )
+        time.sleep(1.1)  # file-source ordering is by modification time
+    # flatten: file source wants one directory of files
+    flat = tmp_path_factory.mktemp("events-flat")
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(d / f"batch{i}")):
+            if f.endswith(".parquet"):
+                src = d / f"batch{i}" / f
+                dst = flat / f"{i:02d}-{f}"
+                os.rename(src, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+                n += 1
+    assert n == 2
+    return str(flat)
+
+
+def _source(spark, stream_dir):
+    return stream_source(
+        spark, stream_dir, SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+
+
+def test_hourly_agg_stream_matches_batch(spark, stream_dir):
+    out = run_available_now(
+        hourly_agg_stream(_source(spark, stream_dir), watermark="0 seconds"),
+        "hourly_stream",
+    )
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.total_value)
+        for r in out
+        if r.event_type != "eos"
+    }
+    batch = (
+        spark.createDataFrame(EVENTS, SCHEMA)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {(r.hour_ts, r.event_type): (r.n, r.v) for r in batch}
+    assert got == want
+
+
+def _assert_sessions(rows):
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in rows
+        if r.user_id != -1
+    )
+    m = lambda minutes: T0 + dt.timedelta(minutes=minutes)  # noqa: E731
+    assert got == [
+        (1, m(0), m(20), 2, 1.5),
+        (1, m(70), m(70), 1, 2.0),
+        (2, m(5), m(25), 2, 0.5),
+    ]
+
+
+def test_sessionize_session_window(spark, stream_dir):
+    rows = run_available_now(
+        sessionize_session_window(_source(spark, stream_dir)), "sess_native"
+    )
+    _assert_sessions(rows)
+
+
+def test_sessionize_stateful(spark, stream_dir):
+    rows = run_available_now(
+        sessionize_stateful(_source(spark, stream_dir)), "sess_stateful"
+    )
+    _assert_sessions(rows)
+
+
+def test_incremental_append_checkpoint_idempotent(spark, stream_dir, tmp_path):
+    """foreachBatch + checkpoint = streaming form of the batch file ledger:
+    a restarted query re-processes nothing."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(sink)
+
+    for _ in range(2):  # second run: checkpoint says all files seen
+        q = incremental_append(_source(spark, stream_dir), write_batch, ckpt)
+        q.awaitTermination(120)
+    total = spark.read.parquet(sink).count()
+    assert total == len(EVENTS) + len(SENTINEL)
