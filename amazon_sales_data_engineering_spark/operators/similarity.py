@@ -97,6 +97,102 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def embedding_near_dup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), candidates restricted to the same sign-bucket — the
+    blocked self-join that replaces the quadratic all-pairs scan at scale
+    (each bucket self-joins independently; shuffle key = bucket).
+
+    Few bits = high recall / bigger buckets; tune bits so the largest
+    bucket's square fits an executor. Output: (id_a, id_b, cos_sim)."""
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a.id") < F.col("c.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("c.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest centroid
+    (one broadcast pass — the "coarse quantizer"), then score each probe only
+    against the ``nprobe`` nearest centroid lists. At scale the corpus is
+    partitioned by cluster id, so a probe touches nprobe partitions instead
+    of the whole corpus; centroids stay broadcast.
+
+    Centroids are caller-supplied (deterministic here; k-means upstream in a
+    real pipeline). Tiebreaks: centroid id asc, neighbor id asc.
+    Output: (probe_id, neighbor_id, rank)."""
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+    def nearest_clusters(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(cent)).select(
+            out_id,
+            "v",
+            "centroid_id",
+            cosine(F.col("v"), F.col("centroid_vec")).alias("ccos"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("ccos").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(out_id, "v", "centroid_id")
+        )
+
+    assigned = nearest_clusters(vectors, "neighbor_id", 1)
+    probe_lists = nearest_clusters(probes, "probe_id", nprobe)
+
+    scored = (
+        assigned.join(
+            probe_lists.withColumnRenamed("v", "pv"), "centroid_id"
+        )
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("pv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     probes: DataFrame,

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from .registry import register
 from .util import t
 
@@ -94,3 +99,93 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str):
     v = t(spark, sf_dir, "embeddings")
     probes = v.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucket_topk(v, probes, id_col="vec_id", vec_col="embedding", k=3, bits=8)
+
+
+_BUCKET4 = """
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH raw AS (
+  SELECT vec_id, {_BUCKET4} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+  FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4
+""",
+    doc="Embedding-cosine near-dup pairs at threshold 0.4: sign-bucket "
+    "blocking (4 bits) replaces the quadratic all-pairs self-join; exact "
+    "cosine verification within blocks. Completes the dedup family "
+    "(exact / Jaccard / MinHash-LSH / SimHash / embedding).",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
+    return embedding_near_dup(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        threshold=0.4, bits=4,
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH v AS ({_V}),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+cscored AS (
+  SELECT v.vec_id, v.e, centroid_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ce[i]))
+                    / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                    centroid_id ASC) AS crank
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, e, centroid_id FROM cscored WHERE crank <= 1
+),
+probe_lists AS (
+  SELECT vec_id AS probe_id, e AS pe, centroid_id
+  FROM cscored WHERE vec_id % 100 = 0 AND crank <= 2
+),
+scored AS (
+  SELECT p.probe_id, a.neighbor_id,
+         list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * a.e[i]))
+         / (sqrt(list_sum(list_transform(pe, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.e, x -> x * x)))) AS cos
+  FROM probe_lists p
+  JOIN assigned a USING (centroid_id)
+  WHERE a.neighbor_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="IVF ANN: deterministic coarse centroids (vec_id % 50 = 0), "
+    "single-cluster assignment, probes search their nprobe=2 nearest "
+    "lists, exact cosine top-5 within candidates. The partition-by-cluster "
+    "scale path between brute force and sign-LSH.",
+    tags=("similarity", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    v = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        v,
+        probes=v.filter(F.col("vec_id") % 100 == 0),
+        centroids=v.filter(F.col("vec_id") % 50 == 0),
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+    )
