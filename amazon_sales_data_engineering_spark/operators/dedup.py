@@ -140,6 +140,69 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 6,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused MinHash-LSH near-dup pipeline: shingle → (signature + shingle
+    set) in ONE aggregate pass → banded candidates → exact Jaccard via
+    ``array_intersect`` on the stored sets.
+
+    Composing ``minhash_signatures`` + ``minhash_lsh_pairs`` +
+    ``jaccard_pairs`` re-executes the shingle/normalization chain once per
+    consumer (three times); here the per-doc summary (6 hashes + shingle
+    set + size) is built by a single shuffle and persisted, so the
+    expensive regexp/explode/md5 work happens exactly once. The persisted
+    summary is one row per document — O(corpus) not O(pairs) — and Spark's
+    CacheManager dedupes the entry across repeated invocations."""
+    sh = shingles(df, text_col, id_col, k=k)
+    aggs = [
+        F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    docsets = (
+        sh.groupBy(id_col)
+        .agg(*aggs, F.collect_set("shingle").alias("sh_set"))
+        .withColumn("n", F.size("sh_set"))
+        .persist()
+    )
+    cand = minhash_lsh_pairs(
+        docsets.select(id_col, *[f"h{s}" for s in range(num_hashes)]),
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    a = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    b = docsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str,

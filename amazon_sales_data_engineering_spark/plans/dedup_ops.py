@@ -11,13 +11,12 @@ from pyspark.sql import SparkSession
 from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
-    minhash_lsh_pairs,
-    minhash_signatures,
+    minhash_dedup_pairs,
     shingles,
     simhash16,
 )
 from .registry import register
-from .util import t
+from .util import t_cpu
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -57,7 +56,7 @@ GROUP BY 1
     bench=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str):
-    return exact_dedup_groups(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return exact_dedup_groups(t_cpu(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @register(
@@ -77,7 +76,7 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
-    sh = shingles(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
     return jaccard_pairs(sh, "doc_id", threshold=0.5)
 
 
@@ -122,10 +121,10 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
-    sh = shingles(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=6)
-    cand = minhash_lsh_pairs(sig, "doc_id", num_hashes=6, bands=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cand)
+    return minhash_dedup_pairs(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, num_hashes=6, bands=3, threshold=0.5,
+    )
 
 
 @register(
@@ -159,4 +158,4 @@ SELECT doc_id, CAST(SUM(term) AS BIGINT) AS simhash FROM terms GROUP BY doc_id
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str):
-    return simhash16(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash16(t_cpu(spark, sf_dir, "documents"), "text", "doc_id")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal.binary_ops import extract_binary_meta
 from .registry import register
-from .util import t
+from .util import t_cpu
 
 
 @register(
@@ -29,7 +29,7 @@ FROM documents
     tags=("multimodal",),
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents").select(
+    d = t_cpu(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_binary_meta(d, "doc_id", "payload")

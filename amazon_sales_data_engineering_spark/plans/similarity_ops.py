@@ -20,7 +20,7 @@ from ..operators.similarity import (
     lsh_bucket_topk,
 )
 from .registry import register
-from .util import t
+from .util import t_cpu
 
 _V = """
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -57,7 +57,7 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
     bench=True,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str):
-    v = t(spark, sf_dir, "embeddings")
+    v = t_cpu(spark, sf_dir, "embeddings")
     probes = v.filter(F.col("vec_id") % 100 == 0)
     return cosine_topk(v, probes, id_col="vec_id", vec_col="embedding", k=5)
 
@@ -96,7 +96,7 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
     tags=("similarity", "lsh"),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str):
-    v = t(spark, sf_dir, "embeddings")
+    v = t_cpu(spark, sf_dir, "embeddings")
     probes = v.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucket_topk(v, probes, id_col="vec_id", vec_col="embedding", k=3, bits=8)
 
@@ -133,7 +133,7 @@ SELECT id_a, id_b, cos_sim FROM (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
     return embedding_near_dup(
-        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
         threshold=0.4, bits=4,
     )
 
@@ -182,7 +182,7 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
     tags=("similarity", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str):
-    v = t(spark, sf_dir, "embeddings")
+    v = t_cpu(spark, sf_dir, "embeddings")
     return ivf_topk(
         v,
         probes=v.filter(F.col("vec_id") % 100 == 0),

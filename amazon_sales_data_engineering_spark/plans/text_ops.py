@@ -21,7 +21,7 @@ from ..functions.text import (
     token_count,
 )
 from .registry import register
-from .util import t
+from .util import t_cpu
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _NTOK = f"(length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1)"
@@ -44,7 +44,7 @@ FROM documents
     bench=True,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = t_cpu(spark, sf_dir, "documents")
     ntok = token_count("text")
     ndis = distinct_token_count("text")
     safe_ntok = F.when(ntok == 0, F.lit(1)).otherwise(ntok)
@@ -85,7 +85,7 @@ FROM m
     bench=True,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = t_cpu(spark, sf_dir, "documents")
     norm = normalized_text("text")
     ntok = token_count("text")
     nonspace = F.length(F.regexp_replace(norm, " ", "")).cast("bigint")
@@ -132,7 +132,7 @@ FROM m
     tags=("text",),
 )
 def text_langid(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = t_cpu(spark, sf_dir, "documents")
     ntok = token_count("text")
     nstop = stopword_count("text")
     milli = F.floor((nstop * F.lit(1000.0)) / ntok)
@@ -155,6 +155,6 @@ FROM documents
     tags=("text", "dedup"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str):
-    return t(spark, sf_dir, "documents").select(
+    return t_cpu(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fingerprint"), "source"
     )

@@ -12,6 +12,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+def t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan for CPU-bound downstream chains (regex/shingle/hash over
+    text). A small table arrives as one input split, which would pin the
+    whole narrow chain to one core; repartition up to the cluster's
+    parallelism ONLY in that case. At scale (thousands of splits) this is
+    a no-op — no shuffle is added."""
+    df = table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ts_lit(df: DataFrame, col: str, value: str) -> Column:
     """Literal cast to the *actual* runtime type of ``df[col]`` (parquet
     timestamps may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
