@@ -134,3 +134,38 @@ def intersect_except_segments(spark: SparkSession, sf_dir: str):
         F.lit("building_only").alias("bucket"), "c_custkey"
     )
     return both.unionByName(only_b)
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Skew-safe join: lineitem->orders through operators.skew.salted_join "
+    "(deterministic salt splits hot keys across partitions; compact side "
+    "replicated salt x). Result is row-identical to the plain join — the "
+    "oracle IS the plain join.",
+    tags=("join", "skew"),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str):
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, ["orderkey"], "inner", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            decimal_sum("l_extendedprice", alias="revenue"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Scale-path operators: salted join semantics + bucketed co-located joins.
+
+The salted join must be row-identical to the plain join (salting is a
+physical rewrite only); the bucketed join must eliminate the shuffle
+entirely (no Exchange in the executed plan) — that's its whole point.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from amazon_sales_data_engineering_spark.operators.skew import (
+    salted_join,
+    write_bucketed,
+)
+from amazon_sales_data_engineering_spark.tables import table
+
+from .conftest import SF_DIR
+
+
+def _multiset(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_join_matches_plain(spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    o = table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, ["orderkey"], "inner")
+    salted = salted_join(li, o, ["orderkey"], "inner", salt=8)
+    assert sorted(plain.columns) == sorted(salted.columns)
+    assert _multiset(plain) == _multiset(salted.select(*plain.columns))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    # drop half the orders so some lineitems have no match
+    o = (
+        table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    plain = li.join(o, ["orderkey"], "left")
+    salted = salted_join(li, o, ["orderkey"], "left", salt=8)
+    assert _multiset(plain) == _multiset(salted.select(*plain.columns))
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # force the sort-merge path: broadcasting would bypass buckets entirely
+    # (at real scale neither side fits the broadcast threshold anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: result is the real join
+        n = joined.count()
+        assert n == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
