@@ -187,6 +187,46 @@ def build_dims(spark, sales: DataFrame, faithful: bool = True) -> None:
     create_payment_dim(spark, sales)
 
 
+_WM_TABLE = "audit.fact_load_watermark"
+
+
+def _apply_fact_watermark(spark, sales: DataFrame) -> DataFrame:
+    """Incremental fact loads: keep only curated rows above each country's
+    recorded (country, max sales_order_key) watermark. Uses the reference's
+    declared-but-unused ``audit`` schema (SURVEY §2.10 D3)."""
+    if not spark.catalog.tableExists(_WM_TABLE):
+        return sales
+    wm = spark.table(_WM_TABLE)
+    return (
+        sales.join(F.broadcast(wm), "country", "left")
+        .filter(
+            F.col("max_key").isNull()
+            | (F.col("sales_order_key") > F.col("max_key"))
+        )
+        .drop("max_key")
+    )
+
+
+def _record_fact_watermark(spark, processed: DataFrame) -> None:
+    batch = processed.groupBy("country").agg(
+        F.max("sales_order_key").alias("max_key")
+    )
+    if spark.catalog.tableExists(_WM_TABLE):
+        merged = (
+            spark.table(_WM_TABLE)
+            .unionByName(batch)
+            .groupBy("country")
+            .agg(F.max("max_key").alias("max_key"))
+        )
+    else:
+        merged = batch
+    # materialize before overwriting the table the plan reads from
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").saveAsTable(
+        _WM_TABLE
+    )
+
+
 def build_fact(spark, sales: DataFrame, dense_fact_keys: bool = True) -> None:
     """Star-join fact assembly (J6) + fact sequence key."""
     dims = [
@@ -258,9 +298,20 @@ def build_fact(spark, sales: DataFrame, dense_fact_keys: bool = True) -> None:
 
 
 def run_consumption(
-    spark: SparkSession, faithful: bool = True, dense_fact_keys: bool = True
+    spark: SparkSession,
+    faithful: bool = True,
+    dense_fact_keys: bool = True,
+    incremental: bool = False,
 ) -> None:
-    """step_5 main(): dims then fact."""
+    """step_5 main(): dims then fact. Dims are always incremental (delta
+    loads); ``incremental=True`` additionally guards the fact append with
+    the audit watermark so re-processing curated rows can't duplicate
+    fact rows."""
     sales = all_sales(spark, faithful)
     build_dims(spark, sales, faithful)
-    build_fact(spark, sales, dense_fact_keys)
+    if incremental:
+        fresh = _apply_fact_watermark(spark, sales)
+        build_fact(spark, fresh, dense_fact_keys)
+        _record_fact_watermark(spark, fresh)
+    else:
+        build_fact(spark, sales, dense_fact_keys)

@@ -128,7 +128,21 @@ def curate_sales(
     )
 
 
-def run_curated(spark: SparkSession, faithful: bool = True) -> None:
-    """step_4 main(): curate and append all three countries."""
+def run_curated(
+    spark: SparkSession, faithful: bool = True, incremental: bool = False
+) -> None:
+    """step_4 main(): curate and append all three countries.
+
+    ``incremental=True`` fixes the reference's re-run duplication
+    (SURVEY §2.11.8): only source rows above the curated table's
+    sales_order_key high-water mark are processed (dense keys make the max
+    a valid watermark). Designed for the corrected profile — the faithful
+    profile's whole-batch rank dedup is inherently non-incremental."""
     for cc in PROFILES:
-        save_table_if_nonempty(curate_sales(spark, cc, faithful), curated_table(cc))
+        df = curate_sales(spark, cc, faithful)
+        target = curated_table(cc)
+        if incremental and spark.catalog.tableExists(target):
+            wm = spark.table(target).agg(F.max("sales_order_key")).first()[0]
+            if wm is not None:
+                df = df.filter(F.col("sales_order_key") > F.lit(wm))
+        save_table_if_nonempty(df, target)

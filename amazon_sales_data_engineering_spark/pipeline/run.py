@@ -26,13 +26,20 @@ def run_pipeline(
     data_root: str,
     faithful: bool = True,
     dense_fact_keys: bool = True,
+    incremental: bool = False,
 ) -> dict[str, int]:
     """raw files → source → curated → consumption. Returns per-country
-    loaded-file counts (0s on a re-run — ledger idempotency)."""
+    loaded-file counts (0s on a re-run — ledger idempotency).
+
+    ``incremental=True`` makes the curated and fact appends high-water-mark
+    guarded, so the pipeline can be re-run as new files arrive without
+    duplicating earlier rows (the reference re-run duplicates, §2.11.8).
+    Pair with ``faithful=False``; surrogate keys stay dense but their exact
+    values depend on batch boundaries, as with warehouse sequences."""
     ensure_namespaces(spark)
     load_forex(spark, data_root, faithful)
     loaded = ingest_all(spark, data_root)
     if any(loaded.values()):
-        run_curated(spark, faithful)
-        run_consumption(spark, faithful, dense_fact_keys)
+        run_curated(spark, faithful, incremental)
+        run_consumption(spark, faithful, dense_fact_keys, incremental)
     return loaded
