@@ -158,3 +158,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str):
     return t_cpu(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fingerprint"), "source"
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_number_runs,
+       CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS BIGINT) AS n_punct
+FROM documents
+""",
+    doc="BPE-ish tokenization via regex (letter runs | digit runs | single "
+    "punctuation — the pre-tokenizer split BPE vocabularies start from), "
+    "counted entirely JVM-side with regexp_extract_all. Complements the "
+    "whitespace count in text_token_stats.",
+    tags=("text", "tokenize"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n = lambda pat: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0))).cast("bigint")
+    return d.select(
+        "doc_id",
+        n(r"[a-z]+|[0-9]+|[^a-z0-9\s]").alias("n_bpe_tokens"),
+        n(r"[0-9]+").alias("n_number_runs"),
+        n(r"[^a-z0-9\s]").alias("n_punct"),
+    )
