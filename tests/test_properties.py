@@ -1,0 +1,136 @@
+"""Property-based tests (SURVEY §5.4): operator invariants checked against
+independent pure-Python oracles on hypothesis-generated inputs.
+
+Spark jobs are slow per-example, so examples are small and capped; the
+deadline is disabled (JVM warmup skews the first example).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from amazon_sales_data_engineering_spark.operators.dedup import rank_dedup, shingles
+from amazon_sales_data_engineering_spark.operators.sequences import dense_keys
+from amazon_sales_data_engineering_spark.operators.setops import union_distinct
+from amazon_sales_data_engineering_spark.operators.skew import salted_join
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 100)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=rows_st)
+def test_rank_dedup_keep_ties_is_argmax_set(spark, rows):
+    df = spark.createDataFrame(rows, "key int, ord int, payload int")
+    got = Counter(
+        (r.key, r.ord, r.payload)
+        for r in rank_dedup(
+            df, ["key"], [F.col("ord").desc()], keep_ties=True
+        ).collect()
+    )
+    best = defaultdict(int)
+    for k, o, _ in rows:
+        best[k] = max(best[k], o)
+    want = Counter((k, o, p) for k, o, p in rows if o == best[k])
+    assert got == want
+
+
+@SETTINGS
+@given(rows=rows_st)
+def test_rank_dedup_row_number_keeps_one_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "key int, ord int, payload int")
+    out = rank_dedup(
+        df, ["key"], [F.col("ord").desc(), F.col("payload")], keep_ties=False
+    ).collect()
+    assert len(out) == len({k for k, _, _ in rows})
+    best = defaultdict(int)
+    for k, o, _ in rows:
+        best[k] = max(best[k], o)
+    for r in out:
+        assert r.ord == best[r.key]
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=10),
+    salt=st.integers(1, 5),
+)
+def test_salted_join_equals_plain(spark, left, right, salt):
+    l = spark.createDataFrame(left or [(99, 0)], "k int, lv int")
+    r = spark.createDataFrame(right or [(98, 0)], "k int, rv int")
+    for how in ("inner", "left"):
+        plain = Counter(tuple(x) for x in l.join(r, ["k"], how).collect())
+        got = Counter(
+            tuple(x)
+            for x in salted_join(l, r, ["k"], how, salt=salt)
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        assert got == plain, how
+
+
+@SETTINGS
+@given(
+    frames=st.lists(
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 2)), max_size=10),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_union_distinct_is_set_union(spark, frames):
+    dfs = [
+        spark.createDataFrame(rows or [(9, 9)], "a int, b int") for rows in frames
+    ]
+    got = {tuple(r) for r in union_distinct(*dfs).collect()}
+    want = {tuple(t) for rows in frames for t in (rows or [(9, 9)])}
+    assert got == want
+    # deduplicating union: no multiset duplicates survive
+    assert union_distinct(*dfs).count() == len(want)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    start=st.integers(1, 50),
+)
+def test_dense_keys_contiguous_from_start(spark, rows, start):
+    df = spark.createDataFrame([(v,) for v in rows], "v int")
+    keyed = dense_keys(df, "pk", order_by=[F.col("v"), F.monotonically_increasing_id()], start=start)
+    pks = sorted(r.pk for r in keyed.collect())
+    assert pks == list(range(start, start + len(rows)))
+
+
+TEXT = st.text(
+    alphabet=" \t\nabcdef.,!0123456789", min_size=0, max_size=60
+)
+
+
+@SETTINGS
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {(r.doc_id, r.shingle) for r in shingles(df, "text", "doc_id", k=3).collect()}
+    want = set()
+    for i, txt in enumerate(texts):
+        toks = re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+        if toks == [""]:
+            toks = []
+        for j in range(len(toks) - 2):
+            want.add((i, " ".join(toks[j : j + 3])))
+    assert got == want
