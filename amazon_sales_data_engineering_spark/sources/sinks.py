@@ -24,3 +24,21 @@ def save_table_if_nonempty(df: DataFrame, name: str) -> bool:
         return False
     save_table(df, name)
     return True
+
+
+def save_table_partitioned(
+    df: DataFrame,
+    name: str,
+    partition_cols: list[str],
+    mode: str = "append",
+) -> None:
+    """Hive-partitioned table sink — the layout the source data itself uses
+    (source=/format=/date= dirs, SURVEY §1.4) and the right one for big
+    facts: queries filtering on the partition columns prune whole
+    directories at plan time (PartitionFilters) instead of reading and
+    discarding. Choose low-cardinality, commonly-filtered columns (load
+    date, country); high-cardinality partitioning creates a small-file
+    explosion at scale."""
+    df.write.mode(mode).format("parquet").partitionBy(*partition_cols).saveAsTable(
+        name
+    )

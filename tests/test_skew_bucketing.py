@@ -75,3 +75,25 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_sink_prunes_at_plan_time(spark):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a post-scan predicate."""
+    from amazon_sales_data_engineering_spark.sources.sinks import (
+        save_table_partitioned,
+    )
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    save_table_partitioned(li, "p_lineitem", ["l_returnflag"], mode="overwrite")
+    try:
+        q = spark.table("p_lineitem").filter(F.col("l_returnflag") == "R")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(l_returnflag" in plan or (
+            "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters:")[1].split("]")[0]
+        ), plan
+        assert q.count() == li.filter(F.col("l_returnflag") == "R").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS p_lineitem")
