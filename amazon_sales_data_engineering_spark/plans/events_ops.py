@@ -105,3 +105,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str):
             decimal_sum("value", alias="total_value"),
         )
     )
+
+
+@register(
+    "events_sliding_agg",
+    oracle="""
+SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) * 1000000 AS BIGINT))
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS t(j)
+GROUP BY 1, 2
+""",
+    doc="Sliding-window agg (1 hour window, 15 min slide): each event lands "
+    "in 4 overlapping windows. Spark assigns windows map-side (no row "
+    "explosion shuffle beyond the agg itself); the oracle replicates the "
+    "epoch-aligned window-start arithmetic with an explicit 4-way unnest. "
+    "Completes the window family: tumbling (events_hourly_agg) / sliding / "
+    "session (events_sessionize).",
+    tags=("events", "window-agg"),
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", alias="total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
