@@ -1,0 +1,122 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Not in the reference surface (SURVEY.md §2.3 "Not present: theta/range/
+as-of joins") — these are the custom-operator extensions, built as
+compositions of existing DataFrame ops (the preferred strategy: no UDFs,
+no driver loops).
+
+- ``asof_join``: for each left row, the most recent right row with
+  time ≤ left time (per optional key columns). The naive formulation is a
+  per-row correlated subquery / inequality join (quadratic); the scalable
+  formulation used here is the UNION + LAST(ignorenulls) OVER window
+  trick: one union, one window over (keys, time) — a single sort-shuffle,
+  linear in rows, no pair blowup. Same algorithm pandas' merge_asof uses,
+  distributed.
+- ``range_join``: left points joined to right intervals containing them.
+  Spark plans a bare inequality join as BroadcastNestedLoop (quadratic);
+  the scalable formulation buckets time into fixed-width cells, explodes
+  each interval to the cells it spans, and equi-joins on the cell before
+  verifying the exact predicate — shuffle keys are (cell), work is
+  O(points + interval-cells + true matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: attach to each left row the right
+    row with the greatest ``right_time`` <= ``left_time``, matching ``by``
+    keys. Left rows keep NULL right columns when nothing precedes them.
+
+    ``right_cols`` defaults to every right column except the time and keys.
+    """
+    by = by or []
+    if not set(by) <= set(left.columns) or not set(by) <= set(right.columns):
+        raise ValueError("by keys must exist on both sides")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != right_time]
+    non_key_left = [c for c in left.columns if c not in by]
+
+    l_tag = left.select(
+        *by,
+        *non_key_left,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    r_tag = right.select(
+        *by,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in non_key_left
+        ],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    merged = l_tag.unionByName(r_tag)
+
+    # right row sorts BEFORE a left row at the same timestamp → inclusive.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *merged.columns,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket: Column | int,
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (start <= t < end), scalably: equi-join on fixed-width time cells,
+    then verify the exact predicate. ``bucket`` is the cell width in the
+    time column's units (seconds for timestamps, days for dates — pass an
+    integer; it must be >= the typical interval length for ~1 cell per
+    interval)."""
+    width = F.lit(bucket) if isinstance(bucket, int) else bucket
+    t_cell = (F.unix_timestamp(F.col(point_time)) / width).cast("long")
+    p = points.withColumn("__cell", t_cell)
+    s_cell = (F.unix_timestamp(F.col(start_col)) / width).cast("long")
+    e_cell = (F.unix_timestamp(F.col(end_col)) / width).cast("long")
+    iv = intervals.withColumn(
+        "__cell", F.explode(F.sequence(s_cell, e_cell))
+    )
+    cond = (F.col(point_time) >= F.col(start_col)) & (
+        F.col(point_time) < F.col(end_col)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return p.join(iv, "__cell").filter(cond).drop("__cell")

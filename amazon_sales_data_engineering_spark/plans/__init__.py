@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     multimodal_ops,
     parity,
     similarity_ops,
+    temporal_ops,
     text_ops,
 )
 from .registry import REGISTRY, Query

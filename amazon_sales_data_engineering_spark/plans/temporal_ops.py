@@ -1,0 +1,112 @@
+"""Temporal-join queries: as-of and range joins (operators.temporal).
+
+Not in the reference (SURVEY.md §2.3 lists them as absent) — these are the
+custom-operator extensions. DuckDB verifies them with its NATIVE temporal
+joins (ASOF JOIN; plain inequality join), i.e. the oracle uses a different
+algorithm than the engine — a real differential test, not a mirror.
+
+Timestamps: orders.o_orderdate / events.ts surface as TIMESTAMP_NTZ; the
+as-of query keys on DATE (cast is wall-clock, timezone-free) and the range
+query builds hour bounds with make_timestamp_ntz — no session-timezone
+dependence anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join
+from .registry import register
+from .util import t
+
+
+@register(
+    "asof_join_price_index",
+    oracle="""
+WITH idx AS (
+  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+         MIN(o_totalprice) AS ref_price
+  FROM orders
+  WHERE day(CAST(o_orderdate AS DATE)) % 5 = 1
+  GROUP BY 1, 2
+),
+l AS (SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders)
+SELECT l.o_orderkey, l.o_orderpriority, idx.ref_price
+FROM l ASOF LEFT JOIN idx
+  ON l.o_orderpriority = idx.p AND l.od >= idx.d
+""",
+    doc="As-of join: every order gets the most recent reference price "
+    "(sparse per-priority daily index, days ending in 1 or 6) at or before "
+    "its date. Engine: union + last(ignorenulls) window — one sort-shuffle, "
+    "no inequality join. Oracle: DuckDB's native ASOF JOIN (different "
+    "algorithm, same answer).",
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_price_index(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    idx = (
+        o.filter(F.dayofmonth(day) % 5 == 1)
+        .groupBy(F.col("o_orderpriority"), day.alias("d"))
+        .agg(F.min("o_totalprice").alias("ref_price"))
+    )
+    left = o.select("o_orderkey", "o_orderpriority", day.alias("od"))
+    out = asof_join(
+        left,
+        idx,
+        left_time="od",
+        right_time="d",
+        by=["o_orderpriority"],
+        right_cols=["ref_price"],
+    )
+    return out.select("o_orderkey", "o_orderpriority", "ref_price")
+
+
+@register(
+    "range_join_event_windows",
+    oracle="""
+WITH hours AS (
+  SELECT DISTINCT make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0.0) AS h
+  FROM events
+),
+iv AS (
+  SELECT h AS win_start, h + INTERVAL 2 HOUR AS win_end
+  FROM hours WHERE hour(h) % 7 = 0
+)
+SELECT e.event_id, iv.win_start,
+       CAST(SUM(1) AS BIGINT) AS n_windows
+FROM events e JOIN iv
+  ON e.ts >= iv.win_start AND e.ts < iv.win_end
+GROUP BY 1, 2
+""",
+    doc="Range join: events matched to the 2-hour windows containing them "
+    "(windows anchored at hours ≡ 0 mod 7 — overlapping, so some events "
+    "land in two). Engine: bucketed equi-join on fixed-width time cells + "
+    "exact verify (O(points+cells), no nested loop). Oracle: DuckDB plain "
+    "inequality join.",
+    tags=("join", "range", "temporal"),
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    hour = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        F.lit(0), F.lit(0),
+    )
+    iv = (
+        e.select(hour.alias("win_start"))
+        .distinct()
+        .filter(F.hour("win_start") % 7 == 0)
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = range_join(
+        e.select("event_id", "ts"),
+        iv,
+        point_time="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket=7200,
+    )
+    return joined.groupBy("event_id", "win_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
