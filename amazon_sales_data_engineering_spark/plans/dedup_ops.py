@@ -159,3 +159,50 @@ SELECT doc_id, CAST(SUM(term) AS BIGINT) AS simhash FROM terms GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str):
     return simhash16(t_cpu(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+WITH RECURSIVE
+raw AS (
+  SELECT vec_id,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.4
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.a, n.v FROM reach r JOIN und n ON r.b = n.u
+)
+SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+""",
+    doc="Dedup clustering: connected components over the embedding near-dup "
+    "pair graph (operators.graph — iterative min-label propagation, one "
+    "shuffle per round, localCheckpoint lineage cuts). Oracle: DuckDB "
+    "recursive-CTE transitive closure — a different algorithm entirely.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
+        vec_col="embedding", threshold=0.4, bits=4,
+    ).select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b")
