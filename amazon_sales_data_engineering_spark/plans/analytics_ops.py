@@ -169,3 +169,118 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str):
             decimal_sum("l_extendedprice", alias="revenue"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate — every predicate must "
+    "reach the parquet scan (range + between + less-than pushdown).",
+    tags=("agg", "filter", "tpch"),
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate")
+    lo = F.lit("1995-01-01").cast(dict(li.dtypes)["l_shipdate"])
+    hi = F.lit("1996-01-01").cast(dict(li.dtypes)["l_shipdate"])
+    return (
+        li.filter((sd >= lo) & (sd < hi))
+        .filter(F.col("l_discount").between(0.03, 0.07))
+        .filter(F.col("l_quantity") < 24)
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_by_customer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q10 shape (available columns): revenue lost to returns per "
+    "customer. Fact-to-fact join (orders-lineitem) plus broadcast dims.",
+    tags=("join", "agg", "tpch"),
+)
+def q10_returned_by_customer(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    expr = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(expr).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+SELECT (CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END
+                 AS DECIMAL(25,4))) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 AS DECIMAL(25,4))) AS DOUBLE)) * CAST(100.0 AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+""",
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast "
+    "dimension join (promo revenue share).",
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    sd = F.col("l_shipdate")
+    ty = dict(li.dtypes)["l_shipdate"]
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (sd >= F.lit("1995-09-01").cast(ty)) & (sd < F.lit("1995-10-01").cast(ty))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (
+                    F.sum(promo.cast("decimal(25,4)")).cast("double")
+                    / F.sum(disc.cast("decimal(25,4)")).cast("double")
+                )
+                * F.lit(100.0)
+            ).alias("promo_revenue_pct")
+        )
+    )
