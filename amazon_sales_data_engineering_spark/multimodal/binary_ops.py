@@ -65,6 +65,43 @@ def extract_binary_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFra
     ).mapInPandas(run, schema=META_SCHEMA)
 
 
+CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, n_bytes bigint, first_byte int"
+
+
+def chunk_binary(
+    df: DataFrame, id_col: str, payload_col: str, chunk_size: int = 256
+) -> DataFrame:
+    """Frame-sample-style chunking: split each binary payload into fixed
+    ``chunk_size``-byte windows, one output row per chunk — the batch shape
+    a video frame-sampler or audio segmenter produces. Arrow-batched
+    mapInPandas; rows fan out ~len/chunk_size with no shuffle. Decoder
+    nested for by-value pickling (see extract_binary_meta)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, firsts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                for j in range(0, len(data), chunk_size):
+                    chunk = data[j : j + chunk_size]
+                    ids.append(int(doc_id))
+                    idxs.append(j // chunk_size)
+                    sizes.append(len(chunk))
+                    firsts.append(chunk[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=CHUNK_SCHEMA
+    )
+
+
 def decode_image(df: DataFrame, payload_col: str) -> DataFrame:
     """Placeholder for real image decode (resize / pixel stats). The
     container has no image libraries, so this raises — the Spark-side

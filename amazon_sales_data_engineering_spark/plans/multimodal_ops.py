@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal.binary_ops import extract_binary_meta
+from ..multimodal.binary_ops import chunk_binary, extract_binary_meta
 from .registry import register
 from .util import t_cpu
 
@@ -33,3 +33,27 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_binary_meta(d, "doc_id", "payload")
+
+
+@register(
+    "multimodal_chunk_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(j AS INT) AS chunk_idx,
+       CAST(octet_length(encode(substring(text, CAST(j * 256 + 1 AS BIGINT), 256))) AS BIGINT)
+         AS n_bytes,
+       CAST(ascii(substring(text, CAST(j * 256 + 1 AS BIGINT), 1)) AS INT) AS first_byte
+FROM documents
+CROSS JOIN unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS t(j)
+""",
+    doc="Frame-sample plumbing: payloads split into 256-byte windows via "
+    "Arrow mapInPandas (the batch shape a video frame-sampler/audio "
+    "segmenter emits). Oracle reconstructs the chunks with string "
+    "arithmetic — valid because the corpus is pure ASCII (byte==char).",
+    tags=("multimodal",),
+)
+def multimodal_chunk_frames(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return chunk_binary(d, "doc_id", "payload", chunk_size=256)
