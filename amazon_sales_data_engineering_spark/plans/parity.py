@@ -285,22 +285,27 @@ def filter_status_priority(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT l_orderkey AS order_key,
        l_linenumber AS line_number,
-       CAST(l_quantity AS DECIMAL(18,0)) AS order_quantity,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS extended_price,
+       CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,0)) AS order_quantity,
+       CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2)) AS extended_price,
        CAST(l_shipdate AS DATE) AS ship_dt,
        l_returnflag AS return_flag
 FROM lineitem
 """,
     doc="Projection with rename + explicit casts — the positional-cast load "
-    "shape (SURVEY §2.2 P5/P7/P8; /root/reference/step_3_load_from_stage_to_source.py:28-43).",
+    "shape (SURVEY §2.2 P5/P7/P8; /root/reference/step_3_load_from_stage_to_source.py:28-43). "
+    "DOUBLE->DECIMAL is routed through a string on BOTH engines: each prints "
+    "the shortest round-trip decimal representation of the same IEEE double, "
+    "so the subsequent decimal cast is exact and engine-agnostic (Spark "
+    "rounds BigDecimal-of-shortest-repr HALF_UP while DuckDB rounds the exact "
+    "binary value — they disagree on tie-adjacent raw doubles).",
     tags=("project", "cast"),
 )
 def project_cast_rename(spark: SparkSession, sf_dir: str):
     return t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
-        F.col("l_quantity").cast("decimal(18,0)").alias("order_quantity"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended_price"),
+        F.col("l_quantity").cast("string").cast("decimal(18,0)").alias("order_quantity"),
+        F.col("l_extendedprice").cast("string").cast("decimal(18,2)").alias("extended_price"),
         F.col("l_shipdate").cast("date").alias("ship_dt"),
         F.col("l_returnflag").alias("return_flag"),
     )
@@ -335,19 +340,23 @@ def lit_and_case_default(spark: SparkSession, sf_dir: str):
     "currency_conversion",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS local_amt,
+       CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2)) AS local_amt,
        l_extendedprice / (1.0 + l_tax) AS usd_amt
 FROM lineitem
 """,
     doc="Arithmetic projection (division) with decimal pinning — the USD "
-    "conversion (SURVEY §2.2 P10; /root/reference/step_4_source_to_curated.py:150-153).",
+    "conversion (SURVEY §2.2 P10; /root/reference/step_4_source_to_curated.py:150-153). "
+    "local_amt uses the string-routed DOUBLE->DECIMAL idiom (see "
+    "project_cast_rename) so both engines cast the identical shortest-repr "
+    "string; the division itself is a fixed-parenthesization IEEE chain and "
+    "compares exactly as DOUBLE.",
     tags=("project", "arithmetic"),
 )
 def currency_conversion(spark: SparkSession, sf_dir: str):
     return t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("local_amt"),
+        F.col("l_extendedprice").cast("string").cast("decimal(18,2)").alias("local_amt"),
         (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_tax"))).alias("usd_amt"),
     )
 
