@@ -69,12 +69,16 @@ def all_sales(spark: SparkSession, faithful: bool = True) -> DataFrame:
     return union_distinct(*dfs) if faithful else union_all(*dfs)
 
 
-def create_region_dim(spark, sales: DataFrame, faithful: bool = True) -> None:
-    dim = (
+def region_dim_frame(sales: DataFrame) -> DataFrame:
+    return (
         sales.groupBy("country", "region")
         .count()
         .withColumn("isactive", F.lit("Y"))
     )
+
+
+def create_region_dim(spark, sales: DataFrame, faithful: bool = True) -> None:
+    dim = region_dim_frame(sales)
     anti = ["country"] if faithful else ["country", "region"]  # §2.11.6
     keyed = _delta_then_key(
         spark, dim, "region_dim", anti, "region_id_pk", ["country", "region"]
@@ -85,9 +89,9 @@ def create_region_dim(spark, sales: DataFrame, faithful: bool = True) -> None:
     )
 
 
-def create_product_dim(spark, sales: DataFrame) -> None:
+def product_dim_frame(sales: DataFrame) -> DataFrame:
     key = F.split(F.col("mobile_key"), "/")
-    dim = (
+    return (
         sales.withColumns(
             {
                 "brand": key.getItem(0).cast("string"),
@@ -100,6 +104,10 @@ def create_product_dim(spark, sales: DataFrame) -> None:
         .count()
         .withColumn("isactive", F.lit("Y"))
     )
+
+
+def create_product_dim(spark, sales: DataFrame) -> None:
+    dim = product_dim_frame(sales)
     cols = ["mobile_key", "brand", "model", "color", "memory"]
     keyed = _delta_then_key(spark, dim, "product_dim", cols, "product_id_pk", cols)
     save_table_if_nonempty(
@@ -108,8 +116,8 @@ def create_product_dim(spark, sales: DataFrame) -> None:
     )
 
 
-def create_promocode_dim(spark, sales: DataFrame) -> None:
-    dim = (
+def promocode_dim_frame(sales: DataFrame) -> DataFrame:
+    return (
         sales.withColumn(
             "promotion_code", F.coalesce(F.col("promotion_code"), F.lit("NA"))
         )
@@ -117,6 +125,10 @@ def create_promocode_dim(spark, sales: DataFrame) -> None:
         .count()
         .withColumn("isactive", F.lit("Y"))
     )
+
+
+def create_promocode_dim(spark, sales: DataFrame) -> None:
+    dim = promocode_dim_frame(sales)
     cols = ["promotion_code", "country", "region"]
     keyed = _delta_then_key(spark, dim, "promo_code_dim", cols, "promo_code_id_pk", cols)
     save_table_if_nonempty(
@@ -125,9 +137,14 @@ def create_promocode_dim(spark, sales: DataFrame) -> None:
     )
 
 
+def customer_dim_frame(sales: DataFrame) -> DataFrame:
+    cols = ["customer_name", "conctact_no", "shipping_address", "country", "region"]
+    return sales.groupBy(*cols).count().withColumn("isactive", F.lit("Y"))
+
+
 def create_customer_dim(spark, sales: DataFrame) -> None:
     cols = ["customer_name", "conctact_no", "shipping_address", "country", "region"]
-    dim = sales.groupBy(*cols).count().withColumn("isactive", F.lit("Y"))
+    dim = customer_dim_frame(sales)
     keyed = _delta_then_key(spark, dim, "customer_dim", cols, "customer_id_pk", cols)
     save_table_if_nonempty(
         keyed.select("customer_id_pk", *cols, "isactive"),
@@ -135,9 +152,14 @@ def create_customer_dim(spark, sales: DataFrame) -> None:
     )
 
 
+def payment_dim_frame(sales: DataFrame) -> DataFrame:
+    cols = ["payment_method", "payment_provider", "country", "region"]
+    return sales.groupBy(*cols).count().withColumn("isactive", F.lit("Y"))
+
+
 def create_payment_dim(spark, sales: DataFrame) -> None:
     cols = ["payment_method", "payment_provider", "country", "region"]
-    dim = sales.groupBy(*cols).count().withColumn("isactive", F.lit("Y"))
+    dim = payment_dim_frame(sales)
     keyed = _delta_then_key(spark, dim, "payment_dim", cols, "payment_id_pk", cols)
     save_table_if_nonempty(
         keyed.select("payment_id_pk", *cols, "isactive"),

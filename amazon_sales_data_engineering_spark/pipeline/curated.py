@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import rank_dedup
 from ..sources.sinks import save_table_if_nonempty
-from .config import PROFILES, curated_table, source_table
+from .config import PROFILES, CountryProfile, curated_table, source_table
 
 CURATED_COLUMNS = [
     "sales_order_key",
@@ -66,11 +66,21 @@ CURATED_COLUMNS = [
 def curate_sales(
     spark: SparkSession, cc: str, faithful: bool = True
 ) -> DataFrame:
-    """Build (lazily) the curated DataFrame for one country."""
+    """Build (lazily) the curated DataFrame for one country from the
+    catalog's source/common tables."""
     p = PROFILES[cc]
     src = spark.table(source_table(cc))
     forex = spark.table("common.exchange_rate")
+    return curated_frame(src, forex, p, faithful)
 
+
+def curated_frame(
+    src: DataFrame, forex: DataFrame, p: CountryProfile, faithful: bool = True
+) -> DataFrame:
+    """Pure source→curated transform on explicit inputs — the same plan
+    ``curate_sales`` builds, usable without catalog tables (e.g. the
+    driver-gated ``pipeline_*`` queries compose it straight off raw files).
+    """
     filtered = (
         src.filter(F.col("payment_status") == "Paid")
         .filter(F.col("shipping_status") == "Delivered")

@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     events_ops,
     multimodal_ops,
     parity,
+    pipeline_ops,
     similarity_ops,
     temporal_ops,
     text_ops,
