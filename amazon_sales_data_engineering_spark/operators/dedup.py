@@ -20,9 +20,10 @@ Large-scale extensions (LLM training-data pipeline)
 - ``simhash16``: 16-bit SimHash from per-token md5 bits (integer arithmetic
   only). Near-dup buckets = equal fingerprints.
 - ``jaccard_pairs``: exact shingle-Jaccard via inverted-index self-join —
-  the quadratic-verify baseline the sketches are measured against. At scale
-  the join key (shingle) keeps candidate generation sparse as long as
-  shingle frequency is bounded; pair it with a frequency cap for safety.
+  the quadratic-verify baseline the sketches are measured against. The
+  no-candidates path requires ``max_shingle_freq``: hot shingles are
+  dropped as stop-shingles (broadcast anti-join against the tiny hot list),
+  bounding the self-join output; the LSH-candidates path needs no cap.
 """
 
 from __future__ import annotations
@@ -208,6 +209,7 @@ def jaccard_pairs(
     id_col: str,
     threshold: float,
     candidates: DataFrame | None = None,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets via inverted-index self-join.
 
@@ -216,7 +218,31 @@ def jaccard_pairs(
     IEEE double op, deterministic across engines. If ``candidates`` is given
     (id_a, id_b), only those pairs are verified (the LSH path).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_shingle_freq`` treats shingles occurring in more than that many
+    documents as stop-shingles and drops them from the universe (both
+    intersections and set sizes — a consistent restriction, like stopword
+    removal). This bounds the no-candidates self-join: a shingle shared by
+    d documents produces d·(d-1)/2 pairs, so one viral shingle is a
+    quadratic blow-up; the cap makes the join output ≤ cap·|shingles|.
+    The hot-shingle list itself is tiny by construction (≤ total
+    occurrences / cap rows), so it broadcasts. The no-candidates path
+    REQUIRES a cap — pass LSH candidates or an explicit cap.
     """
+    if candidates is None and max_shingle_freq is None:
+        raise ValueError(
+            "jaccard_pairs without candidates is quadratic in the hottest "
+            "shingle's document frequency; pass max_shingle_freq to bound "
+            "it (or supply LSH candidates, e.g. minhash_lsh_pairs)"
+        )
+    if max_shingle_freq is not None:
+        hot = (
+            shingle_df.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_freq)
+            .select("shingle")
+        )
+        shingle_df = shingle_df.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # Verify ONLY the candidate pairs: attach a's shingles to each pair,

@@ -14,9 +14,11 @@ on Spark they are ours. Two tools beyond AQE's built-in skew-join split:
   warehouse's clustered tables, and the right layout for fact tables that
   are joined on the same key by every query.
 
-Salting is deterministic (xxhash64 of the row's join-key column plus a
-mixing constant, not ``rand()``) so task retries and speculative execution
-cannot produce divergent salts.
+Salting is deterministic from ROW CONTENT (xxhash64 over every column of
+the skewed side, not ``rand()`` and not ``monotonically_increasing_id`` —
+the latter depends on partition layout and intra-partition order, which a
+stage retry or AQE replan can change) so task retries and speculative
+execution cannot produce divergent salts.
 """
 
 from __future__ import annotations
@@ -46,11 +48,17 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if SALT_COL in skewed.columns or SALT_COL in compact.columns:
         raise ValueError(f"{SALT_COL} column already present")
-    # Deterministic pseudo-random spread: hash the join key and a
-    # per-partition row index so a hot key's rows land on all salts.
-    idx = F.monotonically_increasing_id()
+    # Deterministic pseudo-random spread: hash EVERY column of the row, so
+    # a hot key's rows (which differ in payload) land on all salts while
+    # the salt stays a pure function of row content — stable across task
+    # retries, speculative duplicates, and AQE replans. Fully-duplicate
+    # rows share a salt; they are interchangeable, so the join result is
+    # still row-identical to the plain join.
     s = skewed.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*on, idx), F.lit(salt)).cast("int")
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)).cast(
+            "int"
+        ),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(SALT_COL)
     c = compact.select("*", salts)

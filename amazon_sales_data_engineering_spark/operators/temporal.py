@@ -33,14 +33,26 @@ def asof_join(
     right_time: str,
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: attach to each left row the right
     row with the greatest ``right_time`` <= ``left_time``, matching ``by``
     keys. Left rows keep NULL right columns when nothing precedes them.
 
     ``right_cols`` defaults to every right column except the time and keys.
+
+    With no ``by`` keys the window has no partitioning — EVERY row flows
+    through a single partition, a scalability cliff, so empty ``by``
+    raises unless ``allow_global_window=True`` is passed explicitly
+    (acceptable only when left+right fit one executor's memory).
     """
     by = by or []
+    if not by and not allow_global_window:
+        raise ValueError(
+            "asof_join with no 'by' keys builds a single-partition global "
+            "window (all rows on one task). Pass by=[...] partition keys, "
+            "or allow_global_window=True if the data is small enough."
+        )
     if not set(by) <= set(left.columns) or not set(by) <= set(right.columns):
         raise ValueError("by keys must exist on both sides")
     if right_cols is None:
@@ -103,14 +115,39 @@ def range_join(
     """Join points to the intervals containing them
     (start <= t < end), scalably: equi-join on fixed-width time cells,
     then verify the exact predicate. ``bucket`` is the cell width in the
-    time column's units (seconds for timestamps, days for dates — pass an
-    integer; it must be >= the typical interval length for ~1 cell per
-    interval)."""
+    time column's NATIVE units — SECONDS for timestamp columns, DAYS for
+    date columns (the implementation branches on the column type, so a
+    date caller passing a day-count width gets day-wide cells, not an
+    86400× cell explosion). It must be >= the typical interval length for
+    ~1 cell per interval. Point and interval time columns must be the same
+    type family (all dates or all timestamps)."""
+    from pyspark.sql import types as T
+
+    def _is_date(df: DataFrame, c: str) -> bool:
+        return isinstance(df.schema[c].dataType, T.DateType)
+
+    kinds = {
+        _is_date(points, point_time),
+        _is_date(intervals, start_col),
+        _is_date(intervals, end_col),
+    }
+    if len(kinds) != 1:
+        raise ValueError(
+            "range_join: point/start/end time columns mix DATE and "
+            "TIMESTAMP types; cast them to one family first"
+        )
+    if kinds.pop():
+        # days since epoch — bucket is a day count
+        epoch = F.lit("1970-01-01").cast("date")
+        to_units = lambda c: F.datediff(F.col(c), epoch)
+    else:
+        to_units = lambda c: F.unix_timestamp(F.col(c))
+
     width = F.lit(bucket) if isinstance(bucket, int) else bucket
-    t_cell = (F.unix_timestamp(F.col(point_time)) / width).cast("long")
+    t_cell = (to_units(point_time) / width).cast("long")
     p = points.withColumn("__cell", t_cell)
-    s_cell = (F.unix_timestamp(F.col(start_col)) / width).cast("long")
-    e_cell = (F.unix_timestamp(F.col(end_col)) / width).cast("long")
+    s_cell = (to_units(start_col) / width).cast("long")
+    e_cell = (to_units(end_col) / width).cast("long")
     iv = intervals.withColumn(
         "__cell", F.explode(F.sequence(s_cell, e_cell))
     )

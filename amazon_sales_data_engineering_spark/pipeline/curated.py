@@ -146,13 +146,24 @@ def run_curated(
     ``incremental=True`` fixes the reference's re-run duplication
     (SURVEY §2.11.8): only source rows above the curated table's
     sales_order_key high-water mark are processed (dense keys make the max
-    a valid watermark). Designed for the corrected profile — the faithful
-    profile's whole-batch rank dedup is inherently non-incremental."""
+    a valid watermark), AND incoming rows are left-anti joined against the
+    curated table on order_id — the watermark alone can't catch a
+    re-delivered file, because keys are assigned per ingest batch
+    (max+1), so an already-loaded order_id arriving again gets a NEW
+    higher key and would sail past the watermark. Designed for the
+    corrected profile — the faithful profile's whole-batch rank dedup is
+    inherently non-incremental."""
     for cc in PROFILES:
         df = curate_sales(spark, cc, faithful)
         target = curated_table(cc)
         if incremental and spark.catalog.tableExists(target):
-            wm = spark.table(target).agg(F.max("sales_order_key")).first()[0]
+            existing = spark.table(target)
+            wm = existing.agg(F.max("sales_order_key")).first()[0]
             if wm is not None:
                 df = df.filter(F.col("sales_order_key") > F.lit(wm))
+            # order-level idempotency: drop orders the curated table
+            # already holds, whatever key the re-delivery was assigned.
+            df = df.join(
+                existing.select("order_id"), "order_id", "left_anti"
+            ).select(*CURATED_COLUMNS)
         save_table_if_nonempty(df, target)

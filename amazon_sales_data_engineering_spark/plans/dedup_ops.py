@@ -62,7 +62,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str):
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES}),
+WITH sh_all AS ({_SHINGLES}),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 100),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
 {_JACCARD_TAIL}
 SELECT id_a, id_b,
        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
@@ -72,12 +74,14 @@ JOIN sz sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
 """,
     doc="Exact 3-word-shingle Jaccard near-dup pairs via inverted-index "
-    "self-join (the quadratic-verify baseline for the sketches).",
+    "self-join (the quadratic-verify baseline for the sketches), with the "
+    "df>100 stop-shingle cap that bounds the self-join at scale (a no-op "
+    "on this corpus — max shingle df is 7 at sf0.01).",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
     sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.5)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=100)
 
 
 @register(

@@ -574,6 +574,88 @@ def surrogate_keys_dense(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "surrogate_keys_unique",
+    oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_keys,
+       TRUE AS keys_unique, TRUE AS min_at_least_start
+FROM customer
+""",
+    doc="The SCALE profile of sequence emulation (SURVEY §4.3, §7.3.1): "
+    "unique_keys = monotonically_increasing_id + offset, fully parallel, "
+    "no single-partition window. Key VALUES are partition-layout-dependent "
+    "by design, so the gate compares the operator's invariants — count, "
+    "distinctness, and the start offset — which are deterministic.",
+    tags=("sequence",),
+)
+def surrogate_keys_unique(spark: SparkSession, sf_dir: str):
+    from ..operators.sequences import unique_keys
+
+    keyed = unique_keys(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key_col="customer_sk",
+        start=5001,
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("customer_sk").alias("n_distinct_keys"),
+        (F.countDistinct("customer_sk") == F.count(F.lit(1))).alias("keys_unique"),
+        (F.min("customer_sk") >= F.lit(5001)).alias("min_at_least_start"),
+    )
+
+
+@register(
+    "session_context",
+    oracle="""
+SELECT 'spark_catalog' AS catalog, 'default' AS database,
+       TRUE AS has_user, TRUE AS has_version
+""",
+    doc="Session-context scalar functions (SURVEY §2.1 S13; "
+    "/root/reference/step_1_check_connection.py:43-52): current_catalog/"
+    "current_database are compared literally against Spark's vanilla-"
+    "session defaults; current_user/version (no Snowflake role/warehouse "
+    "analogue — session.py config replaces them) are asserted non-empty "
+    "since their values are host-dependent.",
+    tags=("session",),
+)
+def session_context(spark: SparkSession, sf_dir: str):
+    return spark.range(1).select(
+        F.current_catalog().alias("catalog"),
+        F.current_database().alias("database"),
+        (F.length(F.current_user()) > 0).alias("has_user"),
+        (F.length(F.version()) > 0).alias("has_version"),
+    )
+
+
+@register(
+    "sql_string_entry",
+    oracle="""
+SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="SQL-string entry point (SURVEY §2.1 S11; the reference drives "
+    "everything through session.sql strings, e.g. "
+    "/root/reference/step_4_source_to_curated.py:94): temp views + "
+    "spark.sql() — the exact interface a reference user would reach for. "
+    "Decimal-sum idiom keeps the aggregate order-independent.",
+    tags=("sql", "scan"),
+)
+def sql_string_entry(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_value
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
     "date_dim_spine",
     oracle="""
 WITH b AS (
@@ -604,14 +686,16 @@ def date_dim_spine(spark: SparkSession, sf_dir: str):
 @register(
     "metadata_file_stats",
     oracle="""
-SELECT regexp_extract(filename, '[^/]+$') AS file_name, COUNT(*) AS n_rows
-FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
-GROUP BY 1
+SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows FROM orders
 """,
     doc="File-metadata columns (SURVEY §2.1 S10): Spark's hidden _metadata "
     "struct replaces Snowflake metadata$filename "
-    "(/root/reference/step_3_load_from_stage_to_source.py:44-46). Oracle "
-    "pinned to the sf0.01 path the driver uses for the gate.",
+    "(/root/reference/step_3_load_from_stage_to_source.py:44-46). The "
+    "Spark side reads the real _metadata.file_path and groups per file; "
+    "the oracle predicts the result from the registered view plus the "
+    "testdata layout contract (each table is exactly one parquet file "
+    "named <table>.parquet — TESTDATA.md), so it holds at ANY sf dir "
+    "instead of hardcoding one path.",
     tags=("metadata",),
 )
 def metadata_file_stats(spark: SparkSession, sf_dir: str):

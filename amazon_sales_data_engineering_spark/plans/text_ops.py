@@ -25,6 +25,9 @@ from .util import t_cpu
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _NTOK = f"(length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1)"
+# Guarded token count: an empty/whitespace-only document has 0 tokens, not
+# the 1 the raw arithmetic yields — mirrors functions.text.token_count.
+_NTOK_G = f"(CASE WHEN length({_NORM}) = 0 THEN 0 ELSE {_NTOK} END)"
 
 
 @register(
@@ -62,15 +65,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 WITH m AS (
   SELECT doc_id,
          CAST(length({_NORM}) AS BIGINT) AS n_chars_norm,
-         CAST({_NTOK} AS BIGINT) AS n_tokens,
+         CAST({_NTOK_G} AS BIGINT) AS n_tokens,
          CAST(length(replace({_NORM}, ' ', '')) AS BIGINT) AS n_nonspace,
          CAST(len(list_filter(string_split({_NORM}, ' '),
                               x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop
   FROM documents
 )
 SELECT doc_id, n_chars_norm, n_tokens,
-       CAST(floor((n_nonspace * 1000.0) / n_tokens) AS BIGINT) AS avg_token_len_milli,
-       CAST(floor((n_stop * 1000.0) / n_tokens) AS BIGINT) AS stopword_milli,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST(floor((n_nonspace * 1000.0) / n_tokens) AS BIGINT) END AS avg_token_len_milli,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST(floor((n_stop * 1000.0) / n_tokens) AS BIGINT) END AS stopword_milli,
        CASE
          WHEN n_tokens >= 20 AND n_tokens <= 1000
               AND floor((n_stop * 1000.0) / n_tokens) >= 20 THEN 'good'
@@ -90,8 +95,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str):
     ntok = token_count("text")
     nonspace = F.length(F.regexp_replace(norm, " ", "")).cast("bigint")
     nstop = stopword_count("text")
-    avg_milli = F.floor((nonspace * F.lit(1000.0)) / ntok).cast("bigint")
-    stop_milli = F.floor((nstop * F.lit(1000.0)) / ntok).cast("bigint")
+    # Explicit NULL for empty docs: never divide by zero (ANSI mode would
+    # throw; non-ANSI would silently NULL only on the Spark side).
+    denom = F.when(ntok == 0, F.lit(None)).otherwise(ntok)
+    avg_milli = F.floor((nonspace * F.lit(1000.0)) / denom).cast("bigint")
+    stop_milli = F.floor((nstop * F.lit(1000.0)) / denom).cast("bigint")
     quality = (
         F.when(
             (ntok >= 20) & (ntok <= 1000) & (stop_milli >= 20), F.lit("good")
@@ -114,13 +122,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str):
     oracle=f"""
 WITH m AS (
   SELECT doc_id, lang,
-         CAST({_NTOK} AS BIGINT) AS n_tokens,
+         CAST({_NTOK_G} AS BIGINT) AS n_tokens,
          CAST(len(list_filter(string_split({_NORM}, ' '),
                               x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop
   FROM documents
 )
 SELECT doc_id, lang,
        CASE
+         WHEN n_tokens = 0 THEN 'unknown'
          WHEN floor((n_stop * 1000.0) / n_tokens) >= 100 THEN 'en'
          WHEN floor((n_stop * 1000.0) / n_tokens) >= 40 THEN 'mixed'
          ELSE 'unknown'
@@ -135,7 +144,8 @@ def text_langid(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
     ntok = token_count("text")
     nstop = stopword_count("text")
-    milli = F.floor((nstop * F.lit(1000.0)) / ntok)
+    denom = F.when(ntok == 0, F.lit(None)).otherwise(ntok)
+    milli = F.floor((nstop * F.lit(1000.0)) / denom)
     pred = (
         F.when(milli >= 100, F.lit("en"))
         .when(milli >= 40, F.lit("mixed"))

@@ -20,7 +20,11 @@ def t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a no-op — no shuffle is added."""
     df = table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # len(inputFiles) is a metadata-only proxy for split count — unlike
+    # df.rdd.getNumPartitions() it doesn't force an RDD conversion at
+    # plan-build time. Small tables are single-file, which is exactly the
+    # under-parallelized case this guards.
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

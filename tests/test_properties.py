@@ -134,3 +134,49 @@ def test_shingles_match_python_reference(spark, texts):
         for j in range(len(toks) - 2):
             want.add((i, " ".join(toks[j : j + 3])))
     assert got == want
+
+
+def test_jaccard_cap_drops_hot_shingle_pairs(spark):
+    """The stop-shingle cap restricts the universe consistently: pairs
+    supported only by a viral shingle disappear; other pairs keep the
+    Jaccard computed over the surviving shingles."""
+    import pytest
+
+    from amazon_sales_data_engineering_spark.operators.dedup import jaccard_pairs
+
+    # docs 1..4 all share shingle "viral"; docs 1,2 additionally share x,y.
+    rows = (
+        [(i, "viral") for i in (1, 2, 3, 4)]
+        + [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "z"), (4, "w")]
+    )
+    sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+
+    with pytest.raises(ValueError, match="max_shingle_freq"):
+        jaccard_pairs(sh, "doc_id", threshold=0.0)
+
+    # cap=3 kills "viral" (df=4): only (1,2) survives with J(x,y ; x,y)=1.
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            sh, "doc_id", threshold=0.01, max_shingle_freq=3
+        ).collect()
+    }
+    assert capped == {(1, 2): 1.0}
+
+    # A generous cap is a no-op: equals the exact all-pairs computation
+    # (run through the candidates path, which needs no cap).
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b],
+        "id_a int, id_b int",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.01, candidates=all_pairs).collect()
+    }
+    generous = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            sh, "doc_id", threshold=0.01, max_shingle_freq=10**9
+        ).collect()
+    }
+    assert generous == exact
