@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal.binary_ops import chunk_binary, extract_binary_meta
+from ..multimodal.binary_ops import (
+    chunk_binary,
+    decode_media_meta,
+    extract_binary_meta,
+    synthesize_media,
+)
 from .registry import register
 from .util import t_cpu
 
@@ -57,3 +62,34 @@ def multimodal_chunk_frames(spark: SparkSession, sf_dir: str):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return chunk_binary(d, "doc_id", "payload", chunk_size=256)
+
+
+@register(
+    "multimodal_decode_media",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       TRUE AS valid,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 640 + 16 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 7) % 480 + 16 AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 4
+            ELSE CAST(1 + (doc_id // 2) % 2 AS INT) END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(((100 + doc_id % 50) * 1000) // (8000 * (1 + doc_id % 3)) AS BIGINT)
+       END AS duration_ms
+FROM documents
+""",
+    doc="REAL binary decode roundtrip: spec-valid PNG/WAV payloads are "
+    "synthesized per doc_id (struct-packed headers, CRC'd IHDR), then "
+    "decode_media_meta parses them back — signature sniff, IHDR "
+    "width/height/color-type, RIFF chunk walk with duration arithmetic. "
+    "Every recovered field is a pure function of doc_id, so the oracle "
+    "predicts the decoder's output byte-arithmetically. Two chained "
+    "narrow mapInPandas stages, no shuffle.",
+    tags=("multimodal", "decode"),
+)
+def multimodal_decode_media(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents").select("doc_id")
+    payloads = synthesize_media(d, "doc_id")
+    return decode_media_meta(payloads, "doc_id", "payload")

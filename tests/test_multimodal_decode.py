@@ -1,0 +1,53 @@
+"""decode_media_meta: real header parsing, including the garbage path a
+100 TB crawl always hits (corrupt payloads degrade, never fail the batch).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+    decode_media_meta,
+)
+
+
+def _png(width: int, height: int, color_type: int = 6) -> bytes:
+    body = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + body
+        + struct.pack(">I", crc)
+    )
+
+
+def _wav(nch: int, rate: int, frames: int) -> bytes:
+    block = nch * 2
+    size = frames * block
+    return (
+        b"RIFF" + struct.pack("<I", 36 + size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * block, block, 16)
+        + b"data" + struct.pack("<I", size) + b"\x00" * size
+    )
+
+
+def test_decode_media_meta_parses_and_degrades(spark):
+    bad_crc = bytearray(_png(10, 10))
+    bad_crc[-1] ^= 0xFF  # corrupt the IHDR CRC
+    rows = [
+        (1, _png(640, 480)),             # RGBA png
+        (2, _png(32, 16, color_type=2)), # RGB png -> 3 channels
+        (3, _wav(2, 16000, 8000)),       # 500 ms stereo wav
+        (4, b"\x89PNG\r\n\x1a\nxx"),     # truncated png
+        (5, bytes(bad_crc)),             # CRC mismatch
+        (6, b"plain text, not media"),   # garbage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.asDict() for r in decode_media_meta(df, "doc_id", "payload").collect()}
+
+    assert (got[1]["format"], got[1]["width"], got[1]["height"], got[1]["channels"]) == ("png", 640, 480, 4)
+    assert (got[2]["format"], got[2]["channels"]) == ("png", 3)
+    assert (got[3]["format"], got[3]["channels"], got[3]["sample_rate"], got[3]["duration_ms"]) == ("wav", 2, 16000, 500)
+    for bad in (4, 5, 6):
+        assert got[bad]["format"] == "unknown" and got[bad]["valid"] is False
+    assert all(got[i]["valid"] is True for i in (1, 2, 3))
