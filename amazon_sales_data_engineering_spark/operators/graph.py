@@ -5,12 +5,17 @@ corpus — transitively connected docs must collapse to one canonical keeper.
 That's connected components over the pair graph, an inherently ITERATIVE
 algorithm (no fixed-depth SQL expresses it for unbounded diameter).
 
-Implementation: min-label propagation. Every node starts labeled with
-itself; each round, a node takes the min label in its neighborhood; stop
-when a round changes nothing. Rounds needed ≈ graph diameter (near-dup
-graphs are shallow — tight clusters). Each round is one shuffle
-(join + groupBy on node); ``localCheckpoint`` every few rounds cuts the
-growing lineage so plans don't re-execute from round 0.
+Implementation: min-label propagation with pointer-doubling path
+compression. Every node starts labeled with itself; each round a node
+takes (a) the min label in its neighborhood, then (b) its label's own
+label — the pointer-doubling step that collapses label chains
+exponentially, so rounds needed ≈ O(log diameter) instead of O(diameter).
+Each round is materialized with an eager ``localCheckpoint`` (lineage cut
+— later rounds and the convergence probe read the checkpoint instead of
+re-executing the whole history), and convergence is detected WITHOUT a
+self-join: labels only ever decrease, so the exact decimal sum of all
+labels is strictly decreasing until the fixpoint — one cheap aggregate
+per round replaces the join+isEmpty probe.
 """
 
 from __future__ import annotations
@@ -24,26 +29,37 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
     Returns (node, component) for every node appearing in an edge, where
     component = the minimum node id reachable from it. Converges in
-    O(diameter) rounds; raises if ``max_iter`` rounds don't converge."""
+    O(log diameter) rounds (pointer doubling); raises if ``max_iter``
+    rounds don't converge. Node ids must be non-negative integers (the
+    sum-based convergence probe relies on labels being monotonically
+    non-increasing, which holds for any total order; the decimal cast
+    keeps the sum exact at any node count)."""
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    neighbors = both.distinct()
+    # Materialize the edge list once: ``edges`` is often an expensive plan
+    # (e.g. the bucketed cosine self-join) and every round joins against it
+    # — without this cut it would re-execute per round.
+    neighbors = both.distinct().localCheckpoint()
 
     labels = (
         neighbors.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
 
-    for i in range(max_iter):
-        # candidate label per node: min over its own and neighbors' labels
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        # (a) candidate label per node: min over its own and neighbors' labels
         neighbor_labels = (
             neighbors.join(
                 labels.withColumnRenamed("node", "v").withColumnRenamed(
@@ -55,24 +71,30 @@ def connected_components(
             .agg(F.min("v_label").alias("n_label"))
             .withColumnRenamed("u", "node")
         )
+        stepped = labels.join(neighbor_labels, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # (b) pointer doubling: label <- label(label). A label is always a
+        # node id, so the lookup is a self-join on the label table.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_labels, "node", "left")
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()  # eager: materialize the round once
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if converged:
+        if cur_sum == prev_sum:
             return labels.select(F.col("node"), F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

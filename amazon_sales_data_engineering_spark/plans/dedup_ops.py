@@ -200,6 +200,7 @@ SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
     "shuffle per round, localCheckpoint lineage cuts). Oracle: DuckDB "
     "recursive-CTE transitive closure — a different algorithm entirely.",
     tags=("dedup", "graph", "iterative"),
+    bench=True,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str):
     from ..operators.graph import connected_components

@@ -125,6 +125,7 @@ GROUP BY 1, 2
     "Completes the window family: tumbling (events_hourly_agg) / sliding / "
     "session (events_sessionize).",
     tags=("events", "window-agg"),
+    bench=True,
 )
 def events_sliding_agg(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "events")

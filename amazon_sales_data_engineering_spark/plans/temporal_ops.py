@@ -42,6 +42,7 @@ FROM l ASOF LEFT JOIN idx
     "no inequality join. Oracle: DuckDB's native ASOF JOIN (different "
     "algorithm, same answer).",
     tags=("join", "asof", "temporal"),
+    bench=True,
 )
 def asof_join_price_index(spark: SparkSession, sf_dir: str):
     o = t(spark, sf_dir, "orders")
@@ -86,6 +87,7 @@ GROUP BY 1, 2
     "exact verify (O(points+cells), no nested loop). Oracle: DuckDB plain "
     "inequality join.",
     tags=("join", "range", "temporal"),
+    bench=True,
 )
 def range_join_event_windows(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "events")
