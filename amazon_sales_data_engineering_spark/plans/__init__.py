@@ -13,6 +13,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     parity,
     pipeline_ops,
     similarity_ops,
+    subquery_ops,
     temporal_ops,
     text_ops,
 )
