@@ -16,6 +16,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     subquery_ops,
     temporal_ops,
     text_ops,
+    window_ops,
 )
 from .registry import REGISTRY, Query
 
