@@ -1,0 +1,301 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic sampling, TF-IDF term scoring, n-gram frequency, PII/URL
+scrubbing, and embedding centroids.
+
+These extend the dedup/similarity/text families with the remaining
+operations a 100 TB pre-training pipeline runs between "raw crawl" and
+"training shards". Design rules at scale:
+
+- **Sampling never uses rand().** A multiplicative integer hash of the
+  document id gives a deterministic, retry-safe, engine-reproducible
+  keep/drop decision — re-running the job (or a recomputed partition
+  after an executor loss) selects the identical sample. Pure map-side,
+  zero shuffle.
+- **No log() in scored rankings.** Cross-engine libm (Java StrictMath vs
+  C libm) may differ in the last ulp, which flips near-tie ranks; the
+  idf factor is kept as the exact rational tf·N/df (one IEEE division).
+- **Global top-k is TakeOrderedAndProject**, not a single-partition
+  window: each partition keeps its local top-k and the driver merges k
+  rows per partition — the only scalable global-ranking shape.
+- **Float aggregation goes through exact decimals** via the
+  string-routed cast (see plans/parity.py): both engines print the same
+  shortest-repr string of the same IEEE double, and DECIMAL(38,20)
+  holds every such string for |x| ≥ 1e-11 exactly (float shortest repr
+  has ≤9 significant digits), so the per-dimension sums are exact and
+  order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t, t_cpu
+
+# Whitespace-normalized text + single-space tokenization — the same
+# contract text_ops uses (Spark regexp_replace is global by default;
+# DuckDB needs the 'g' flag).
+_NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+      < CASE WHEN lang = 'en' THEN 1073741824 ELSE 2147483648 END
+""",
+    doc="Deterministic stratified sampling: keep 25% of English docs and "
+    "50% of everything else (down-sampling the over-represented "
+    "stratum), decided by a Knuth multiplicative hash of doc_id — no "
+    "rand(), so task retries, speculation, and re-runs select the "
+    "identical sample, and the decision is reproducible in any engine "
+    "with 64-bit integer arithmetic. Pure map-side filter: zero "
+    "shuffle, pushes nothing but a scan. The doc_id % 2^31 pre-fold "
+    "keeps the product within int64 for arbitrarily large ids.",
+    tags=("corpus", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    threshold = F.when(F.col("lang") == "en", F.lit(1073741824)).otherwise(
+        F.lit(2147483648)
+    )
+    return d.filter(h < threshold).select("doc_id", "lang")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+  WHERE length({_NORM_SQL}) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, CAST(rn AS INT) AS rank,
+       CAST(tf * n_docs AS DOUBLE) / df AS tfidf_ratio
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term ASC
+         ) AS rn
+  FROM tf JOIN df ON df.term = tf.term, n
+)
+WHERE rn <= 5
+""",
+    doc="TF-IDF-style top-5 terms per document. Term frequency and "
+    "document frequency are two map-side-combinable aggregates; the "
+    "document-frequency table is broadcast back onto the term table; "
+    "ranking partitions by doc_id (no global window). The score is the "
+    "exact rational tf*N/df — one integer multiply + one IEEE division "
+    "— instead of tf*log(N/df): libm log differs across engines in the "
+    "last ulp and flips near-tie ranks, while the log-free score is "
+    "rank-equivalent for fixed N (log is monotone) and bit-stable. "
+    "Ties break on term ASC.",
+    tags=("corpus", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM_SPARK(F.col("text"))
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "rank", score.alias("tfidf_ratio"))
+    )
+
+
+@register(
+    "ngram_bigram_top50",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS tk FROM documents
+  WHERE length({_NORM_SQL}) > 0
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM grams GROUP BY 1
+ORDER BY cnt DESC, bigram ASC
+LIMIT 50
+""",
+    doc="Corpus-wide top-50 word bigrams. Bigram construction is a "
+    "JVM-side zip_with over two array slices (no Python, no explode "
+    "before pairing); counting is one map-side-combinable aggregate; "
+    "the global top-50 compiles to TakeOrderedAndProject — each "
+    "partition keeps a local top-50 and the driver merges 50 rows per "
+    "partition, never a single-partition global sort. Deterministic "
+    "LIMIT via the (cnt DESC, bigram ASC) total order.",
+    tags=("corpus", "text", "ngram"),
+)
+def ngram_bigram_top50(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM_SPARK(F.col("text"))
+    grams = (
+        d.select(norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(F.split(F.col("norm"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "text_scrub_pii",
+    oracle="""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com or https://host' || (doc_id % 7) ||
+         '.example.org/p/' || doc_id || ' ref 1234567890' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT)
+         AS n_urls,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g'))
+         AS scrub_md5,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS BIGINT)
+         AS scrub_len
+FROM enriched
+""",
+    doc="PII/URL scrubbing: emails → <EMAIL>, URLs → <URL>, 6+-digit runs "
+    "→ <NUM>, applied in that order (emails before digit runs so ids "
+    "inside addresses don't get half-masked). The corpus has no natural "
+    "PII, so deterministic synthetic contact strings are appended per "
+    "doc_id on BOTH engines and the scrubbed result is proven by md5 + "
+    "length — full-string parity, not just counts. Patterns stay in the "
+    "Java∩RE2 regex subset (no lookaround, no bounded-repeat syntax "
+    "divergence) so both engines match identically. Pure map-side "
+    "narrow transform — the shape of a trillion-row cleaning pass.",
+    tags=("corpus", "text", "scrub"),
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref 1234567890"),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    url = r"https?://[^ ]+"
+    digits = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), url, "<URL>"
+        ),
+        digits,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(url)).cast("bigint").alias("n_urls"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrub_len"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT e.label, g.i AS dim,
+       CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS VARCHAR)
+                          AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) g
+GROUP BY 1, 2
+""",
+    doc="Per-label centroid of the 64-dim embedding column — the reduce "
+    "step of k-means / class prototypes. posexplode flattens to (label, "
+    "dim, x); each float routes through DOUBLE→string→DECIMAL(38,20) "
+    "(string-route idiom: identical shortest-repr strings parse to "
+    "identical decimals, and scale 20 holds every float shortest-repr "
+    "for |x| ≥ 1e-11 without rounding) so the per-dimension sum is "
+    "exact and partition-order independent; the final /count is one "
+    "IEEE division. One map-side-combinable aggregate over a 64× "
+    "explode — at 100 TB this is the textbook centroid shuffle: 64 "
+    "rows per vector in, (labels × 64) rows out. Dim index is 1-based "
+    "to match SQL array subscripts.",
+    tags=("corpus", "embedding", "agg"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str):
+    e = t_cpu(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x")
+        .cast("double")
+        .cast("string")
+        .cast("decimal(38,20)")
+        .alias("xd"),
+    )
+    # The DECIMAL sum ALSO leaves the decimal domain through a string:
+    # DuckDB's direct DECIMAL(38,·)→DOUBLE conversion is not correctly
+    # rounded for 128-bit decimals (it divides two separately-rounded
+    # doubles), while string→double parsing is correctly rounded in both
+    # engines — so print exact digits, then parse.
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum("xd").cast("string").cast("double") / F.count(F.lit(1))).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -13,6 +13,12 @@ order-insensitive value hash), so:
   DOUBLE (deterministic nearest-double) — never summing raw doubles;
 - single arithmetic ops on doubles (a/b, a*b with fixed parenthesisation)
   are IEEE-deterministic and safe to compare bit-for-bit;
+- casts BETWEEN double and decimal route through a string in BOTH engines
+  when the decimal scale could force rounding: double→string prints the
+  shortest round-trip repr and string→double parses correctly-rounded in
+  both engines, while direct double↔decimal conversions round differently
+  (Spark HALF_UP on shortest-repr vs DuckDB on the exact binary value;
+  DuckDB's 128-bit DECIMAL→DOUBLE is not correctly rounded at all);
 - no LIMIT without a total ORDER BY.
 """
 
