@@ -12,16 +12,23 @@ loads). This package offers the real streaming counterparts:
   ``session_window`` (native state store, the scale path) and a custom
   ``applyInPandasWithState`` stateful operator (the pattern for operators
   Spark lacks natively).
+- ``dedup``: streaming deduplication — watermark-bounded state
+  (``dropDuplicatesWithinWatermark``) for live pipelines, full-history
+  for bounded replays; turns at-least-once delivery into exactly-once
+  table contents.
 
 Everything here is triggered-batch testable: ``Trigger.AvailableNow`` +
 ``maxFilesPerTrigger`` drain a bounded directory through real watermark
 advancement, so unit tests cover late-data/close semantics deterministically.
 """
 
+from .dedup import dedup_stream, dedup_stream_exact
 from .ingest import hourly_agg_stream, incremental_append, run_available_now, stream_source
 from .sessionize import sessionize_session_window, sessionize_stateful
 
 __all__ = [
+    "dedup_stream",
+    "dedup_stream_exact",
     "stream_source",
     "hourly_agg_stream",
     "incremental_append",

@@ -156,3 +156,54 @@ def test_incremental_append_checkpoint_idempotent(spark, stream_dir, tmp_path):
         q.awaitTermination(120)
     total = spark.read.parquet(sink).count()
     assert total == len(EVENTS) + len(SENTINEL)
+
+
+@pytest.fixture(scope="module")
+def dup_stream_dir(spark, tmp_path_factory):
+    """Three files in mtime order: originals, an at-least-once re-delivery
+    of two of them (same event_id, same payload) plus one new event, then
+    the sentinel. maxFilesPerTrigger=1 makes each file its own micro-batch,
+    so the re-delivery arrives AFTER the originals were committed to state."""
+    redelivery = [EVENTS[0], EVENTS[3], _mk(6, 2, "click", 40, 0.75)]
+    d = tmp_path_factory.mktemp("events-dup")
+    flat = tmp_path_factory.mktemp("events-dup-flat")
+    for i, batch in enumerate([EVENTS, redelivery, SENTINEL]):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch{i}")
+        )
+    for i in range(3):
+        for f in sorted(os.listdir(d / f"batch{i}")):
+            if f.endswith(".parquet"):
+                dst = flat / f"{i:02d}-{f}"
+                os.rename(d / f"batch{i}" / f, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+    return str(flat)
+
+
+def test_dedup_stream_within_watermark(spark, dup_stream_dir):
+    """Re-delivered events inside the horizon are dropped; the stream's
+    output equals the batch distinct-by-event_id result."""
+    from amazon_sales_data_engineering_spark.streaming import dedup_stream
+
+    src = stream_source(
+        spark, dup_stream_dir, SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    rows = run_available_now(
+        dedup_stream(src, horizon="1 hour"), "dedup_wm", timeout_sec=180
+    )
+    got = sorted((r.event_id, r.user_id, r.ts) for r in rows if r.user_id != -1)
+    want = sorted(
+        (e[0], e[1], e[3]) for e in EVENTS + [_mk(6, 2, "click", 40, 0.75)]
+    )
+    assert got == want  # each event exactly once, duplicate file absorbed
+
+
+def test_dedup_stream_exact(spark, dup_stream_dir):
+    from amazon_sales_data_engineering_spark.streaming import dedup_stream_exact
+
+    src = stream_source(
+        spark, dup_stream_dir, SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    rows = run_available_now(dedup_stream_exact(src), "dedup_exact_s", timeout_sec=180)
+    ids = sorted(r.event_id for r in rows if r.user_id != -1)
+    assert ids == [1, 2, 3, 4, 5, 6]
