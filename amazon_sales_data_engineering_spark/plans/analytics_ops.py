@@ -284,3 +284,65 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str):
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
+         AS n_unparsed
+FROM events
+GROUP BY 1
+""",
+    doc="Semi-structured path extraction on a live JSON column — the "
+    "engine-side analogue of the reference's VARIANT `$1:\"Field\"::type` "
+    "loads (SURVEY §2.1 S7; /root/reference/step_3_load_from_stage_to_"
+    "source.py:58-76). `from_json` with an explicit schema parses once "
+    "into a struct (schema'd, vectorized, JVM-side); malformed documents "
+    "yield NULL (PERMISSIVE semantics, counted in n_unparsed) instead of "
+    "failing the job. Integer aggregation is exact — no float idiom "
+    "needed.",
+    tags=("json", "semistruct", "agg"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    oracle=None,  # sketches are engine-specific; bounds proven in pytest
+    doc="Approximate aggregates — HyperLogLog++ distinct users and "
+    "quantile-sketch value percentiles per event type. No DuckDB oracle "
+    "on purpose: sketch outputs are engine- and merge-order-specific, so "
+    "the driver runs the rows-only check; the REAL proof is the "
+    "property test (tests/test_properties.py) asserting the HLL estimate "
+    "within rsd bounds of the exact distinct count and the approximate "
+    "median within the exact p25–p75 range. At 100 TB these sketches are "
+    "the only viable shape: fixed-size state, map-side combinable, one "
+    "shuffle — exact distinct-count would shuffle every key.",
+    tags=("agg", "approx", "sketch"),
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

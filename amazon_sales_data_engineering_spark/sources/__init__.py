@@ -1,3 +1,3 @@
 """File sources/sinks: format presets, metadata columns, load ledger."""
 
-from . import ledger, readers, sinks  # noqa: F401
+from . import formats, ledger, readers, sinks  # noqa: F401

@@ -1,0 +1,61 @@
+"""Plan-shape guards for the round-2 query families: the point of these
+queries is not just the answer but the PLAN (pushdown, partial top-k,
+broadcast, TakeOrderedAndProject). Assert the shape so a refactor can't
+silently regress a scale property while staying value-correct.
+"""
+
+from __future__ import annotations
+
+from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_pushes_disjunction_to_both_scans(spark):
+    plan = _plan(spark, "q19_disjunctive_pushdown")
+    # quantity range reaches the lineitem scan, brand list the part scan
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+    assert "EqualTo(p_brand,Brand#12)" in plan
+
+
+def test_tfidf_uses_partial_window_group_limit(spark):
+    """Per-doc top-5 must prune BEFORE the shuffle (WindowGroupLimit
+    partial mode) — otherwise every (doc, term) row shuffles."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_bigrams_take_ordered_not_global_window(spark):
+    """Global top-50 must be TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a single-partition sort or global window."""
+    plan = _plan(spark, "ngram_bigram_top50")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q17_broadcasts_per_part_average(spark):
+    """The de-correlated per-part AVG is small (one row per part) and must
+    broadcast back onto lineitem, not force a shuffle join."""
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    """EXISTS/NOT IN must compile to semi/anti joins (no row-multiplying
+    inner join + dedup)."""
+    assert "LeftSemi" in _plan(spark, "q4_priority_semijoin")
+    assert "LeftAnti" in _plan(spark, "q16_supplier_antijoin")
+    assert "LeftAnti" in _plan(spark, "q22_idle_rich_customers")
+
+
+def test_sampling_is_pure_mapside(spark):
+    """Deterministic hash sampling must add no shuffle: scan + filter."""
+    plan = _plan(spark, "sample_stratified_hash")
+    assert "Exchange" not in plan
+    assert "rand" not in plan.lower()

@@ -180,3 +180,37 @@ def test_jaccard_cap_drops_hot_shingle_pairs(spark):
         ).collect()
     }
     assert generous == exact
+
+
+def test_approx_sketch_bounds(spark):
+    """The rows-only gated sketch query is proven here: HLL++ distinct
+    estimates within 3*rsd of exact, approximate median inside the exact
+    p25-p75 envelope (both far looser than observed error — the assert
+    guards regressions, not sketch theory)."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    from .conftest import SF_DIR
+
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["approx_distinct_sketch"].spark_fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.count_distinct("user_id").alias("users"),
+                F.expr("percentile(value, 0.25)").alias("p25"),
+                F.expr("percentile(value, 0.75)").alias("p75"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a.n_events == e.n
+        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users)
+        assert e.p25 <= a.approx_median_value <= e.p75
