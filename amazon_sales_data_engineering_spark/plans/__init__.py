@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     corpus_ops,
     dedup_ops,
     events_ops,
+    merge_ops,
     multimodal_ops,
     parity,
     pipeline_ops,

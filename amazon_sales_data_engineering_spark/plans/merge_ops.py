@@ -1,0 +1,118 @@
+"""Gated queries for MERGE/upsert and SCD type-2 maintenance
+(operators/merge.py). Target/source/change sets are derived
+deterministically from the customer table with modular-arithmetic
+predicates, so both engines construct identical inputs and the merge
+result is exactly comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import scd2_apply, upsert
+from .registry import register
+from .util import t
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+), source AS (
+  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+         c_acctbal + 1000.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT * FROM target
+WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+UNION ALL
+SELECT * FROM source
+""",
+    doc="MERGE / SCD1 upsert: source rows overwrite key-matched target "
+    "rows, unmatched source rows append, untouched target rows survive. "
+    "Compiled as ONE anti join + union (no full outer): copy-on-write "
+    "MERGE, the same strategy Delta executes on parquet. The anti join "
+    "broadcasts when the delta is small — the daily-dimension-update "
+    "case. Inputs derived from customer via modular predicates on both "
+    "engines (ref's append-only delta loads never update; this is the "
+    "idiom users need next — SURVEY §2.6 J4/J5 extension).",
+    tags=("merge", "upsert", "join"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+    )
+    return upsert(target, source, ["c_custkey"])
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, 'Y' AS is_current
+  FROM customer
+), chg AS (
+  SELECT c_custkey, 'MOVED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+       CASE WHEN c.c_custkey IS NOT NULL AND c.c_mktsegment <> d.c_mktsegment
+            THEN DATE '2020-06-01' ELSE d.valid_to END AS valid_to,
+       CASE WHEN c.c_custkey IS NOT NULL AND c.c_mktsegment <> d.c_mktsegment
+            THEN 'N' ELSE d.is_current END AS is_current
+FROM dim d LEFT JOIN chg c ON c.c_custkey = d.c_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment, DATE '2020-06-01', NULL, 'Y'
+FROM chg c LEFT JOIN dim d ON d.c_custkey = c.c_custkey
+WHERE d.c_custkey IS NULL OR d.c_mktsegment <> c.c_mktsegment
+""",
+    doc="SCD type-2: changed keys close their current version (valid_to "
+    "stamped, is_current → 'N') and insert a new current version; "
+    "brand-new keys insert as current; unchanged rows pass through. One "
+    "broadcast join against the change set + narrow unions — the "
+    "history-preserving dimension idiom the reference's is_active flags "
+    "gesture at but never maintain "
+    "(/root/reference/Snowflake Worksheets/8. Consumption Layer.sql:14). "
+    "eff_date is an explicit parameter, never now() — reruns are "
+    "deterministic.",
+    tags=("merge", "scd2", "join"),
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit("Y").alias("is_current"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim,
+        changes,
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        eff_date="2020-06-01",
+    )

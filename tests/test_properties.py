@@ -7,6 +7,7 @@ deadline is disabled (JVM warmup skews the first example).
 
 from __future__ import annotations
 
+import datetime as dt
 import re
 from collections import Counter, defaultdict
 
@@ -214,3 +215,36 @@ def test_approx_sketch_bounds(spark):
         assert a.n_events == e.n
         assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users)
         assert e.p25 <= a.approx_median_value <= e.p75
+
+
+def test_scd2_idempotent_and_noop(spark):
+    """SCD2 invariants on a literal dim: (1) re-applying the same change
+    set is a no-op (the new current row equals the change, so nothing
+    differs); (2) a change equal to the current values does nothing;
+    (3) exactly one current row per key afterwards."""
+    from amazon_sales_data_engineering_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", dt.date(2020, 1, 1), None, "Y"),
+         (2, "B", dt.date(2020, 1, 1), None, "Y")],
+        "k int, seg string, valid_from date, valid_to date, is_current string",
+    )
+    changes = spark.createDataFrame(
+        [(1, "Z"), (2, "B"), (3, "C")], "k int, seg string"
+    )
+    once = scd2_apply(
+        dim, changes, key="k", tracked=["seg"], eff_date="2020-06-01"
+    )
+    rows = sorted(tuple(r) for r in once.collect())
+    assert rows == [
+        (1, "A", dt.date(2020, 1, 1), dt.date(2020, 6, 1), "N"),  # closed
+        (1, "Z", dt.date(2020, 6, 1), None, "Y"),                 # new version
+        (2, "B", dt.date(2020, 1, 1), None, "Y"),                 # no-op change
+        (3, "C", dt.date(2020, 6, 1), None, "Y"),                 # insert
+    ]
+    twice = scd2_apply(
+        once, changes, key="k", tracked=["seg"], eff_date="2020-07-01"
+    )
+    assert sorted(tuple(r) for r in twice.collect()) == rows  # idempotent
+    current = [r for r in rows if r[4] == "Y"]
+    assert sorted(r[0] for r in current) == [1, 2, 3]  # one current per key
