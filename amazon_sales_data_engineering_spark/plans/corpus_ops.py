@@ -299,3 +299,90 @@ def embedding_centroids(spark: SparkSession, sf_dir: str):
         ),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE length({_NORM_SQL})
+                   - length(replace({_NORM_SQL}, ' ', '')) + 1 END AS BIGINT)
+           AS n_tokens,
+         CAST(len(list_distinct(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+           AS n_distinct,
+         CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE CAST(floor((n_stop * 1000.0) / n_tokens) AS BIGINT) END
+           AS stop_milli,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE CAST(floor((n_distinct * 1000.0) / n_tokens) AS BIGINT) END
+           AS ttr_milli
+  FROM m
+)
+SELECT doc_id,
+       CASE
+         WHEN n_tokens < 20 THEN 'too_short'
+         WHEN n_tokens > 1000 THEN 'too_long'
+         WHEN stop_milli < 20 THEN 'low_stopword'
+         WHEN ttr_milli < 300 THEN 'repetitive'
+         ELSE 'kept'
+       END AS verdict,
+       (n_tokens >= 20 AND n_tokens <= 1000
+        AND stop_milli >= 20 AND ttr_milli >= 300) AS keep
+FROM scored
+""",
+    doc="The corpus FILTER step: length bounds + stopword density + "
+    "type-token ratio composed into a keep/drop verdict with the FIRST "
+    "failing rule as the reason — what actually gates documents into "
+    "training shards (composition of the text_* signal family). All "
+    "milli-ratios are floor'd integer arithmetic, so verdicts are "
+    "engine-exact; empty docs short-circuit to 0 so no division by "
+    "zero on either engine. Pure map-side narrow pass.",
+    tags=("corpus", "text", "filter", "composition"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM_SPARK(F.col("text"))
+    toks = F.split(norm, " ")
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    ndis = F.size(F.array_distinct(toks)).cast("bigint")
+    nstop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of"))
+    ).cast("bigint")
+    stop_milli = (
+        F.when(ntok == 0, F.lit(0))
+        .otherwise(F.floor((nstop * F.lit(1000.0)) / ntok))
+        .cast("bigint")
+    )
+    ttr_milli = (
+        F.when(ntok == 0, F.lit(0))
+        .otherwise(F.floor((ndis * F.lit(1000.0)) / ntok))
+        .cast("bigint")
+    )
+    verdict = (
+        F.when(ntok < 20, F.lit("too_short"))
+        .when(ntok > 1000, F.lit("too_long"))
+        .when(stop_milli < 20, F.lit("low_stopword"))
+        .when(ttr_milli < 300, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    keep = (
+        (ntok >= 20)
+        & (ntok <= 1000)
+        & (stop_milli >= 20)
+        & (ttr_milli >= 300)
+    )
+    return d.select("doc_id", verdict.alias("verdict"), keep.alias("keep"))

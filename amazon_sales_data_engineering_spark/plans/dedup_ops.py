@@ -7,6 +7,7 @@ md5-based sketches — see functions.hashing).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dedup_groups,
@@ -211,3 +212,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str):
         vec_col="embedding", threshold=0.4, bits=4,
     ).select("id_a", "id_b")
     return connected_components(pairs, "id_a", "id_b")
+
+
+@register(
+    "dedup_resolve_keepers",
+    oracle="""
+WITH RECURSIVE
+raw AS (
+  SELECT vec_id,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.4
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.a, n.v FROM reach r JOIN und n ON r.b = n.u
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS keeper_id,
+       (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_keeper
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+""",
+    doc="END-TO-END dedup resolution: near-dup pairs → connected "
+    "components → canonical keeper (min id per cluster) → a keeper "
+    "mapping for EVERY corpus row (singletons keep themselves via the "
+    "left join + coalesce). This is the actual output a training "
+    "pipeline consumes — filter is_keeper to materialize the deduped "
+    "corpus, or join keeper_id to re-point references. One extra "
+    "broadcast-ready join on top of the iterative component computation.",
+    tags=("dedup", "graph", "composition"),
+)
+def dedup_resolve_keepers(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_near_dup
+
+    emb = t_cpu(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bits=4
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    keeper = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(comp, emb.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            keeper.alias("keeper_id"),
+            (keeper == F.col("vec_id")).alias("is_keeper"),
+        )
+    )
