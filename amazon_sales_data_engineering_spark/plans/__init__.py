@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     subquery_ops,
     temporal_ops,
     text_ops,
+    tpch_more,
     window_ops,
 )
 from .registry import REGISTRY, Query
