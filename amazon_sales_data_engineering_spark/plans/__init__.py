@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     events_ops,
     merge_ops,
     multimodal_ops,
+    packing_ops,
     parity,
     pipeline_ops,
     similarity_ops,

@@ -1,0 +1,224 @@
+"""Training-shard export family: sequence packing, deterministic
+shuffle-shard assignment, and table profiling.
+
+The last mile of a pre-training data pipeline: cleaned documents are
+packed into fixed-length context windows, shuffled, and written out as
+numbered shards; table profiling is the QA pass that runs before and
+after. Design rules at scale:
+
+- **Packing is per-shard, never global.** Concatenating a 100 TB corpus
+  into one token stream needs a global cumulative sum — a single-
+  partition window. Real packers shard first (hash of doc id), then pack
+  within each shard independently: the cumulative-offset window
+  partitions by shard_id, so every shard packs in parallel and the plan
+  has exactly one hash-partitioned sort shuffle. Cross-shard window
+  boundaries don't exist by construction.
+- **"Shuffle" means a deterministic permutation, not rand().** The
+  within-shard order is a multiplicative integer hash of the doc id
+  (distinct constant from the sampling hash so sample/shuffle decisions
+  are uncorrelated) — task retries, speculation, and re-runs produce the
+  identical shard layout, and any engine with 64-bit integers reproduces
+  it. This is what makes shard export resumable.
+- **Profiling is one pass.** All per-column stats (rows, nulls, exact
+  distincts, min/max) compute in a single scan-aggregate, then unpivot
+  to one row per column. The oracle scans once per column instead —
+  same answer, but the Spark plan is the one you'd run on 100 TB.
+- All arithmetic is integer (token counts, offsets, window indices), so
+  every value is engine-exact; min/max surface as strings via the
+  shortest-repr double print, which Spark and DuckDB share below 1e7
+  magnitude (above that Spark switches to scientific notation — the
+  profiled columns are bounded well under it).
+
+Reference parity surface: extends the stage-export conventions of
+/root/reference/step_3_load_from_stage_to_source.py (numbered batch
+files, re-runnable loads) to training-shard layout (SURVEY §2 LLM
+extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t, t_cpu
+
+# Same normalization contract as corpus_ops/text_ops.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _norm(c):
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# Knuth multiplicative hashes; the % 2^31 pre-fold keeps the product in
+# int64 for arbitrary ids. 2654435761 is the sampling constant
+# (corpus_ops); 2246822519 (xxhash prime) keeps the shuffle permutation
+# independent of sampling decisions.
+_SHUFFLE_CONST = 2246822519
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE length({_NORM_SQL})
+                   - length(replace({_NORM_SQL}, ' ', '')) + 1 END AS BIGINT)
+           AS n_tokens,
+         ((doc_id % 2147483648) * 2654435761) % 16 AS shard_id
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM m
+)
+SELECT doc_id, shard_id, n_tokens, start_off,
+       start_off + n_tokens AS end_off,
+       CAST(floor(start_off / 256.0) AS BIGINT) AS first_window,
+       CAST(CASE WHEN n_tokens = 0 THEN floor(start_off / 256.0)
+            ELSE floor((start_off + n_tokens - 1) / 256.0) END AS BIGINT)
+         AS last_window
+FROM packed
+""",
+    doc="Sequence packing into 256-token context windows, sharded 16 "
+    "ways by a deterministic hash of doc_id. Each document gets its "
+    "byte^W token offset range within its shard's concatenated stream "
+    "plus the first/last window indices it lands in (a doc spanning a "
+    "window boundary appears in both — the packer's overlap map). The "
+    "cumulative sum partitions BY SHARD, so the only shuffle is one "
+    "hash-partition sort and shards pack in parallel — the global-"
+    "stream formulation would be a single-partition window and is "
+    "deliberately not expressible here. All integer arithmetic.",
+    tags=("corpus", "packing", "window"),
+    bench=True,
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1)
+        .cast("bigint")
+    )
+    shard = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(16)
+    m = d.select(
+        "doc_id", ntok.alias("n_tokens"), shard.alias("shard_id")
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    packed = m.withColumn("start_off", start)
+    end = F.col("start_off") + F.col("n_tokens")
+    first_w = F.floor(F.col("start_off") / 256.0).cast("bigint")
+    last_w = (
+        F.when(F.col("n_tokens") == 0, first_w)
+        .otherwise(F.floor((end - 1) / 256.0))
+        .cast("bigint")
+    )
+    return packed.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        "start_off",
+        end.alias("end_off"),
+        first_w.alias("first_window"),
+        last_w.alias("last_window"),
+    )
+
+
+@register(
+    "export_shuffle_shards",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * {_SHUFFLE_CONST}) % 4294967296 AS scramble
+  FROM documents
+)
+SELECT doc_id,
+       scramble % 8 AS shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY scramble % 8 ORDER BY scramble, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM h
+""",
+    doc="Deterministic shuffle-shard export layout: every document gets "
+    "a shard (hash mod 8) and a position inside it (rank by a second "
+    "multiplicative hash — the 'shuffle' — with doc_id as the total "
+    "tie-break). No rand(): retries, speculation, and re-runs emit the "
+    "byte-identical shard layout, which is what makes a 100 TB export "
+    "resumable after a partial failure. One hash-partitioned sort "
+    "shuffle; shards are independent and write in parallel (the file "
+    "write itself is sinks.partitioned_sink).",
+    tags=("corpus", "packing", "shuffle"),
+)
+def export_shuffle_shards(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    scramble = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(_SHUFFLE_CONST)
+    ) % F.lit(4294967296)
+    h = d.select("doc_id", scramble.alias("scramble"))
+    shard = F.col("scramble") % 8
+    w = Window.partitionBy(shard).orderBy("scramble", "doc_id")
+    return h.select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@register(
+    "table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    doc="Table profiling: per-column row/null/exact-distinct counts and "
+    "min/max, one output row per profiled column. The Spark plan "
+    "computes ALL columns' stats in a single scan-aggregate (one job, "
+    "one pass — the shape that matters when the table is 100 TB), then "
+    "unpivots the 1-row aggregate via stack(); the oracle scans per "
+    "column instead, same answer. min/max surface as strings: both "
+    "engines print the shortest-repr double identically below 1e7 "
+    "(o_totalprice is bounded ~5e5; above 1e7 Spark would switch to "
+    "scientific notation and this idiom would not compare). Exact "
+    "count_distinct over multiple columns in one agg expands to "
+    "expand+partial-agg — still map-side-combinable.",
+    tags=("profile", "agg"),
+)
+def table_profile(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
