@@ -189,3 +189,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
         centroids=v.filter(F.col("vec_id") % 50 == 0),
         id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
     )
+
+
+@register(
+    "embedding_normalize_quantize",
+    oracle="""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), stats AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+           AS l2_norm,
+         list_reduce(list_transform(e, x -> abs(x)),
+                     (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs
+  FROM m
+)
+SELECT vec_id, l2_norm,
+       list_transform(e, x -> x / (CASE WHEN l2_norm = 0 THEN 1.0
+                                        ELSE l2_norm END)) AS unit,
+       list_transform(e, x -> CAST(floor(x * 127.0 /
+           (CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs END)) AS INTEGER))
+         AS q8
+FROM stats
+""",
+    doc="Embedding L2-normalization + int8 quantization — the two "
+    "pre-index transforms every vector store applies before ANN or "
+    "training export. Entirely JVM-side higher-order functions "
+    "(transform / aggregate): no shuffle, no Python — a narrow map pass "
+    "over the vector column, which is the only acceptable shape for a "
+    "100 TB embedding table. Determinism: both engines run the same "
+    "left-to-right IEEE fold (Spark's aggregate starts at 0.0, DuckDB's "
+    "list_reduce starts at the first element — identical because "
+    "0.0 + x == x exactly); sqrt and each per-element divide are single "
+    "correctly-rounded IEEE ops; quantization uses floor (exact, no "
+    "round-half ambiguity across engines), mapping onto [-127, 127] "
+    "with zero-vector guards on both norm and max_abs.",
+    tags=("similarity", "embedding", "quantize"),
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str):
+    v = t_cpu(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = v.select("vec_id", e.alias("e"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    max_abs = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    stats = m.select("vec_id", "e", l2.alias("l2_norm"), max_abs.alias("max_abs"))
+    safe_norm = F.when(F.col("l2_norm") == 0, F.lit(1.0)).otherwise(
+        F.col("l2_norm")
+    )
+    safe_max = F.when(F.col("max_abs") == 0, F.lit(1.0)).otherwise(
+        F.col("max_abs")
+    )
+    return stats.select(
+        "vec_id",
+        "l2_norm",
+        F.transform(F.col("e"), lambda x: x / safe_norm).alias("unit"),
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(x * F.lit(127.0) / safe_max).cast("int"),
+        ).alias("q8"),
+    )
