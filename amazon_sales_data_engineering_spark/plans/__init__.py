@@ -8,6 +8,7 @@ source of truth consumed by ``__spark_entry__`` and ``bench.py``.
 from . import (  # noqa: F401  (import for registration side effects)
     analytics_ops,
     corpus_ops,
+    decontam_ops,
     dedup_ops,
     events_ops,
     merge_ops,

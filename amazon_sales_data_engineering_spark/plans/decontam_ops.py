@@ -1,0 +1,307 @@
+"""Decontamination + repetition-quality + mixture-reweighting operators.
+
+The three remaining corpus-hygiene steps a pre-training pipeline runs
+before cutting shards:
+
+- **Benchmark decontamination**: flag training documents that share long
+  n-grams with a held-out eval split (the standard 13-gram-overlap test,
+  scaled here to 5-grams because the synthetic docs are ~30 tokens). The
+  scalable shape is an inverted-index equi-join on the n-gram — never a
+  doc×doc comparison — with a hot-gram frequency cap so a degenerate
+  n-gram ("the the the the the") cannot produce a quadratic fanout.
+- **Repetition signals** (Gopher-style): most-frequent-word fraction and
+  duplicate-bigram fraction. Top-word is the two-level aggregate
+  (doc,term)→doc, both levels map-side combinable; the bigram signal
+  never leaves the row (array ops), so it rides along for free.
+- **Mixture reweighting**: per-source token shares → per-source sampling
+  weight to hit a target mixture — the tiny driver table that a
+  downstream hash-sampler (see corpus_ops.sample_stratified_hash) joins
+  back against.
+
+Determinism rules follow plans/registry: ratios are floor'd integer
+milli-units, no floats cross an aggregation boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t, t_cpu
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+
+# Eval split: a deterministic ~1% carve-out by doc_id. 101 is coprime to
+# the id stride so the split is spread across files/partitions.
+_EVAL_PRED_SQL = "doc_id % 101 = 0"
+_GRAM_N = 5
+# A 5-gram present in more than this many *eval* documents is a stock
+# phrase, not a contamination signal; dropping it bounds the join fanout
+# per gram. (Cap on the broadcast eval side — the small side — so the
+# train-side scan stays a pure map.)
+_HOT_GRAM_CAP = 50
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 101 = 0 AS is_eval,
+         string_split({_NORM_SQL}, ' ') AS tk
+  FROM documents
+  WHERE length({_NORM_SQL}) > 0
+), grams AS (
+  SELECT DISTINCT doc_id, is_eval, gram
+  FROM (
+    SELECT doc_id, is_eval,
+           unnest(list_transform(range(1, len(tk) - {_GRAM_N - 2}),
+                  i -> array_to_string(list_slice(tk, i, i + {_GRAM_N - 1}),
+                                       ' '))) AS gram
+    FROM toks WHERE len(tk) >= {_GRAM_N}
+  )
+), eval_grams AS (
+  SELECT gram, COUNT(*) AS n_eval_docs
+  FROM grams WHERE is_eval
+  GROUP BY 1
+  HAVING COUNT(*) <= {_HOT_GRAM_CAP}
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_shared_grams,
+       CAST(SUM(e.n_eval_docs) AS BIGINT) AS n_eval_doc_hits,
+       COUNT(*) >= 3 AS severe
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE NOT g.is_eval
+GROUP BY 1
+""",
+    doc="Benchmark decontamination by n-gram overlap: flag every training "
+    "document sharing a 5-gram with the deterministic eval split "
+    "(doc_id % 101 = 0). Shape at 100 TB: per-doc DISTINCT grams are "
+    "built map-side from the token array (no explode-then-distinct "
+    "shuffle of duplicate grams); the eval-side gram set — small by "
+    "construction — is aggregated, frequency-capped (grams in > "
+    f"{_HOT_GRAM_CAP} eval docs are stock phrases, dropped to bound "
+    "per-gram fanout), and broadcast; the train side then needs ONE "
+    "shuffle-free broadcast-hash join + one (doc_id) aggregate. "
+    "Never doc-by-doc comparison. Counts are integers — engine-exact.",
+    tags=("corpus", "decontam", "join", "ngram"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM(F.col("text"))
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 101 == 0).alias("is_eval"),
+            F.split(F.col("norm"), " ").alias("tk"),
+        )
+        .filter(F.size("tk") >= _GRAM_N)
+    )
+    # Per-doc distinct grams, built inside the row: transform over start
+    # positions + array_distinct, THEN explode — duplicates never hit the
+    # exchange.
+    grams = toks.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(_GRAM_N - 1)),
+                    lambda i: F.array_join(F.slice("tk", i, _GRAM_N), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("is_eval"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_eval_docs"))
+        .filter(F.col("n_eval_docs") <= _HOT_GRAM_CAP)
+    )
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.sum("n_eval_docs").alias("n_eval_doc_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            "n_eval_doc_hits",
+            (F.col("n_shared_grams") >= 3).alias("severe"),
+        )
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk
+  FROM documents
+  WHERE length({_NORM_SQL}) > 0
+), bi AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)),
+                                  i -> tk[i] || ' ' || tk[i + 1])
+              ELSE [] END AS bigrams
+  FROM toks
+), term_counts AS (
+  SELECT doc_id, term, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  GROUP BY 1, 2
+), word_stats AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM term_counts GROUP BY 1
+)
+SELECT w.doc_id, w.n_tokens,
+       CAST(floor((w.top_cnt * 1000.0) / w.n_tokens) AS BIGINT)
+         AS top_word_milli,
+       CAST(CASE WHEN len(b.bigrams) = 0 THEN 0
+            ELSE floor(((len(b.bigrams) - len(list_distinct(b.bigrams)))
+                        * 1000.0) / len(b.bigrams)) END AS BIGINT)
+         AS dup_bigram_milli,
+       (floor((w.top_cnt * 1000.0) / w.n_tokens) >= 200
+        OR (len(b.bigrams) > 0
+            AND floor(((len(b.bigrams) - len(list_distinct(b.bigrams)))
+                       * 1000.0) / len(b.bigrams)) >= 300)) AS repetitive
+FROM word_stats w JOIN bi b ON b.doc_id = w.doc_id
+""",
+    doc="Gopher-style repetition signals: most-frequent-word fraction and "
+    "duplicate-bigram fraction (both floor'd milli-units), composed into "
+    "a repetitive flag (top word ≥ 20% of tokens OR ≥ 30% of bigrams "
+    "duplicated). Top-word goes through the scalable two-level "
+    "aggregate — (doc,term) counts then per-doc max — both levels "
+    "map-side combinable; the bigram signal is computed inside the row "
+    "(zip_with + array_distinct, no shuffle) and joined back on doc_id. "
+    "All-integer arithmetic: engine-exact.",
+    tags=("corpus", "text", "filter"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM(F.col("text"))
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.split(F.col("norm"), " ").alias("tk"))
+    )
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.zip_with(
+            F.slice(F.col("tk"), 1, F.size("tk") - 1),
+            F.slice(F.col("tk"), 2, F.size("tk") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = toks.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bi"),
+        F.size(F.array_distinct(bigrams)).alias("n_bi_distinct"),
+    )
+    word_stats = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    top_milli = F.floor((F.col("top_cnt") * F.lit(1000.0)) / F.col("n_tokens"))
+    dup_milli = F.when(F.col("n_bi") == 0, F.lit(0)).otherwise(
+        F.floor(
+            ((F.col("n_bi") - F.col("n_bi_distinct")) * F.lit(1000.0))
+            / F.col("n_bi")
+        )
+    )
+    return (
+        word_stats.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            top_milli.cast("bigint").alias("top_word_milli"),
+            dup_milli.cast("bigint").alias("dup_bigram_milli"),
+            (
+                (top_milli >= 200)
+                | ((F.col("n_bi") > 0) & (dup_milli >= 300))
+            ).alias("repetitive"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE length({_NORM_SQL})
+                       - length(replace({_NORM_SQL}, ' ', '')) + 1 END)
+              AS BIGINT) AS src_tokens,
+         COUNT(*) AS n_docs
+  FROM documents
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_source
+)
+SELECT p.source, p.n_docs, p.src_tokens,
+       CAST(floor((p.src_tokens * 1000.0) / t.total_tokens) AS BIGINT)
+         AS share_milli,
+       CAST(CASE WHEN p.src_tokens = 0 THEN 0
+            ELSE floor((t.total_tokens * 1000.0)
+                       / (t.n_sources * p.src_tokens)) END AS BIGINT)
+         AS weight_milli
+FROM per_source p, tot t
+""",
+    doc="Domain-mixture reweighting: per-source token shares and the "
+    "sampling weight (in milli-units) that equalizes the mixture — "
+    "weight = target_share / actual_share with a uniform target. The "
+    "output is a sources-sized driver table that a deterministic "
+    "hash-sampler joins back against (broadcast) to enforce the mix; "
+    "computing it is ONE map-side-combinable aggregate over the corpus "
+    "plus a broadcast total. floor'd integer milli-units: engine-exact.",
+    tags=("corpus", "sampling", "agg"),
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    norm = _NORM(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    per_source = d.groupBy("source").agg(
+        F.sum(ntok).alias("src_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per_source.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.floor(
+        (F.col("src_tokens") * F.lit(1000.0)) / F.col("total_tokens")
+    )
+    weight = F.when(F.col("src_tokens") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("total_tokens") * F.lit(1000.0))
+            / (F.col("n_sources") * F.col("src_tokens"))
+        )
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        share.cast("bigint").alias("share_milli"),
+        weight.cast("bigint").alias("weight_milli"),
+    )
