@@ -108,6 +108,114 @@ def events_sessionize(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+)
+""",
+    doc="Ordered conversion funnel (view → click-after-view → purchase-"
+    "after-click): each stage is a conditional MIN per user joined back "
+    "to the previous stage's timestamp, so ordering is enforced, not "
+    "just co-occurrence. All three stages aggregate and join on "
+    "user_id — one key, so at scale the shuffles co-partition and AQE "
+    "broadcasts the shrinking stage tables; final counts are 3 rows. "
+    "Timestamps are only compared, never converted: timezone-safe.",
+    tags=("events", "funnel", "join"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(idx: int, name: str, df):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionAll(stage(2, "view>click", c))
+        .unionAll(stage(3, "view>click>purchase", p))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN cohort c ON c.user_id = e.user_id
+GROUP BY 1, 2
+""",
+    doc="Cohort retention matrix: users grouped by first-seen day, counted "
+    "as active per day-offset. One user-keyed aggregate builds the "
+    "cohort table; the join back is user-co-partitioned (broadcast at "
+    "small scale via AQE); the matrix aggregate is exact COUNT "
+    "DISTINCT — two map-side-combinable shuffles on a 100 TB event "
+    "log. Date arithmetic is wall-clock day diff on both engines: "
+    "timezone-safe with the NTZ event timestamps.",
+    tags=("events", "cohort", "agg"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
     "events_sliding_agg",
     oracle="""
 SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) * 1000000 AS BIGINT))

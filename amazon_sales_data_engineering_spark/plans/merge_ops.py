@@ -116,3 +116,60 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str):
         tracked=["c_mktsegment"],
         eff_date="2020-06-01",
     )
+
+
+@register(
+    "rollup_incremental_merge",
+    oracle="""
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+""",
+    doc="Incremental materialized-aggregate maintenance: the standing "
+    "rollup (orders before 1997-01-01) and the new batch (orders on/"
+    "after) are each reduced to PARTIAL aggregates — count + exact "
+    "DECIMAL sum, never cast to double — then merged by re-aggregating "
+    "the union of partials. Because (count, decimal-sum) is a "
+    "commutative monoid, merge-of-partials ≡ full recompute, which is "
+    "exactly what the oracle computes from scratch. This is the 100 TB "
+    "pattern for refreshing a rollup from a daily partition without "
+    "touching history: the standing side reads a groups-sized table, "
+    "only the batch scans raw rows. The double conversion happens ONCE, "
+    "after the merge — converting per-part then summing doubles would "
+    "break associativity and the engine hash.",
+    tags=("merge", "agg", "incremental"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str):
+    from .util import ts_lit
+
+    o = t(spark, sf_dir, "orders")
+    split = ts_lit(o, "o_orderdate", "1997-01-01")
+    keys = [
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_orderpriority"),
+    ]
+
+    def partial(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "total_dec"
+            ),
+        )
+
+    standing = partial(o.filter(F.col("o_orderdate") < split))
+    batch = partial(o.filter(F.col("o_orderdate") >= split))
+    return (
+        standing.unionAll(batch)
+        .groupBy("order_year", "order_month", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_dec").cast("double").alias("total_price"),
+        )
+    )
