@@ -256,3 +256,112 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str):
             lambda x: F.floor(x * F.lit(127.0) / safe_max).cast("int"),
         ).alias("q8"),
     )
+
+
+@register(
+    "kmeans_two_rounds",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), init AS (
+  SELECT vec_id AS cid, e AS cvec FROM m WHERE vec_id < 8
+), a1 AS (
+  SELECT m.vec_id,
+         CAST((min([list_reduce(list_transform(range(1, 65),
+                      j -> (m.e[j] - i.cvec[j]) * (m.e[j] - i.cvec[j])),
+                      (a, b) -> a + b),
+                  CAST(i.cid AS DOUBLE)]))[2] AS BIGINT) AS c1
+  FROM m, init i GROUP BY m.vec_id
+), mu AS (
+  SELECT a1.c1 AS cid, g.i AS dim,
+         CAST(CAST(SUM(CAST(CAST(m.e[g.i] AS VARCHAR)
+                            AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS v
+  FROM m JOIN a1 USING (vec_id), (SELECT unnest(range(1, 65)) AS i) g
+  GROUP BY 1, 2
+), cent2 AS (
+  SELECT cid, array_agg(v ORDER BY dim) AS cvec FROM mu GROUP BY 1
+), a2 AS (
+  SELECT m.vec_id,
+         CAST((min([list_reduce(list_transform(range(1, 65),
+                      j -> (m.e[j] - c.cvec[j]) * (m.e[j] - c.cvec[j])),
+                      (a, b) -> a + b),
+                  CAST(c.cid AS DOUBLE)]))[2] AS BIGINT) AS c2
+  FROM m, cent2 c GROUP BY m.vec_id
+)
+SELECT a1.vec_id, a1.c1, a2.c2
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+""",
+    doc="K-means, two unrolled Lloyd rounds (k=8, init = the first k "
+    "vectors): assign → exact mean recompute → reassign, returning both "
+    "rounds' assignments per vector. This is the canonical ITERATIVE "
+    "algorithm shape on Spark: centroids are a k×d table BROADCAST to "
+    "every executor, assignment is one narrow map pass (zip_with "
+    "squared-diff + left-fold sum — all JVM higher-order functions), "
+    "and the mean recompute is one (cid, dim)-keyed map-side-combinable "
+    "aggregate — per round: one broadcast, one shuffle, nothing "
+    "quadratic, no driver loop over rows. Determinism across engines: "
+    "distances are identical left-to-right IEEE folds (0.0-seeded fold "
+    "== first-element-seeded fold because 0.0 + x == x); argmin "
+    "tie-breaks on centroid id via composite [dist, cid] ordering; "
+    "means route the exact DECIMAL(38,20) sum through a string to "
+    "double (see embedding_centroids) then ONE division — so round-2 "
+    "centroids are bit-identical doubles in both engines and every "
+    "comparison agrees.",
+    tags=("similarity", "embedding", "iterative", "agg"),
+)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str):
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = v.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    init = m.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("cvec")
+    )
+
+    def assign(cent, out):
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            m.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                F.col("cid"),
+                F.array(dist, F.col("cid").cast("double")).alias("rank_key"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", "rank_key").alias(out))
+        )
+
+    a1 = assign(init, "c1")
+    mu = (
+        m.join(a1, "vec_id")
+        .select(
+            F.col("c1").alias("cid"),
+            F.posexplode("e").alias("pos", "x"),
+        )
+        .select(
+            "cid",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("x").cast("string").cast("decimal(38,20)").alias("xd"),
+        )
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum("xd").cast("string").cast("double") / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    cent2 = mu.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))),
+            lambda s: s.getField("v"),
+        ).alias("cvec")
+    )
+    a2 = assign(cent2, "c2")
+    return a1.join(a2, "vec_id").select("vec_id", "c1", "c2")
