@@ -86,6 +86,7 @@ GROUP BY 1
     "shuffle-free broadcast-hash join + one (doc_id) aggregate. "
     "Never doc-by-doc comparison. Counts are integers — engine-exact.",
     tags=("corpus", "decontam", "join", "ngram"),
+    bench=True,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
@@ -182,6 +183,7 @@ FROM word_stats w JOIN bi b ON b.doc_id = w.doc_id
     "(zip_with + array_distinct, no shuffle) and joined back on doc_id. "
     "All-integer arithmetic: engine-exact.",
     tags=("corpus", "text", "filter"),
+    bench=True,
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")

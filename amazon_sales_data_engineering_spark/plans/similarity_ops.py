@@ -310,6 +310,7 @@ FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
     "centroids are bit-identical doubles in both engines and every "
     "comparison agrees.",
     tags=("similarity", "embedding", "iterative", "agg"),
+    bench=True,
 )
 def kmeans_two_rounds(spark: SparkSession, sf_dir: str):
     v = t_cpu(spark, sf_dir, "embeddings")

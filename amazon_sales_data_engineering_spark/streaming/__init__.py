@@ -16,6 +16,9 @@ loads). This package offers the real streaming counterparts:
   (``dropDuplicatesWithinWatermark``) for live pipelines, full-history
   for bounded replays; turns at-least-once delivery into exactly-once
   table contents.
+- ``joins``: stream-static dimension enrichment (per-trigger broadcast)
+  and watermarked stream-stream attribution with the two-sided time
+  bound that keeps join state O(window) instead of O(stream).
 
 Everything here is triggered-batch testable: ``Trigger.AvailableNow`` +
 ``maxFilesPerTrigger`` drain a bounded directory through real watermark
@@ -24,11 +27,14 @@ advancement, so unit tests cover late-data/close semantics deterministically.
 
 from .dedup import dedup_stream, dedup_stream_exact
 from .ingest import hourly_agg_stream, incremental_append, run_available_now, stream_source
+from .joins import attribute_stream, enrich_stream
 from .sessionize import sessionize_session_window, sessionize_stateful
 
 __all__ = [
+    "attribute_stream",
     "dedup_stream",
     "dedup_stream_exact",
+    "enrich_stream",
     "stream_source",
     "hourly_agg_stream",
     "incremental_append",

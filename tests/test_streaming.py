@@ -207,3 +207,83 @@ def test_dedup_stream_exact(spark, dup_stream_dir):
     rows = run_available_now(dedup_stream_exact(src), "dedup_exact_s", timeout_sec=180)
     ids = sorted(r.event_id for r in rows if r.user_id != -1)
     assert ids == [1, 2, 3, 4, 5, 6]
+
+
+@pytest.fixture(scope="module")
+def attrib_stream_dir(spark, tmp_path_factory):
+    """Clicks + purchases for attribution: user 1's purchase at minute 30
+    follows both clicks within the hour; the minute-85 purchase follows
+    neither within it. User 2 converts once."""
+    events = [
+        _mk(1, 1, "click", 0, 0.0),
+        _mk(2, 1, "click", 20, 0.0),
+        _mk(3, 1, "purchase", 30, 5.0),
+        _mk(4, 1, "purchase", 85, 7.0),
+        _mk(5, 2, "click", 5, 0.0),
+        _mk(6, 2, "purchase", 50, 3.0),
+    ]
+    d = tmp_path_factory.mktemp("events-attrib")
+    flat = tmp_path_factory.mktemp("events-attrib-flat")
+    for i, batch in enumerate([events, SENTINEL]):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch{i}")
+        )
+    for i in range(2):
+        for f in sorted(os.listdir(d / f"batch{i}")):
+            if f.endswith(".parquet"):
+                dst = flat / f"{i:02d}-{f}"
+                os.rename(d / f"batch{i}" / f, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+    return str(flat)
+
+
+def test_attribute_stream_event_time_window(spark, attrib_stream_dir):
+    from amazon_sales_data_engineering_spark.streaming import attribute_stream
+
+    src = stream_source(
+        spark, attrib_stream_dir, SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(
+        (F.col("event_type") == "purchase") | (F.col("event_type") == "eos")
+    )
+    rows = run_available_now(
+        attribute_stream(clicks, purchases, attribution_window="1 hour"),
+        "attrib",
+        timeout_sec=180,
+    )
+    got = sorted((r.click_id, r.purchase_id) for r in rows if r.user_id != -1)
+    # purchase 3 ← clicks 1 and 2; purchase 6 ← click 5; purchase 4 ← none
+    assert got == [(1, 3), (2, 3), (5, 6)]
+
+
+def test_attribute_stream_requires_streams(spark):
+    from amazon_sales_data_engineering_spark.streaming import attribute_stream
+
+    batch = spark.createDataFrame(EVENTS, SCHEMA)
+    with pytest.raises(ValueError, match="two streaming"):
+        attribute_stream(batch, batch)
+
+
+def test_enrich_stream_static_dim(spark, stream_dir):
+    from amazon_sales_data_engineering_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "segment"]
+    )
+    src = _source(spark, stream_dir)
+    rows = run_available_now(
+        enrich_stream(src, dim, ["user_id"]), "enriched"
+    )
+    segs = {r.user_id: r.segment for r in rows if r.user_id > 0}
+    assert segs == {1: "gold", 2: "silver"}
+    n_null = sum(1 for r in rows if r.user_id == -1 and r.segment is None)
+    assert n_null == 1  # left join: unmatched sentinel passes through
+
+
+def test_enrich_stream_rejects_streaming_dim(spark, stream_dir):
+    from amazon_sales_data_engineering_spark.streaming import enrich_stream
+
+    src = _source(spark, stream_dir)
+    with pytest.raises(ValueError, match="static"):
+        enrich_stream(src, src, ["user_id"])
