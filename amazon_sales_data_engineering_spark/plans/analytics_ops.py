@@ -346,3 +346,90 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str):
         F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "percentiles_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+    doc="Exact per-group quantiles via SQL-standard PERCENTILE_DISC: "
+    "discrete percentiles SELECT an actual member of the group (smallest "
+    "value whose cumulative distribution ≥ p) — zero interpolation "
+    "arithmetic, so results are engine-exact by construction, unlike "
+    "percentile_cont whose lower+(upper-lower)*frac can differ in the "
+    "last ulp. Exact quantiles materialize each group's values (fine "
+    "for bounded group counts like status); unbounded-cardinality "
+    "profiling belongs to approx_distinct_sketch's approx_percentile "
+    "path.",
+    tags=("agg", "percentile"),
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    pd_ = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        pd_(0.25).alias("p25"),
+        pd_(0.50).alias("p50"),
+        pd_(0.75).alias("p75"),
+        pd_(0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "histogram_extendedprice",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem
+)
+SELECT CAST(LEAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo)), 19)
+            AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS bucket_min,
+       MAX(l_extendedprice) AS bucket_max
+FROM lineitem, bounds
+GROUP BY 1
+""",
+    doc="Equi-width 20-bucket histogram of l_extendedprice — the numeric "
+    "profiling op behind range-partition planning and data-quality "
+    "dashboards. Two passes: a global min/max aggregate (broadcast back "
+    "as a 1-row table) and one map-side bucket assignment + count. "
+    "Bucket index arithmetic is (x-lo)*20/(hi-lo) with identical "
+    "parenthesization on both engines and a floor to integers; the "
+    "closed top bucket (LEAST(...,19)) absorbs x = hi exactly. At "
+    "100 TB both passes are single map-side-combinable aggregates.",
+    tags=("agg", "profile"),
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            * F.lit(20.0)
+            / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("bucket_min"),
+            F.max("l_extendedprice").alias("bucket_max"),
+        )
+    )
