@@ -34,10 +34,19 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     allow_global_window: bool = False,
+    direction: str = "backward",
+    tolerance: str | int | None = None,
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: attach to each left row the right
-    row with the greatest ``right_time`` <= ``left_time``, matching ``by``
-    keys. Left rows keep NULL right columns when nothing precedes them.
+    """As-of join (inclusive): attach to each left row the nearest right
+    row matching ``by`` keys — ``direction="backward"`` takes the greatest
+    ``right_time`` <= ``left_time``; ``"forward"`` the smallest
+    ``right_time`` >= ``left_time``. Left rows keep NULL right columns
+    when no match exists.
+
+    ``tolerance`` bounds the match distance (pandas merge_asof
+    semantics: a match farther than the tolerance yields NULLs, the left
+    row survives). For TIMESTAMP time columns pass an interval string
+    (e.g. ``"3 hours"``); for DATE columns an integer day count.
 
     ``right_cols`` defaults to every right column except the time and keys.
 
@@ -45,8 +54,15 @@ def asof_join(
     through a single partition, a scalability cliff, so empty ``by``
     raises unless ``allow_global_window=True`` is passed explicitly
     (acceptable only when left+right fit one executor's memory).
+
+    Both directions are the same single sort-shuffle: forward just
+    reverses the window order, and tolerance is a post-window filter on
+    the matched time carried through the fill — no extra join, no extra
+    shuffle.
     """
     by = by or []
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if not by and not allow_global_window:
         raise ValueError(
             "asof_join with no 'by' keys builds a single-partition global "
@@ -59,11 +75,14 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in by and c != right_time]
     non_key_left = [c for c in left.columns if c not in by]
 
+    rt_type = right.schema[right_time].dataType
+
     l_tag = left.select(
         *by,
         *non_key_left,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rt_type).alias("__rt"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
             for c in right_cols
@@ -77,29 +96,65 @@ def asof_join(
         ],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
+        F.col(right_time).alias("__rt"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     merged = l_tag.unionByName(r_tag)
 
-    # right row sorts BEFORE a left row at the same timestamp → inclusive.
+    # right row sorts BEFORE a left row at the same timestamp → inclusive
+    # (in both directions: forward reverses the time order but keeps
+    # right-first within a timestamp).
+    order = (
+        [F.col("__t"), F.col("__is_left")]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__is_left")]
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t"), F.col("__is_left"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = ["__rt", *[f"__r_{c}" for c in right_cols]]
     filled = merged.select(
         *merged.columns,
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in fill_cols
         ],
     )
-    return (
-        filled.filter(F.col("__is_left") == 1)
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(f"__f_{c}").alias(c) for c in right_cols],
-        )
+    out_left = filled.filter(F.col("__is_left") == 1)
+
+    if tolerance is None:
+        ok = F.lit(True)
+    else:
+        from pyspark.sql import types as T
+
+        matched = F.col("__f___rt")
+        if isinstance(left.schema[left_time].dataType, T.DateType):
+            if not isinstance(tolerance, int):
+                raise ValueError(
+                    "tolerance for DATE time columns is an integer day count"
+                )
+            gap = (
+                F.datediff(F.col("__t"), matched)
+                if direction == "backward"
+                else F.datediff(matched, F.col("__t"))
+            )
+            ok = gap <= F.lit(tolerance)
+        else:
+            iv = F.expr(f"INTERVAL {tolerance}")
+            ok = (
+                (matched >= F.col("__t") - iv)
+                if direction == "backward"
+                else (matched <= F.col("__t") + iv)
+            )
+
+    return out_left.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(ok, F.col(f"__f___r_{c}")).alias(c)
+            for c in right_cols
+        ],
     )
 
 

@@ -112,3 +112,59 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str):
     return joined.groupBy("event_id", "win_start").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_windows")
     )
+
+
+@register(
+    "asof_forward_tolerance",
+    oracle="""
+WITH idx AS (
+  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+         MIN(o_totalprice) AS ref_price
+  FROM orders
+  WHERE day(CAST(o_orderdate AS DATE)) % 5 = 1
+  GROUP BY 1, 2
+),
+l AS (SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders),
+nxt AS (
+  SELECT l.o_orderkey, l.o_orderpriority, l.od,
+         (SELECT MIN(d) FROM idx
+          WHERE idx.p = l.o_orderpriority AND idx.d >= l.od) AS nd
+  FROM l
+)
+SELECT n.o_orderkey, n.o_orderpriority,
+       CASE WHEN n.nd IS NOT NULL AND n.nd <= n.od + 3
+            THEN i.ref_price END AS ref_price
+FROM nxt n LEFT JOIN idx i
+  ON i.p = n.o_orderpriority AND i.d = n.nd
+""",
+    doc="Forward as-of join with tolerance (pandas merge_asof semantics): "
+    "every order gets the NEXT reference price at or after its date, "
+    "nulled when the match is more than 3 days out — the shape of "
+    "'attach the next quote/settlement within the allowed staleness'. "
+    "Engine: the same single union + last(ignorenulls) sort-shuffle as "
+    "backward as-of, with the window order reversed and the tolerance "
+    "applied as a post-window filter on the matched time — no second "
+    "join. Oracle: correlated MIN subquery + equi-join re-lookup "
+    "(different algorithm, same answer).",
+    tags=("join", "asof", "temporal"),
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    idx = (
+        o.filter(F.dayofmonth(day) % 5 == 1)
+        .groupBy(F.col("o_orderpriority"), day.alias("d"))
+        .agg(F.min("o_totalprice").alias("ref_price"))
+    )
+    left = o.select("o_orderkey", "o_orderpriority", day.alias("od"))
+    out = asof_join(
+        left,
+        idx,
+        left_time="od",
+        right_time="d",
+        by=["o_orderpriority"],
+        right_cols=["ref_price"],
+        direction="forward",
+        tolerance=3,
+    )
+    return out.select("o_orderkey", "o_orderpriority", "ref_price")

@@ -70,3 +70,68 @@ def test_range_join_mixed_types_raise(spark):
     )
     with pytest.raises(ValueError, match="mix"):
         range_join(points, intervals, "t", "s", "e", bucket=30)
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame([(5,), (1,), (10,)], "t int")
+    right = spark.createDataFrame([(2, "a"), (5, "b"), (8, "c")], "t int, v string")
+    out = asof_join(
+        left, right, "t", "t", allow_global_window=True, direction="forward"
+    )
+    got = {r.t: r.v for r in out.collect()}
+    # forward: smallest right >= left; inclusive at equality; none after 10
+    assert got == {1: "a", 5: "b", 10: None}
+
+
+def test_asof_join_bad_direction_raises(spark):
+    left = spark.createDataFrame([(1,)], "t int")
+    right = spark.createDataFrame([(1, "x")], "t int, v string")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "t", "t", direction="nearest")
+
+
+def test_asof_join_date_tolerance(spark):
+    d = datetime.date
+    left = spark.createDataFrame(
+        [(1, d(2020, 1, 10)), (2, d(2020, 1, 20))], "k int, t date"
+    )
+    right = spark.createDataFrame(
+        [(d(2020, 1, 8), "a"), (d(2020, 1, 1), "b")], "t date, v string"
+    )
+    out = asof_join(
+        left, right, "t", "t", allow_global_window=True, tolerance=5
+    )
+    got = {r.k: r.v for r in out.collect()}
+    # k=1 matches Jan 8 (2 days back, within 5); k=2's nearest is Jan 8
+    # (12 days back) -> nulled by tolerance, row survives
+    assert got == {1: "a", 2: None}
+
+
+def test_asof_join_timestamp_tolerance_forward(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, ts(2020, 1, 1, 10, 0)), (2, ts(2020, 1, 1, 12, 0))],
+        "k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(ts(2020, 1, 1, 10, 30), "q1"), (ts(2020, 1, 1, 18, 0), "q2")],
+        "t timestamp, v string",
+    )
+    out = asof_join(
+        left, right, "t", "t",
+        allow_global_window=True, direction="forward", tolerance="2 hours",
+    )
+    got = {r.k: r.v for r in out.collect()}
+    # k=1 -> 10:30 (30 min ahead, ok); k=2 -> 18:00 is 6h out -> nulled
+    assert got == {1: "q1", 2: None}
+
+
+def test_asof_join_date_tolerance_type_guard(spark):
+    d = datetime.date
+    left = spark.createDataFrame([(1, d(2020, 1, 10))], "k int, t date")
+    right = spark.createDataFrame([(d(2020, 1, 8), "a")], "t date, v string")
+    with pytest.raises(ValueError, match="day count"):
+        asof_join(
+            left, right, "t", "t",
+            allow_global_window=True, tolerance="5 days",
+        )
