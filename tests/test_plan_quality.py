@@ -59,3 +59,40 @@ def test_sampling_is_pure_mapside(spark):
     plan = _plan(spark, "sample_stratified_hash")
     assert "Exchange" not in plan
     assert "rand" not in plan.lower()
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The frequency-capped eval-gram set is the small side by
+    construction and must broadcast — the train side may not shuffle for
+    the join itself."""
+    plan = _plan(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Both assignment rounds must broadcast the k x d centroid table;
+    a shuffled assignment join would be the non-scalable shape."""
+    plan = _plan(spark, "kmeans_two_rounds")
+    # crossJoin(broadcast) per assignment; round-1's subplan appears twice
+    # (feeding both the mean recompute and the final a1⋈a2), so >= 2.
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_broadcasts_bounds(spark):
+    """The 1-row min/max bounds table rides a broadcast; the scan side
+    stays a single map-side-combinable aggregate."""
+    plan = _plan(spark, "histogram_extendedprice")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_quantize_no_shuffle(spark):
+    """Normalize + quantize is a pure narrow map over the vector column:
+    any Exchange in this plan is a regression. (t_cpu may repartition an
+    under-parallelized local scan; only RoundRobin partitioning is
+    acceptable — no hash/range exchange.)"""
+    plan = _plan(spark, "embedding_normalize_quantize")
+    import re
+
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", plan[:2000]
