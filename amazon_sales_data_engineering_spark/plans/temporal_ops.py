@@ -168,3 +168,85 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str):
         tolerance=3,
     )
     return out.select("o_orderkey", "o_orderpriority", "ref_price")
+
+
+@register(
+    "resample_ffill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tot
+  FROM orders GROUP BY 1, 2
+), b AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), spine AS (
+  SELECT pr.p, CAST(t.d AS DATE) AS d
+  FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) pr, b,
+       unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS t(d)
+)
+SELECT s.p AS o_orderpriority, s.d AS day,
+       last_value(dl.n IGNORE NULLS) OVER w AS n_orders_ff,
+       last_value(dl.tot IGNORE NULLS) OVER w AS total_ff,
+       dl.d IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily dl ON dl.p = s.p AND dl.d = s.d
+WINDOW w AS (PARTITION BY s.p ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Time-series resampling to a regular daily grid with forward "
+    "fill: per-priority daily totals exist only on observed days; the "
+    "complete spine is keys × sequence(min_day, max_day) built "
+    "DISTRIBUTED (sequence+explode per key — no driver-side range, "
+    "SURVEY §2.11.4's date-spine fix reused), gaps carry the last "
+    "observation forward via last(ignorenulls) over the per-key window. "
+    "Shape at scale: one agg shuffle, one co-keyed join, one per-key "
+    "sort window — all partitioned by the series key; the fill copies "
+    "already-deterministic doubles, so no new float arithmetic.",
+    tags=("temporal", "window", "resample"),
+)
+def resample_ffill_daily(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from ..functions.hashing import decimal_sum
+
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    daily = o.groupBy(F.col("o_orderpriority").alias("p"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum("o_totalprice", alias="tot"),
+    )
+    bounds = o.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = (
+        o.select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "p",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    s = spine.alias("s")
+    dl = daily.alias("dl")
+    joined = s.join(
+        dl,
+        (F.col("s.p") == F.col("dl.p")) & (F.col("s.d") == F.col("dl.d")),
+        "left",
+    )
+    w = (
+        Window.partitionBy(F.col("s.p"))
+        .orderBy(F.col("s.d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("s.p").alias("o_orderpriority"),
+        F.col("s.d").alias("day"),
+        F.last(F.col("dl.n"), ignorenulls=True).over(w).alias("n_orders_ff"),
+        F.last(F.col("dl.tot"), ignorenulls=True).over(w).alias("total_ff"),
+        F.col("dl.d").isNotNull().alias("observed"),
+    )
