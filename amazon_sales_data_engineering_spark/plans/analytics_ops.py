@@ -433,3 +433,56 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str):
             F.max("l_extendedprice").alias("bucket_max"),
         )
     )
+
+
+@register(
+    "zscore_by_group",
+    oracle="""
+WITH stats AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                       * CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+       (l.l_extendedprice - (s.s1 / s.n))
+         / sqrt((s.s2 - (s.s1 * s.s1) / s.n) / (s.n - 1)) AS z
+FROM lineitem l JOIN stats s
+  ON s.l_returnflag = l.l_returnflag AND s.l_linestatus = l.l_linestatus
+""",
+    doc="Per-group z-score normalization of l_extendedprice — the "
+    "feature-scaling primitive. Group moments (sum, sum-of-squares) go "
+    "through EXACT decimal aggregation (the per-row square is one exact "
+    "DECIMAL multiply, the sums are associative) and leave the decimal "
+    "domain once via the string route, so mean/variance inputs are "
+    "bit-identical doubles in both engines; the remaining arithmetic "
+    "((x-mu)/sd with the textbook n-1 variance) is a fixed "
+    "parenthesization of IEEE ops written identically on both sides. "
+    "Shape at scale: one map-side-combinable aggregate over the fact "
+    "table; the groups-sized moment table broadcasts back onto the "
+    "scan — no second shuffle of the 100 TB side.",
+    tags=("agg", "window", "corpus"),
+)
+def zscore_by_group(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,6)")
+    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("string").cast("double").alias("s1"),
+        F.sum(dec * dec).cast("string").cast("double").alias("s2"),
+    )
+    z = (F.col("l_extendedprice") - (F.col("s1") / F.col("n"))) / F.sqrt(
+        (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return li.join(
+        F.broadcast(stats), ["l_returnflag", "l_linestatus"]
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        z.alias("z"),
+    )

@@ -307,3 +307,111 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str):
         share.cast("bigint").alias("share_milli"),
         weight.cast("bigint").alias("weight_milli"),
     )
+
+
+@register(
+    "corpus_mix_apply",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE length({_NORM_SQL})
+                       - length(replace({_NORM_SQL}, ' ', '')) + 1 END)
+              AS BIGINT) AS src_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_source
+), weights AS (
+  SELECT p.source,
+         CAST(CASE WHEN p.src_tokens = 0 THEN 0
+              ELSE floor((t.total_tokens * 1000.0)
+                         / (t.n_sources * p.src_tokens)) END AS BIGINT)
+           AS w_milli
+  FROM per_source p, tot t
+), planned AS (
+  SELECT d.doc_id, d.source,
+         (w.w_milli // 1000)
+         + CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 1000
+                     < (w.w_milli % 1000) THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN weights w ON w.source = d.source
+)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_in
+FROM planned
+GROUP BY 1
+""",
+    doc="Apply the mixture weights end-to-end: every document is "
+    "replicated floor(w) times plus one stochastic copy decided by a "
+    "deterministic multiplicative hash of doc_id against the fractional "
+    "part — upsampling AND downsampling from the same rule (w<1 keeps "
+    "a hash-selected fraction), no rand(), retry-safe. The engine "
+    "genuinely materializes the copies (sequence+explode — the "
+    "distributed row-replication idiom) and counts the result; the "
+    "oracle computes the same counts arithmetically, so the gate proves "
+    "explode(sequence(1, n_copies)) emits exactly n_copies rows per "
+    "doc. Weight table is sources-sized and broadcast; the scan side "
+    "stays narrow until the final count.",
+    tags=("corpus", "sampling", "composition"),
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    norm = _NORM(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    per_source = d.groupBy("source").agg(F.sum(ntok).alias("src_tokens"))
+    tot = per_source.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w_milli = (
+        F.when(F.col("src_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("total_tokens") * F.lit(1000.0))
+                / (F.col("n_sources") * F.col("src_tokens"))
+            )
+        )
+        .cast("bigint")
+    )
+    weights = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", w_milli.alias("w_milli")
+    )
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(1000)
+    n_copies = (F.col("w_milli") / F.lit(1000)).cast("bigint") + F.when(
+        h < F.col("w_milli") % 1000, F.lit(1)
+    ).otherwise(F.lit(0))
+    planned = d.select("doc_id", "source").join(
+        F.broadcast(weights), "source"
+    ).select("doc_id", "source", n_copies.alias("n_copies"))
+    # Materialize the replicas for real: one output row per copy.
+    replicated = planned.filter(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("__copy"),
+    )
+    # Left join from the planned side: a fully-downsampled source (zero
+    # replicas) must still report n_rows_out = 0, not vanish.
+    return (
+        planned.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_in"))
+        .join(
+            replicated.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_rows_out")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("n_rows_out"), F.lit(0)).alias("n_rows_out"),
+            "n_docs_in",
+        )
+    )
