@@ -230,3 +230,65 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bits: int = 4,
+) -> DataFrame:
+    """Contrastive-pair mining: for each anchor, the most similar
+    same-label candidate (the positive) and the most similar
+    DIFFERENT-label candidate (the hard negative) within the anchor's
+    sign-LSH bucket.
+
+    Output: (anchor_id, positive_id, negative_id) — anchors whose bucket
+    lacks either kind of candidate are dropped (inner semantics): a pair
+    is only useful to a contrastive loss when both sides exist.
+
+    Scale shape: identical to the bucketed near-dup join — candidates
+    come only from the anchor's bucket (~corpus/2^bits), scored with the
+    JVM-side fold, reduced by one min_by aggregate per role. No
+    all-pairs stage, no Python."""
+    b = sign_bucket(F.col(vec_col), bits)
+    cand = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("cand_vec"),
+        b.alias("bucket"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("anchor_vec"),
+        b.alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(a), "bucket")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            # min over [-cos, id]: max cosine, id-ascending tiebreak
+            F.array(
+                -cosine(F.col("anchor_vec"), F.col("cand_vec")),
+                F.col("cand_id").cast("double"),
+            ).alias("rank_key"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.min_by("cand_id", "rank_key").alias("positive_id"))
+    )
+    neg = (
+        scored.filter(F.col("cand_label") != F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.min_by("cand_id", "rank_key").alias("negative_id"))
+    )
+    return pos.join(neg, "anchor_id")

@@ -222,3 +222,60 @@ def table_profile(spark: SparkSession, sf_dir: str):
         "(column_name, n_nulls, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({{norm}}, ' ') AS tk
+  FROM documents
+  WHERE length({{norm}}) > 0
+)
+SELECT doc_id,
+       CAST(s.i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(tk, s.i * 40 + 1, s.i * 40 + 50), ' ')
+         AS chunk_text,
+       CAST(LEAST(len(tk) - s.i * 40, 50) AS BIGINT) AS n_tokens
+FROM toks,
+     unnest(range(0, CASE WHEN len(tk) <= 50 THEN 1
+                     ELSE CAST(ceil((len(tk) - 50) / 40.0) AS BIGINT) + 1
+                     END)) AS s(i)
+""".replace("{norm}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+    doc="Sliding-window document chunking (window 50 tokens, stride 40 — "
+    "10-token overlap), the context-length splitter every pre-training "
+    "pipeline runs before packing. Chunk count per doc is "
+    "ceil((n-50)/40)+1 (one chunk for short docs), so the LAST chunk is "
+    "the only short one and every token lands in >= 1 chunk. Pure "
+    "map-side: the token array never leaves the row until the final "
+    "explode, no shuffle at all — the narrow 100 TB shape. Slice "
+    "arithmetic is integer-only; text reassembly via array_join is "
+    "byte-identical on both engines.",
+    tags=("corpus", "packing", "text"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.split(F.col("norm"), " ").alias("tk"))
+    )
+    n = F.size("tk")
+    n_chunks = F.when(n <= 50, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(50)) / F.lit(40.0)).cast("bigint") + 1
+    )
+    chunked = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 40
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(F.slice("tk", start + 1, 50), " ").alias("chunk_text"),
+        F.least(F.size("tk") - start, F.lit(50)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )

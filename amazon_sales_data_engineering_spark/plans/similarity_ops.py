@@ -366,3 +366,59 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str):
     )
     a2 = assign(cent2, "c2")
     return a1.join(a2, "vec_id").select("vec_id", "c1", "c2")
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle="""
+WITH raw AS (
+  SELECT vec_id, label,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, bucket, e AS ae
+  FROM raw WHERE vec_id % 20 = 0
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, raw.vec_id AS cand_id, raw.label AS cand_label,
+         [-(list_sum(list_transform(range(1, len(ae) + 1), i -> ae[i] * e[i]))
+            / (sqrt(list_sum(list_transform(ae, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x))))),
+          CAST(raw.vec_id AS DOUBLE)] AS rank_key
+  FROM a JOIN raw USING (bucket)
+  WHERE raw.vec_id <> a.anchor_id
+), pos AS (
+  SELECT anchor_id, CAST((min(rank_key))[2] AS BIGINT) AS positive_id
+  FROM scored WHERE cand_label = anchor_label GROUP BY 1
+), neg AS (
+  SELECT anchor_id, CAST((min(rank_key))[2] AS BIGINT) AS negative_id
+  FROM scored WHERE cand_label <> anchor_label GROUP BY 1
+)
+SELECT pos.anchor_id, pos.positive_id, neg.negative_id
+FROM pos JOIN neg USING (anchor_id)
+""",
+    doc="Contrastive-pair mining for embedding training: per anchor "
+    "(vec_id % 20 = 0), the nearest same-label neighbor (positive) and "
+    "the nearest DIFFERENT-label neighbor (hard negative) from the "
+    "anchor's sign-LSH bucket — the standard batch-mining step that "
+    "turns a labeled embedding table into triplets. Bucketed candidate "
+    "generation (no all-pairs), broadcast anchors, one min_by aggregate "
+    "per role; cosine is the shared left-fold, argmax via the "
+    "[-cos, id] composite so ties break identically on both engines.",
+    tags=("similarity", "embedding", "corpus"),
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import hard_negatives
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        v,
+        anchors=v.filter(F.col("vec_id") % 20 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        bits=4,
+    )
