@@ -486,3 +486,52 @@ def zscore_by_group(spark: SparkSession, sf_dir: str):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         z.alias("z"),
     )
+
+
+@register(
+    "nullsafe_join_keys",
+    oracle="""
+WITH l AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey % 2 = 0
+), r AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_pairs,
+       CAST(SUM(CASE WHEN l.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_value_pairs,
+       COUNT(*) AS n_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+    doc="Null-safe equi-join semantics (Spark <=> / eqNullSafe vs SQL IS "
+    "NOT DISTINCT FROM): NULL keys MATCH each other instead of "
+    "disappearing — the semantic corner that silently loses or "
+    "multiplies rows when an engine treats it as plain equality. The "
+    "null-key population is deliberately non-trivial (every 97th key on "
+    "both sides) so the null-null cross-match contributes a quadratic "
+    "term the gate would catch if either engine dropped it. Spark still "
+    "plans this as a hash join (null-safe equality is hashable) — not a "
+    "nested loop.",
+    tags=("join", "semantics"),
+)
+def nullsafe_join_keys(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    k = F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(
+        F.col("c_custkey")
+    )
+    l = c.filter(F.col("c_custkey") % 2 == 0).select(k.alias("lk"))
+    r = c.filter(F.col("c_custkey") % 3 == 0).select(k.alias("rk"))
+    j = l.join(r, F.col("lk").eqNullSafe(F.col("rk")))
+    return j.agg(
+        F.sum(F.when(F.col("lk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_pairs"),
+        F.sum(F.when(F.col("lk").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_value_pairs"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

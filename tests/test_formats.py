@@ -79,3 +79,27 @@ def test_avro_probe_message(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/tmp/x", fmt="xml")
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads the union schema and back-fills NULLs for
+    old files — the append-only evolution pattern a long-lived table
+    needs (new pipeline version adds a field without rewriting history)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(path + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    v2.write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(merged.columns) == ["batch", "id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    # Without mergeSchema the footer of one file wins: reading must not
+    # be relied on for evolved history (documents why the option exists).
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) <= {"batch", "id", "name", "score"}
