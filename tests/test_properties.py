@@ -248,3 +248,66 @@ def test_scd2_idempotent_and_noop(spark):
     assert sorted(tuple(r) for r in twice.collect()) == rows  # idempotent
     current = [r for r in rows if r[4] == "Y"]
     assert sorted(r[0] for r in current) == [1, 2, 3]  # one current per key
+
+
+asof_left_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+)
+asof_right_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(left=asof_left_st, right=asof_right_st,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0, 3, 10]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol):
+    """Differential oracle: our union+window as-of (both directions, with
+    and without tolerance) must agree with pandas merge_asof — a wholly
+    independent single-node implementation."""
+    import pandas as pd
+
+    from amazon_sales_data_engineering_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, dt.date(2020, 1, 1) + dt.timedelta(days=d)) for k, d in left],
+        "k int, t date",
+    )
+    # right times must be unique per key for a deterministic value oracle
+    seen = set()
+    rrows = []
+    for k, d, v in right:
+        if (k, d) not in seen:
+            seen.add((k, d))
+            rrows.append((k, dt.date(2020, 1, 1) + dt.timedelta(days=d), v))
+    rdf = spark.createDataFrame(rrows, "k int, t date, v int")
+
+    got = sorted(
+        (r.k, r.t, r.v)
+        for r in asof_join(
+            ldf, rdf, "t", "t", by=["k"], right_cols=["v"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    )
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(2020, 1, 1) + pd.Timedelta(days=d)) for k, d in left],
+        columns=["k", "t"],
+    ).sort_values(["t", "k"], kind="stable")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t.year, t.month, t.day), v) for k, t, v in rrows],
+        columns=["k", "t", "v"],
+    ).sort_values(["t", "k"], kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(days=tol),
+        allow_exact_matches=True,
+    )
+    want = sorted(
+        (int(r.k), r.t.date(), None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples()
+    )
+    assert got == want
