@@ -79,3 +79,37 @@ def files_overlapping(
     """Files whose [min,max] intersects [lo,hi] — what a stats-aware
     planner would actually read for a between-predicate."""
     return [f for f, mn, mx in stats if not (mx < lo or mn > hi)]
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a directory of many small parquet files into few
+    right-sized ones — the small-files maintenance pass every long-lived
+    table needs (streaming sinks and per-batch appends produce files far
+    below the efficient scan size; metadata and task-scheduling overhead
+    then dominate reads at scale).
+
+    Row-count based sizing keeps the op deterministic without sampling
+    byte sizes: n_files = ceil(total_rows / target_rows_per_file).
+    With ``sort_cols`` the rewrite also applies the range-sorted
+    clustering layout (see write_sorted_layout), folding compaction and
+    re-clustering into one pass — what a nightly OPTIMIZE job does.
+    Returns the output file count."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = df.count()
+    n_files = max(1, math.ceil(total / target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

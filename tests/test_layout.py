@@ -75,3 +75,36 @@ def test_sorted_layout_rowgroup_pruning_in_scan(spark, tmp_path):
     # The predicate covers ~1/8 of the range; pruned scan returns only
     # that slice, proving the pushed filter + stats actually bite.
     assert 0 < n_sel < n_all / 4
+
+
+def test_compact_small_files(spark, tmp_path):
+    from amazon_sales_data_engineering_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    li = table(spark, SF_DIR_MID, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)  # the streaming-sink pathology
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact_small_files(
+        spark, src, dst, target_rows_per_file=20000, sort_cols=["l_shipdate"]
+    )
+    files = glob.glob(dst + "/*.parquet")
+    assert len(files) == n < 8
+
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    a = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
+    assert a == b
+
+    # compaction also restored the clustering layout
+    stats = sorted(parquet_file_stats(dst, "l_shipdate"), key=lambda t: t[1])
+    for (_, _, prev_max), (_, nxt_min, _) in zip(stats, stats[1:]):
+        assert prev_max <= nxt_min
