@@ -535,3 +535,80 @@ def nullsafe_join_keys(spark: SparkSession, sf_dir: str):
         .alias("n_value_pairs"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "pagerank_copurchase",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_nodes FROM nodes
+), pr0 AS (
+  SELECT node, CAST(1000000000000000 AS BIGINT) // n.n_nodes AS pf
+  FROM nodes, n
+), c1 AS (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr1 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000000000 AS BIGINT)) // (100 * n.n_nodes)
+         + (85 * COALESCE(c1.s, 0)) // 100 AS pf
+  FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node
+), c2 AS (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr2 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000000000 AS BIGINT)) // (100 * n.n_nodes)
+         + (85 * COALESCE(c2.s, 0)) // 100 AS pf
+  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node
+)
+SELECT node, CAST(pf AS BIGINT) AS pr_fixed,
+       CAST(pf AS DOUBLE) / CAST(1000000000000000 AS DOUBLE) AS pr
+FROM pr2
+""",
+    doc="PageRank, two synchronous rounds over the part co-purchase graph "
+    "(distinct symmetric part pairs within an order — fanout bounded by "
+    "order size, so edge construction is O(orders x items^2), never a "
+    "global cross join). Third member of the iterative-algorithm family "
+    "(connected components, k-means, PageRank), each with a different "
+    "fixpoint structure. Per round: one src-keyed join + one dst-keyed "
+    "aggregate — the two-shuffle step that scales to billions of edges. "
+    "Ranks live in FIXED-POINT integer units of 1e-15 (operators.graph."
+    "pagerank_rounds): every step is 64-bit integer multiply/divide/sum, "
+    "so results are bit-identical across engines BY CONSTRUCTION — no "
+    "float summation order, no decimal-string routing (whose Java "
+    "Double.toString quirk bit this query's first float-based draft), "
+    "and the aggregate stays a plain map-side-combinable integer SUM. "
+    "Quantization error <= outdeg ulps of 1e-15 per round: irrelevant "
+    "at ranking precision, and the price of determinism at 100 TB.",
+    tags=("graph", "iterative", "join", "agg"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import pagerank_rounds
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_rounds(edges, n_rounds=2, damping_pct=85)

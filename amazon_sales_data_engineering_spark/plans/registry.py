@@ -19,6 +19,17 @@ order-insensitive value hash), so:
   both engines, while direct double↔decimal conversions round differently
   (Spark HALF_UP on shortest-repr vs DuckDB on the exact binary value;
   DuckDB's 128-bit DECIMAL→DOUBLE is not correctly rounded at all);
+- CAVEAT on the string route: it needs the printed reprs to be CHARACTER-
+  identical, not merely round-trip-equal. Java 17's Double.toString is
+  shortest-UNIQUE but not always shortest (pre-JDK-19 algorithm); for a
+  small fraction of arbitrary computed doubles it emits an extra digit vs
+  DuckDB's Ryū output — both parse back to the same double, but as
+  DECIMALs they differ, and exact decimal SUMs then diverge in the last
+  ulp. The route is safe for values with bounded significant digits
+  (float32-derived: ≤9; money-typed data: scale ≤ 6) and was bitten by
+  unbounded doubles exactly once (PageRank draft). For unbounded doubles
+  crossing an aggregation, use fixed-point integers (pagerank_rounds) or
+  a sorted per-group fold instead;
 - no LIMIT without a total ORDER BY.
 """
 
