@@ -329,3 +329,101 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.sum("term").cast("bigint").alias("simhash"))
     )
+
+
+def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per document (first 15 hex chars of per-token md5).
+
+    Same construction as :func:`simhash16` but wide enough for Hamming-
+    distance blocking: 60 bits split into 4 × 15-bit bands gives 32768
+    buckets per band, so band-bucket fanout stays bounded as the corpus
+    grows (16-bit signatures max out at 16 buckets per nibble band — a
+    quadratic join in disguise). 60 rather than 64 keeps every
+    intermediate (2^59 max) inside a non-negative int64 in both engines.
+    The explode is 60× distinct tokens (bounded); one groupBy(id) shuffle.
+    Output: (id_col, simhash) with simhash in [0, 2^60).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias(
+            "tok"
+        ),
+    ).withColumn("h15", F.substring(F.md5(F.col("tok")), 1, 15))
+    # hex char i (1-based) of h15 contributes bits 4*(15-i) .. 4*(15-i)+3.
+    bit = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit")
+    exploded = toks.select(F.col(id_col), F.col("h15"), bit)
+    ch = F.substring(F.col("h15"), 15 - (F.col("bit") / 4).cast("int"), 1)
+    val = F.conv(ch, 16, 10).cast("int")
+    # 2^(bit % 4) and 2^bit (bit <= 59) are exact in double, so the
+    # pow-then-cast idiom stays engine-exact (powers of two only).
+    bitval = F.floor(val / F.pow(F.lit(2), F.col("bit") % 4)).cast("int") % 2
+    contrib = (bitval * 2 - 1).alias("contrib")
+    return (
+        exploded.select(F.col(id_col), F.col("bit"), contrib)
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            F.col(id_col),
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint"))
+            .otherwise(F.lit(0))
+            .alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term").cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= ``max_hamming`` (< 4) over a
+    60-bit signature, via pigeonhole band blocking (Manku et al.'s
+    multi-index simhash scheme).
+
+    The signature splits into 4 × 15-bit bands; two signatures within
+    Hamming distance 3 differ in at most 3 bits, so at least one band is
+    untouched — the (band_index, band_value) equi-join has EXACT recall
+    by construction, never an all-pairs scan. Band values come from
+    literal bit-shifts (no float division of >2^53 ints — that would
+    round differently per engine). Candidates sharing several bands are
+    deduped with one DISTINCT, then the distance is verified exactly
+    with bit_count(xor). Shuffles: one explode-join on (band, value) +
+    one distinct. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4 bands over 60 bits guarantee "
+            "recall only for Hamming distance <= 3; use more/narrower "
+            "bands for larger radii"
+        )
+    bands = sig.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.posexplode(
+            F.array(
+                F.col(sig_col) % 32768,
+                F.shiftright(F.col(sig_col), 15) % 32768,
+                F.shiftright(F.col(sig_col), 30) % 32768,
+                F.shiftright(F.col(sig_col), 45) % 32768,
+            )
+        ).alias("b", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "b", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "b", "band_val"
+    )
+    cand = (
+        a.join(b, ["b", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )

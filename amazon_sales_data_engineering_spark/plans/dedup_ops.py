@@ -276,3 +276,71 @@ def dedup_resolve_keepers(spark: SparkSession, sf_dir: str):
             (keeper == F.col("vec_id")).alias("is_keeper"),
         )
     )
+
+
+# 60-bit SimHash CTE (mirrors operators.dedup.simhash60: first 15 hex
+# chars of per-token md5, bit b taken from hex char 15 - b//4).
+_SIMHASH60_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok FROM norm),
+h AS (SELECT doc_id, substring(md5(tok), 1, 15) AS h15 FROM tok),
+bits AS (SELECT doc_id, h15, unnest(range(0, 60)) AS bit FROM h),
+vals AS (
+  SELECT doc_id, bit,
+         CAST(instr('0123456789abcdef',
+                    substring(h15, 15 - CAST(floor(bit / 4) AS INT), 1)) - 1 AS INT) AS val
+  FROM bits
+),
+contrib AS (
+  SELECT doc_id, bit,
+         (CAST(floor(val / power(2, bit % 4)) AS INT) % 2) * 2 - 1 AS c
+  FROM vals
+),
+sums AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id,
+         CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END AS term
+  FROM sums
+),
+sig AS (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS simhash FROM terms GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH {_SIMHASH60_CTE},
+bands AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * 15)) % 32768 AS band_val
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+    doc="SimHash near-dup PAIRS at Hamming distance <= 3 via pigeonhole "
+    "band blocking over a 60-BIT fingerprint (operators.dedup.simhash60 "
+    "+ simhash_hamming_pairs): 4 x 15-bit bands -> 32768 buckets per "
+    "band, so candidate fanout stays bounded as the corpus grows (the "
+    "16-bit signature of dedup_simhash can only support equal-bucket "
+    "grouping — its nibble bands would be a quadratic join in "
+    "disguise). Distance 3 cannot touch all 4 bands, so the "
+    "(band, value) equi-join has exact recall; bit_count(xor) verifies "
+    "exactly. Band values via literal bit-shifts — integer end-to-end, "
+    "no >2^53 doubles. The 64-bit production variant is the same shape "
+    "with 4 x 16-bit bands.",
+    tags=("dedup", "simhash", "lsh", "join"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import simhash60, simhash_hamming_pairs
+
+    sig = simhash60(t_cpu(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash_hamming_pairs(sig, id_col="doc_id", max_hamming=3)
