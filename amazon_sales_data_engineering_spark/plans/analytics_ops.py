@@ -612,3 +612,56 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return pagerank_rounds(edges, n_rounds=2, damping_pct=85)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       tri.n_triangles
+FROM tri
+""",
+    doc="Triangle counting over the part co-purchase graph (fourth member "
+    "of the iterative/graph family). The engine orients every edge from "
+    "its lower-(degree, id) endpoint (operators.graph.triangle_count — "
+    "Suri-Vassilvitskii degree orientation), which caps per-node wedge "
+    "fanout at O(sqrt(|E|)) regardless of hub skew; the oracle counts "
+    "the same triangles with the naive id-orientation (b > a, c > b) — "
+    "a genuinely different plan that must agree exactly. Counts are "
+    "integers; co-purchase edges are bounded by order size as in "
+    "pagerank_copurchase.",
+    tags=("graph", "join", "agg"),
+    bench=True,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -252,3 +252,95 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str):
             "total_value",
         )
     )
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), seq AS (
+  SELECT user_id, d,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS rn
+  FROM days
+), streaks AS (
+  SELECT user_id, d - rn AS anchor, COUNT(*) AS len
+  FROM seq GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_streaks,
+       CAST(SUM(len) AS INT) AS n_active_days,
+       CAST(MAX(len) AS INT) AS max_streak_days
+FROM streaks GROUP BY 1
+""",
+    doc="Gaps-and-islands: per-user consecutive-day activity streaks via "
+    "the date-minus-row_number anchor trick (consecutive days share one "
+    "anchor; any gap shifts it). Shape at scale: the distinct "
+    "(user, day) grid is a map-side-combinable aggregate that shrinks "
+    "events by the per-day event multiplicity BEFORE the one sort "
+    "shuffle on user_id; the window is per-user (no global ordering), "
+    "then two more map-side aggregates. Dates and integer counts only "
+    "— engine-exact.",
+    tags=("events", "window", "islands"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id", "d", F.row_number().over(w).cast("int").alias("rn")
+    )
+    streaks = (
+        seq.select("user_id", F.date_sub(F.col("d"), F.col("rn")).alias("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.sum("len").cast("int").alias("n_active_days"),
+        F.max("len").cast("int").alias("max_streak_days"),
+    )
+
+
+@register(
+    "events_cdc_apply",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, value AS last_value,
+       ts AS updated_at
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="CDC log compaction: treat events as a change log per user_id — "
+    "last writer wins on the (ts, event_id) total order, and a final "
+    "'error' event acts as a delete tombstone (the key is absent from "
+    "the compacted state). This is the MERGE-free apply shape used by "
+    "log-structured tables: ONE window per key (no join against the "
+    "previous snapshot), deterministic tie-break, arbitrarily "
+    "re-runnable. value passes through unaggregated (same IEEE double "
+    "on both engines).",
+    tags=("events", "cdc", "window"),
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id", "event_type", "value", "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
