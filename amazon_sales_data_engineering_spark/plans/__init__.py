@@ -16,6 +16,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     packing_ops,
     parity,
     pipeline_ops,
+    quality_ops,
     similarity_ops,
     subquery_ops,
     temporal_ops,

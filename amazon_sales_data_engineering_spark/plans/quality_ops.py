@@ -1,0 +1,241 @@
+"""Warehouse-operations queries: declarative data-quality auditing,
+snapshot reconciliation, and the semi-join-reducer join pattern.
+
+These are the operations a table owner runs continuously at 100 TB:
+Deequ-style constraint checks (one pass, no per-rule scans), checksum
+table diffs between snapshots (the anti-entropy primitive behind
+replication checks and CDC backfills), and runtime pre-filtering of a
+big probe side by a compact digest of the build side (what Spark's own
+runtime bloom filter / Trino's dynamic filtering do — expressed here as
+an explicit, engine-portable plan).
+
+Determinism: counts and booleans are integers; row fingerprints hash
+string/integer renderings only (never floats — double formatting is the
+one place engines disagree, see plans.registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+# Revenue idiom (see plans.registry): exact decimal sum, then one
+# deterministic decimal->double conversion.
+_REVENUE_SQL = (
+    "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8)))"
+    " AS DECIMAL(25,6)) AS DOUBLE)"
+)
+
+
+def _revenue_sum():
+    return (
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(25,8)"
+            )
+        )
+        .cast("decimal(25,6)")
+        .cast("double")
+    )
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+WITH scan AS (
+  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_range
+  FROM orders
+), ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_ri
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null_custkey' AS rule, v_null AS n_violations FROM scan
+  UNION ALL SELECT 'pk_unique_orderkey', v_pk FROM scan
+  UNION ALL SELECT 'domain_orderstatus', v_domain FROM scan
+  UNION ALL SELECT 'range_totalprice_positive', v_range FROM scan
+  UNION ALL SELECT 'ri_orders_customer', v_ri FROM ri
+)
+""",
+    doc="Declarative data-quality audit (the Deequ/expectations pattern): "
+    "not-null, primary-key uniqueness, value domain, numeric range, and "
+    "referential integrity, reported as one (rule, violations, passed) "
+    "row each. Shape at 100 TB: the four scan rules share ONE pass over "
+    "the table (a single aggregate computing all four counters — never "
+    "a scan per rule); RI is the only rule that needs a second input "
+    "and runs as a left-anti count against the dimension (broadcast "
+    "when small). Integer counters only.",
+    tags=("quality", "audit", "agg"),
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    scan = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_pk"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_range"),
+    )
+    scan_rules = scan.select(
+        F.expr(
+            "stack(4, "
+            "'not_null_custkey', v_null, "
+            "'pk_unique_orderkey', v_pk, "
+            "'domain_orderstatus', v_domain, "
+            "'range_totalprice_positive', v_range) AS (rule, n_violations)"
+        )
+    )
+    ri = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("ri_orders_customer").alias("rule"), "n_violations")
+    )
+    return scan_rules.unionByName(ri).select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+# Synthetic snapshot pair derived deterministically from orders:
+#   v1 drops keys ≡ 4 (mod 5)  — rows "removed" in v1's view
+#   v2 drops keys ≡ 0 (mod 5)  — those count as removed vs v1
+#   v2 rewrites o_orderpriority for keys ≡ 0 (mod 3) — "changed"
+# The fingerprint hashes string/integer columns only.
+_FP_SQL = (
+    "md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || {prio}"
+    " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
+)
+
+
+@register(
+    "table_diff_reconcile",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, {_FP_SQL.format(prio="o_orderpriority")} AS fp
+  FROM orders WHERE o_orderkey % 5 <> 4
+), v2 AS (
+  SELECT o_orderkey AS k,
+         {_FP_SQL.format(prio="CASE WHEN o_orderkey % 3 = 0 THEN 'CHANGED' ELSE o_orderpriority END")} AS fp
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+  SELECT CASE WHEN v2.k IS NULL THEN 'removed'
+              WHEN v1.k IS NULL THEN 'added'
+              WHEN v1.fp <> v2.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+GROUP BY status
+""",
+    doc="Snapshot reconciliation (anti-entropy table diff): two versions "
+    "of a table are compared by primary key with a per-row md5 "
+    "fingerprint — one full-outer join classifies every key as added / "
+    "removed / changed / unchanged, without ever comparing columns "
+    "pairwise. This is the primitive behind replication verification, "
+    "CDC backfill validation, and migration sign-off. At 100 TB the "
+    "join is the only shuffle, and disappears entirely when both "
+    "snapshots are written bucketed by key (operators.skew."
+    "write_bucketed); fingerprints hash string/integer renderings only "
+    "— doubles never enter the hash (engine formatting differs).",
+    tags=("quality", "diff", "join", "outer"),
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+
+    def fingerprint(prio):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                prio,
+                F.col("o_orderdate").cast("date").cast("string"),
+            )
+        )
+
+    v1 = o.filter(F.col("o_orderkey") % 5 != 4).select(
+        F.col("o_orderkey").alias("k"),
+        fingerprint(F.col("o_orderpriority")).alias("fp"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        fingerprint(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("CHANGED")).otherwise(
+                F.col("o_orderpriority")
+            )
+        ).alias("fp"),
+    )
+    status = (
+        F.when(v2["k"].isNull(), "removed")
+        .when(v1["k"].isNull(), "added")
+        .when(v1["fp"] != v2["fp"], "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, v1["k"] == v2["k"], "outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+@register(
+    "dynamic_filter_join",
+    oracle=f"""
+SELECT p_brand AS brand, {_REVENUE_SQL} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size = 1
+GROUP BY 1
+""",
+    doc="Semi-join reducer (dynamic filtering / runtime bloom filter, "
+    "expressed as an explicit plan): the selective build side "
+    "(p_size = 1, ~2% of part) is digested to its DISTINCT hash "
+    "buckets — a fixed-size set (<= 8192 values) that broadcasts no "
+    "matter how large the dimension grows — and the fact scan is "
+    "pre-filtered by a broadcast join on bucket BEFORE the real "
+    "shuffle join, so ~98% of probe rows never enter the exchange. "
+    "False positives (bucket collisions) are removed by the exact join "
+    "that follows; false negatives are impossible (same hash both "
+    "sides) — which is precisely what the oracle proves, since it "
+    "computes the PLAIN join with no filter logic. Same aggregate "
+    "idiom as the star queries.",
+    tags=("join", "runtime-filter", "broadcast", "agg"),
+    bench=True,
+)
+def dynamic_filter_join(spark: SparkSession, sf_dir: str):
+    dim = t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+
+    def bucket(key):
+        return (key * F.lit(2654435761)) % F.lit(8192)
+
+    buckets = dim.select(bucket(F.col("p_partkey")).alias("bucket")).distinct()
+    fact = t(spark, sf_dir, "lineitem").withColumn(
+        "bucket", bucket(F.col("l_partkey"))
+    )
+    prefiltered = fact.join(F.broadcast(buckets), "bucket").drop("bucket")
+    return (
+        prefiltered.join(dim, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            _revenue_sum().alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
