@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     parity,
     pipeline_ops,
     quality_ops,
+    reshape_ops,
     similarity_ops,
     subquery_ops,
     temporal_ops,

@@ -1,0 +1,144 @@
+"""Reshaping and distribution-profiling plans: unpivot (wide→long melt),
+windowed distribution statistics (percent_rank / cume_dist / ntile
+binning), and heavy-hitter key-skew profiling.
+
+The reference's consumption layer pivots metrics into wide reports
+(/root/reference/step_5_curated_to_consumption.py:460-591 builds
+column-per-measure fact tables); the inverse melt and the distribution
+profile are the missing halves of that reshaping surface, and the skew
+profile is the planning input for the salting/bucketing operators
+(operators/skew.py) — at 100 TB you profile key skew BEFORE choosing a
+join strategy, not after the stage straggles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import decimal_sum
+from .registry import register
+from .util import t
+
+
+@register(
+    "unpivot_status_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))
+""",
+    doc="Wide→long melt via DataFrame.unpivot (SQL UNPIVOT / pandas melt): "
+    "the inverse of the consumption layer's pivoted reports. Spark lowers "
+    "unpivot to a per-row Expand (each input row emits one row per value "
+    "column) — a narrow, map-side operation with no shuffle beyond the "
+    "upstream aggregate. total_price goes through the exact decimal-sum "
+    "idiom before melting so the three metrics share one DOUBLE type "
+    "deterministically.",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str):
+    wide = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            decimal_sum("o_totalprice", alias="total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "window_rank_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       ntile(10) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+""",
+    doc="Distribution ranks per status: percent_rank ((rank-1)/(n-1)) and "
+    "cume_dist (peers_cum/n) are single IEEE divisions of exact integers "
+    "— deterministic across engines without any float idiom; ntile gets "
+    "the full (price, key) tiebreak because bucket assignment depends on "
+    "ROW order, not value order. One sort shuffle on the status key "
+    "serves all three window functions (same partitioning, compatible "
+    "ordering).",
+    tags=("window", "rank"),
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wt = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(wt).alias("decile"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS total, COUNT(DISTINCT l_partkey) AS n_keys FROM lineitem
+)
+SELECT f.key, f.cnt,
+       (f.cnt * 1000000) // t.total AS share_ppm,
+       (f.cnt * t.n_keys * 100) // t.total AS x_avg_pct
+FROM freq f CROSS JOIN tot t
+ORDER BY f.cnt DESC, f.key
+LIMIT 20
+""",
+    doc="Heavy-hitter key-skew profile of the lineitem join key: top-20 "
+    "keys by frequency with integer-exact share (ppm) and multiple-of-"
+    "average (pct) — the planning input that decides between plain "
+    "shuffle join, AQE skew split, and operators.skew.salted_join. All "
+    "arithmetic is 64-bit integer multiply/floor-divide (bit-identical "
+    "across engines). Shape at scale: one map-side-combinable count "
+    "aggregate + a global top-k (Spark TakeOrdered — per-partition heap, "
+    "no full sort); the totals row broadcasts.",
+    tags=("profile", "skew", "agg"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("l_partkey").alias("n_keys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            # `div` is Spark's INTEGER division — bit-identical to DuckDB's
+            # `//` on positives; float `/`-then-cast could round across an
+            # integer boundary.
+            F.expr("(cnt * 1000000) div total").alias("share_ppm"),
+            F.expr("(cnt * n_keys * 100) div total").alias("x_avg_pct"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(20)
+    )
