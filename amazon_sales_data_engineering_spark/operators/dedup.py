@@ -427,3 +427,65 @@ def simhash_hamming_pairs(
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
+
+
+def prefix_filter_candidates(
+    shingle_df: DataFrame, id_col: str, threshold_pct: int
+) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.
+
+    The third candidate-generation strategy next to MinHash-LSH
+    (probabilistic recall) and the stop-shingle-capped inverted index
+    (exact but df-bounded): prefix filtering is EXACT-recall and
+    sub-quadratic. Order each document's token set by ascending global
+    document frequency (rarest first, token text as tiebreak — one global
+    total order shared by all docs), and keep only the first
+    ``p = n - ceil(t*n) + 1`` tokens as the document's *prefix*. Any pair
+    with Jaccard >= t MUST share at least one prefix token (pigeonhole:
+    disjoint prefixes leave fewer than ceil(t*n) tokens to overlap), so
+    joining on prefix tokens alone loses no qualifying pair. Because
+    prefixes hold each document's RAREST tokens, the join keys are
+    low-frequency by construction — the hot-key blow-up the stop-shingle
+    cap exists for cannot arise here. A size filter
+    (100*min(n) >= t_pct*max(n), integer) prunes pairs no verify could
+    accept (Jaccard <= min/max size ratio).
+
+    ``threshold_pct`` is an integer percentage so the prefix-length and
+    size-filter arithmetic is 64-bit integer only (bit-identical across
+    engines): ceil(t*n) = (t_pct*n + 99) div 100.
+
+    Shape at scale: two map-side-combinable aggregates (token df, doc
+    size), one per-doc sort window for prefix positions, one equi-join on
+    (rare) prefix tokens + DISTINCT. Feed the output to ``jaccard_pairs``
+    as ``candidates`` for exact verification.
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct={threshold_pct} not in [1, 100]")
+    freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = (
+        shingle_df.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix_len = F.col("n") - F.expr(
+        f"({threshold_pct} * n + 99) div 100"
+    ) + F.lit(1)
+    prefix = ranked.filter(F.col("pos") <= prefix_len)
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(100) * F.least("na", "nb")
+            >= F.lit(threshold_pct) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
