@@ -489,3 +489,83 @@ def prefix_filter_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def passage_windows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """ALL overlapping k-token windows of the normalized text — unlike
+    ``shingles`` these are NOT deduplicated, because passage mining counts
+    occurrences. Narrow transform (no shuffle). Output: (id_col, passage)."""
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(win).alias("passage"))
+
+
+def repeated_passages(
+    windows: DataFrame, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document repeated-passage mining (the C4/Pile-style exact
+    substring dedup signal): group ALL k-token windows by content hash and
+    keep passages appearing in >= min_docs distinct documents.
+
+    Deliberately a pure aggregate — hot passages (boilerplate, licenses)
+    produce ONE output row with large counts, never a pair explosion, so
+    the op is scale-safe on any corpus: one map-side-combinable groupBy
+    on the passage hash. Output: (passage_hash, n_docs, n_occurrences,
+    first_doc).
+    """
+    return (
+        windows.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def passage_dup_fraction(
+    windows: DataFrame, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-passage fraction — the actual filter signal
+    a training-data pipeline thresholds on ("drop docs >30% duplicated").
+
+    A window counts as duplicated when its passage appears in >= min_docs
+    distinct documents. The duplicated-passage set is an aggregate
+    (bounded by distinct passages), joined back onto the window stream by
+    content hash — an equi-join, no pairwise stage. dup_ppm is integer
+    arithmetic (bit-identical across engines). Documents shorter than k
+    tokens have no windows and are absent by construction.
+    Output: (id_col, n_windows, n_dup_windows, dup_ppm).
+    """
+    hashed = windows.select(
+        F.col(id_col), F.md5("passage").alias("passage_hash")
+    )
+    dup = (
+        hashed.groupBy("passage_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("passage_hash")
+    )
+    flagged = hashed.join(
+        dup.withColumn("__dup", F.lit(1)), "passage_hash", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__dup").alias("n_dup_windows"),
+        )
+        .withColumn("dup_ppm", F.expr("(n_dup_windows * 1000000) div n_windows"))
+    )

@@ -384,3 +384,68 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str):
     tok = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=1)
     cand = prefix_filter_candidates(tok, "doc_id", threshold_pct=60)
     return jaccard_pairs(tok, "doc_id", threshold=0.6, candidates=cand)
+
+
+_WINDOWS8 = f"""
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 8
+                     THEN [array_to_string(ws[i:i+7], ' ')
+                           FOR i IN range(1, len(ws) - 6)]
+                     ELSE [] END) AS passage
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+"""
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=f"""
+WITH win AS ({_WINDOWS8})
+SELECT md5(passage) AS passage_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM win
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="Cross-document repeated-passage mining (8-token windows, NOT "
+    "deduplicated within a doc): the exact-substring dedup signal behind "
+    "C4/Pile-style corpus cleaning. Pure aggregate on the passage hash — "
+    "boilerplate passages yield one row with big counts, never a pair "
+    "blow-up, so the shape survives any corpus skew.",
+    tags=("dedup", "corpus"),
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import passage_windows, repeated_passages
+
+    win = passage_windows(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=8)
+    return repeated_passages(win, "doc_id", min_docs=2)
+
+
+@register(
+    "dedup_passage_fraction",
+    oracle=f"""
+WITH win AS ({_WINDOWS8}),
+hashed AS (SELECT doc_id, md5(passage) AS passage_hash FROM win),
+dup AS (
+  SELECT passage_hash FROM hashed
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(d.passage_hash) AS n_dup_windows,
+       (COUNT(d.passage_hash) * 1000000) // COUNT(*) AS dup_ppm
+FROM hashed h LEFT JOIN dup d ON d.passage_hash = h.passage_hash
+GROUP BY 1
+""",
+    doc="Per-document duplicated-passage fraction (integer ppm) — the "
+    "thresholdable filter signal ('drop docs more than 30% duplicated "
+    "elsewhere'). Duplicated-passage set is an aggregate joined back by "
+    "content hash; no pairwise stage anywhere.",
+    tags=("dedup", "corpus", "quality"),
+)
+def dedup_passage_fraction(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import passage_dup_fraction, passage_windows
+
+    win = passage_windows(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=8)
+    return passage_dup_fraction(win, "doc_id", min_docs=2)
