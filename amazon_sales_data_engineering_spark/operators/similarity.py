@@ -292,3 +292,51 @@ def hard_negatives(
         .agg(F.min_by("cand_id", "rank_key").alias("negative_id"))
     )
     return pos.join(neg, "anchor_id")
+
+
+def blocked_fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: candidate pairs share a blocking
+    key, then survive an edit-distance (Levenshtein) threshold.
+
+    Blocking is the standard ER recall/cost trade: only within-block pairs
+    are compared, so cost is sum(block_size^2) instead of n^2 — callers
+    pick block keys that bound block size (brand+size, sorted-neighborhood
+    windows, phonetic keys). The contract is explicitly *within-block*
+    recall; pairs split across blocks are not found (that is what the
+    blocking key means, not a bug).
+
+    Spark-side the distance uses the THRESHOLDED levenshtein (early-exits
+    once the running distance exceeds ``max_dist`` — O(d·min(len)) per
+    pair instead of O(len^2)), returning -1 above threshold; the filter
+    keeps 0..max_dist. Output: (id_a, id_b, name_a, name_b, dist),
+    id_a < id_b.
+    """
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("name_a"),
+    )
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b", max_dist)
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            dist.alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

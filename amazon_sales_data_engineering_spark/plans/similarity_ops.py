@@ -422,3 +422,35 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str):
         label_col="label",
         bits=4,
     )
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+""",
+    doc="Entity-resolution fuzzy self-join on part names: blocking on "
+    "(brand, size) bounds candidate pairs to sum(block_size^2), then a "
+    "THRESHOLDED Levenshtein (early-exit above 12, linear-band DP) keeps "
+    "near-identical names. The within-block recall contract is the "
+    "standard ER trade; the oracle applies the identical blocking, so "
+    "the gate proves the Spark thresholded-levenshtein(-1 sentinel) "
+    "path equals the plain distance filter.",
+    tags=("similarity", "join", "fuzzy"),
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import blocked_fuzzy_self_join
+
+    return blocked_fuzzy_self_join(
+        t_cpu(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=["p_brand", "p_size"],
+        max_dist=12,
+    )
