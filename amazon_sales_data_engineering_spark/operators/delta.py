@@ -21,3 +21,35 @@ def new_rows(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataF
     when it is dim-sized (the common case for delta loads)."""
     probe = existing.select(*keys).dropDuplicates(keys)
     return incoming.join(F.broadcast(probe), keys, "left_anti")
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | F.Column,
+    broadcast_deltas: bool = False,
+) -> DataFrame:
+    """View delta for the join view V = A ⋈ B under inserts on BOTH sides:
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    The three terms partition the new output pairs by which side each row
+    came from, so V_old ∪ ΔV equals the full recompute exactly — no row
+    duplicated, none lost (the standard incremental view-maintenance
+    algebra for insert-only deltas).
+
+    At 100 TB this is the difference between touching |Δ|-proportional
+    data and re-joining two full tables: with ``broadcast_deltas`` the two
+    cross terms broadcast the (daily-increment-sized) delta against the
+    big old side, which is scanned but never shuffled; the Δ⋈Δ term is
+    delta-sized on both sides.
+    """
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(b_delta, on))
+    )

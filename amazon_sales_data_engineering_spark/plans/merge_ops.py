@@ -173,3 +173,51 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str):
             F.sum("total_dec").cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "delta_join_view",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderpriority,
+       l.l_extendedprice
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+""",
+    doc="Incremental JOIN-view maintenance (insert-only deltas on BOTH "
+    "sides): orders split at 1997-01-01 order date, lineitem split at "
+    "1997-03-01 ship date; the maintained view is "
+    "V_old ∪ (ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL) via operators.delta."
+    "delta_join, with deltas broadcast so the big old sides are scanned "
+    "but never shuffled. The oracle is the from-scratch full join — "
+    "proving the delta algebra neither duplicates nor drops a pair. "
+    "Complements rollup_incremental_merge (aggregate views) with the "
+    "join-view half of incremental materialization.",
+    tags=("merge", "incremental", "join"),
+)
+def delta_join_view(spark: SparkSession, sf_dir: str):
+    from ..operators.delta import delta_join
+    from .util import ts_lit
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    o_split = ts_lit(o, "o_orderdate", "1997-01-01")
+    l_split = ts_lit(li, "l_shipdate", "1997-03-01")
+    o_old = o.filter(F.col("o_orderdate") < o_split)
+    o_new = o.filter(F.col("o_orderdate") >= o_split)
+    l_old = li.filter(F.col("l_shipdate") < l_split)
+    l_new = li.filter(F.col("l_shipdate") >= l_split)
+    cols = [
+        "o_orderkey", "l_linenumber", "o_custkey", "o_orderpriority",
+        "l_extendedprice",
+    ]
+    v_old = o_old.join(l_old, "o_orderkey").select(*cols)
+    dv = delta_join(
+        o_old, o_new, l_old, l_new, on=["o_orderkey"], broadcast_deltas=True
+    ).select(*cols)
+    return v_old.unionByName(dv)
