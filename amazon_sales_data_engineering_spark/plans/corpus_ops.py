@@ -386,3 +386,45 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str):
         & (ttr_milli >= 300)
     )
     return d.select("doc_id", verdict.alias("verdict"), keep.alias("keep"))
+
+
+@register(
+    "cv_folds_content_keyed",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(f, 1, 1)) - 1) * 4096
+       + (instr('0123456789abcdef', substr(f, 2, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substr(f, 3, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(f, 4, 1)) - 1) AS h
+  FROM fp
+)
+SELECT doc_id, CAST(h % 5 AS INT) AS fold,
+       CASE WHEN h % 5 = 0 THEN 'test' ELSE 'train' END AS split
+FROM v
+""",
+    doc="Leakage-safe cross-validation fold assignment: the fold is a "
+    "function of the CONTENT fingerprint (md5 of normalized text, first "
+    "16 bits mod 5), not the row id — exact duplicates land in the same "
+    "fold by construction, so a dup can never sit in train while its "
+    "twin sits in test (the classic eval-contamination bug id-keyed "
+    "splits have). Deterministic across engines, retries, and re-runs; "
+    "pure map-side projection, zero shuffle. The 2^16 mod 5 bias is "
+    "~0.002% — irrelevant for splitting.",
+    tags=("corpus", "sampling", "ml"),
+)
+def cv_folds_content_keyed(spark: SparkSession, sf_dir: str):
+    from ..functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(fingerprint("text"), 1, 4), 16, 10).cast("bigint")
+    fold = (h % 5).cast("int")
+    return d.select(
+        "doc_id",
+        fold.alias("fold"),
+        F.when(fold == 0, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
