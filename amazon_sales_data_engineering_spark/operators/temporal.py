@@ -212,3 +212,56 @@ def range_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return p.join(iv, "__cell").filter(cond).drop("__cell")
+
+
+def interval_union_length(
+    df: DataFrame,
+    by: list[str],
+    start_col: str,
+    end_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key total length of the UNION of (possibly overlapping)
+    integer intervals [start, end) — "how many distinct seconds was this
+    user active" — plus the count of maximal merged islands.
+
+    Classic sweep as two windows over ONE sort shuffle on the key:
+    running max of interval ends over preceding rows detects island
+    starts (start > max end so far ⇒ gap), a running sum of those flags
+    numbers the islands; per-island length is max(end) - min(start).
+    All integer arithmetic. Empty ``by`` is rejected — it would degrade
+    to a single-partition global window (same guard as asof_join).
+
+    Output: by + (covered_len, n_islands, n_intervals).
+    """
+    if not by:
+        raise ValueError(
+            "interval_union_length(by=[]) would run one global "
+            "single-partition window; partition by a key, or add a "
+            "constant bucket column deliberately"
+        )
+    tie = order_tiebreak or []
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(start_col, *tie)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy(start_col, *tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_end = F.max(end_col).over(w_prev)
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.withColumn("__island", F.sum(new_island).over(w_run))
+    per_island = islands.groupBy(*by, "__island").agg(
+        (F.max(end_col) - F.min(start_col)).alias("__len"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per_island.groupBy(*by).agg(
+        F.sum("__len").alias("covered_len"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("__n").alias("n_intervals"),
+    )

@@ -250,3 +250,69 @@ def resample_ffill_daily(spark: SparkSession, sf_dir: str):
         F.last(F.col("dl.tot"), ignorenulls=True).over(w).alias("total_ff"),
         F.col("dl.d").isNotNull().alias("observed"),
     )
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni,
+         event_id
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len, COUNT(*) AS n
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       SUM(len) AS covered_len,
+       COUNT(*) AS n_islands,
+       SUM(n) AS n_intervals
+FROM per_island
+GROUP BY 1
+""",
+    doc="Interval-union coverage per user: each event opens a 30-minute "
+    "activity interval; overlaps merge (sweep via running-max window) "
+    "and the answer is the union's total seconds + maximal-island count "
+    "— 'how long was the user actually active', the quantity naive "
+    "SUM(duration) double-counts. operators.temporal.interval_union_"
+    "length: two windows + two aggregates over ONE sort shuffle on the "
+    "user key; all integer epoch arithmetic (timestampdiff on NTZ = "
+    "wall-clock seconds = DuckDB epoch()).",
+    tags=("temporal", "events", "window"),
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str):
+    from ..operators.temporal import interval_union_length
+
+    e = t(spark, sf_dir, "events")
+    # NTZ literal — a plain TIMESTAMP literal is LTZ and coercing the NTZ
+    # event column to it would shift by the session timezone.
+    s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(1800)).alias("e"),
+    )
+    return interval_union_length(
+        iv, by=["user_id"], start_col="s", end_col="e",
+        order_tiebreak=["event_id"],
+    )
