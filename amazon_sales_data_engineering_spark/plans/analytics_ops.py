@@ -665,3 +665,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return triangle_count(edges)
+
+
+@register(
+    "assoc_rules_copurchase",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket
+), item AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.n_both, ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_both AS DOUBLE) / n.n_orders AS support,
+       CAST(p.n_both AS DOUBLE) / ia.n_item AS confidence,
+       CAST(p.n_both * n.n_orders AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE)
+         AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.n_both >= 2
+""",
+    doc="Market-basket association rules over order baskets: co-occurrence "
+    "pairs (min support 2 orders) with support / confidence / lift. Pair "
+    "generation is the within-basket self-join — fanout bounded by "
+    "basket size, never a global cross join; counts are exact integers "
+    "and each measure is ONE IEEE division of exact-in-double integer "
+    "products (n_both*n_orders <= 2^53), so no decimal routing is "
+    "needed. Shape at scale: two map-side-combinable aggregates + the "
+    "basket self-join; the item-frequency table is dimension-sized and "
+    "broadcasts onto the pair stream.",
+    tags=("agg", "join", "basket"),
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str):
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

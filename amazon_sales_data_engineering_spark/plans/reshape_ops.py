@@ -142,3 +142,81 @@ def key_skew_profile(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("cnt").desc(), "key")
         .limit(20)
     )
+
+
+@register(
+    "winsorize_by_status",
+    oracle="""
+WITH bounds AS (
+  SELECT o_orderstatus,
+         PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p05,
+         PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+       LEAST(GREATEST(o.o_totalprice, b.p05), b.p95) AS winsorized,
+       o.o_totalprice < b.p05 OR o.o_totalprice > b.p95 AS was_clipped
+FROM orders o JOIN bounds b ON b.o_orderstatus = o.o_orderstatus
+""",
+    doc="Winsorized robust scaling: per-status p05/p95 fences via exact "
+    "PERCENTILE_DISC (fence values are actual data members — zero "
+    "interpolation arithmetic, engine-exact by construction), outliers "
+    "clamped with least/greatest (pure selection, no float math at "
+    "all). The groups-sized bounds table broadcasts back onto the scan; "
+    "one aggregate shuffle total.",
+    tags=("agg", "profile", "corpus"),
+)
+def winsorize_by_status(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p95"),
+    )
+    return o.join(F.broadcast(bounds), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+        ).alias("winsorized"),
+        (
+            (F.col("o_totalprice") < F.col("p05"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        ).alias("was_clipped"),
+    )
+
+
+@register(
+    "ratio_to_report",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       o_totalprice
+         / CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     OVER (PARTITION BY o_orderstatus) AS VARCHAR) AS DOUBLE)
+         AS share_of_status
+FROM orders
+""",
+    doc="Ratio-to-report: each order's share of its status group's total — "
+    "the percent-of-total window idiom. The group total goes through the "
+    "exact decimal window SUM and leaves via the string route "
+    "(bit-identical double in both engines); the share is then one IEEE "
+    "division. One window shuffle on the group key, no second pass.",
+    tags=("window", "agg"),
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_orderstatus")
+    total = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") / total).alias("share_of_status"),
+    )
