@@ -462,12 +462,15 @@ def prefix_filter_candidates(
     if not 1 <= threshold_pct <= 100:
         raise ValueError(f"threshold_pct={threshold_pct} not in [1, 100]")
     freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    # Set size via an unordered count window over the SAME doc-keyed sort
+    # shuffle that computes prefix positions — no separate sizes aggregate
+    # + join.
+    w_all = Window.partitionBy(id_col)
     ranked = (
         shingle_df.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
-        .join(sizes, id_col)
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
     )
     prefix_len = F.col("n") - F.expr(
         f"({threshold_pct} * n + 99) div 100"

@@ -703,6 +703,7 @@ WHERE p.n_both >= 2
     "basket self-join; the item-frequency table is dimension-sized and "
     "broadcasts onto the pair stream.",
     tags=("agg", "join", "basket"),
+    bench=True,
 )
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str):
     basket = (

@@ -349,41 +349,42 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str):
 @register(
     "dedup_prefix_jaccard",
     oracle=f"""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS shingle
-  FROM documents
-),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+WITH sh AS ({_SHINGLES}),
+{_JACCARD_TAIL}
 SELECT id_a, id_b,
        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
 FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
 """,
-    doc="Set-similarity join with PPJoin-style prefix filtering (word-token "
-    "Jaccard >= 0.6): candidates share at least one of each doc's rarest "
-    "p = n - ceil(0.6n) + 1 tokens (exact recall by pigeonhole), then "
-    "exact verification via operators.dedup.jaccard_pairs. Third "
-    "candidate strategy next to MinHash-LSH (probabilistic) and the "
-    "capped inverted index (df-bounded): sub-quadratic AND exact, with "
-    "join keys that are low-frequency by construction. The oracle runs "
-    "the UNFILTERED all-pairs inverted index — a genuinely different "
-    "plan that must produce the identical pair set, which also proves "
-    "the prefix filter loses no pair.",
+    doc="Set-similarity join with PPJoin-style prefix filtering (3-word "
+    "shingles, Jaccard >= 0.5): candidates share at least one of each "
+    "doc's rarest p = n - ceil(0.5n) + 1 shingles (exact recall by "
+    "pigeonhole), then exact verification via operators.dedup."
+    "jaccard_pairs. Third candidate strategy next to MinHash-LSH "
+    "(probabilistic) and the capped inverted index (df-bounded): "
+    "sub-quadratic AND exact. Shingle choice matters — prefix filtering "
+    "needs a LARGE token universe so rarest-first prefixes have low df; "
+    "on raw word tokens (small vocabulary, df in the hundreds) the "
+    "prefix join degenerates toward all-pairs, measured 116s vs ~1s at "
+    "sf0.1. The oracle is the UNFILTERED all-pairs inverted index — a "
+    "genuinely different plan whose identical pair set also proves the "
+    "prefix filter loses no pair (and it equals dedup_ngram_jaccard's "
+    "answer, tying all three strategies together).",
     tags=("dedup", "similarity"),
+    bench=True,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import prefix_filter_candidates
 
-    tok = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=1)
-    cand = prefix_filter_candidates(tok, "doc_id", threshold_pct=60)
-    return jaccard_pairs(tok, "doc_id", threshold=0.6, candidates=cand)
+    # The shingle set feeds six subtrees (df, sizes, ranked prefix, both
+    # candidate join sides, verify) — persist once, like minhash_dedup_pairs.
+    sh = shingles(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).persist()
+    cand = prefix_filter_candidates(sh, "doc_id", threshold_pct=50)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cand)
 
 
 _WINDOWS8 = f"""
@@ -414,6 +415,7 @@ HAVING COUNT(DISTINCT doc_id) >= 2
     "boilerplate passages yield one row with big counts, never a pair "
     "blow-up, so the shape survives any corpus skew.",
     tags=("dedup", "corpus"),
+    bench=True,
 )
 def dedup_repeated_passages(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import passage_windows, repeated_passages

@@ -296,6 +296,7 @@ GROUP BY 1
     "user key; all integer epoch arithmetic (timestampdiff on NTZ = "
     "wall-clock seconds = DuckDB epoch()).",
     tags=("temporal", "events", "window"),
+    bench=True,
 )
 def events_interval_coverage(spark: SparkSession, sf_dir: str):
     from ..operators.temporal import interval_union_length
