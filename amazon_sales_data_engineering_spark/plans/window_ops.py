@@ -194,3 +194,45 @@ def median_price_by_status(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "window_navigation",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       first_value(o_totalprice) OVER w AS cheapest_so_far,
+       nth_value(o_totalprice, 2) OVER w AS second_cheapest_so_far,
+       lead(o_totalprice, 2, -1.0) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         AS price_after_next,
+       lag(o_totalprice, 2, -1.0) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         AS price_before_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Window navigation family: first_value / nth_value over a running "
+    "frame, lead/lag with offset 2 and a non-null DEFAULT (the corner "
+    "where engines differ on default typing). Full (price, key) "
+    "tiebreak makes every navigation deterministic; all four share one "
+    "sort shuffle. nth_value returns NULL until the frame holds 2 rows "
+    "— identical in both engines.",
+    tags=("window", "navigation"),
+)
+def window_navigation(spark: SparkSession, sf_dir: str):
+    base = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.first("o_totalprice").over(run).alias("cheapest_so_far"),
+        F.nth_value("o_totalprice", 2).over(run).alias(
+            "second_cheapest_so_far"
+        ),
+        F.lead("o_totalprice", 2, -1.0).over(base).alias("price_after_next"),
+        F.lag("o_totalprice", 2, -1.0).over(base).alias("price_before_prev"),
+    )
