@@ -750,3 +750,56 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "contingency_chi2_cells",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), r AS (SELECT status, SUM(o) AS r_tot FROM obs GROUP BY 1),
+c AS (SELECT priority, SUM(o) AS c_tot FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n_tot FROM obs)
+SELECT obs.status, obs.priority, obs.o,
+       CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot AS expected,
+       ((obs.o - CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot)
+        * (obs.o - CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot))
+       / (CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot) AS chi2_term
+FROM obs
+JOIN r ON r.status = obs.status
+JOIN c ON c.priority = obs.priority
+CROSS JOIN n
+""",
+    doc="Contingency-table chi-square contributions per (status, priority) "
+    "cell: observed count, expected = row_total*col_total/grand_total, "
+    "and the (o-e)^2/e term. Expected's numerator is an exact-in-double "
+    "integer product (< 2^53) and each term is a fixed 3-op IEEE chain "
+    "written identically on both sides — deterministic without decimal "
+    "routing. Per-cell output deliberately avoids the global sum (a "
+    "partition-order-dependent double reduction); summing the bounded "
+    "cell set is the caller's one-liner. Shape: one count aggregate + "
+    "two groups-sized rollups broadcast back.",
+    tags=("agg", "profile", "stats"),
+)
+def contingency_chi2_cells(spark: SparkSession, sf_dir: str):
+    obs = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    r = obs.groupBy("status").agg(F.sum("o").alias("r_tot"))
+    c = obs.groupBy("priority").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("n_tot"))
+    e = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n_tot")
+    term = ((F.col("o") - e) * (F.col("o") - e)) / e
+    return (
+        obs.join(F.broadcast(r), "status")
+        .join(F.broadcast(c), "priority")
+        .crossJoin(F.broadcast(n))
+        .select("status", "priority", "o", e.alias("expected"), term.alias("chi2_term"))
+    )

@@ -428,3 +428,39 @@ def cv_folds_content_keyed(spark: SparkSession, sf_dir: str):
         fold.alias("fold"),
         F.when(fold == 0, F.lit("test")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+@register(
+    "sample_per_group_topn",
+    oracle="""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+WHERE rn <= 50
+""",
+    doc="Exact-N per-group deterministic sample: 50 docs per language, "
+    "selected by md5-of-id order — reproducible across engines, "
+    "retries, and re-runs (no rand()), and unbiased w.r.t. any data "
+    "ordering. Spark plans the rank<=k filter as WindowGroupLimit: a "
+    "per-partition top-k heap BEFORE the shuffle, so each group moves "
+    "only k rows per input partition — not a full per-group sort of a "
+    "100 TB table.",
+    tags=("corpus", "sampling", "window"),
+)
+def sample_per_group_topn(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )

@@ -317,3 +317,66 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str):
         iv, by=["user_id"], start_col="s", end_col="e",
         order_tiebreak=["event_id"],
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), purch AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), nearest AS (
+  SELECT p.purchase_id, p.user_id, p.ts,
+         (SELECT MAX(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+  FROM purch p
+)
+SELECT n.purchase_id, n.user_id,
+       CASE WHEN n.click_ts IS NOT NULL
+                 AND n.click_ts >= n.ts - INTERVAL 2 HOUR
+            THEN c.click_id END AS click_id,
+       n.click_ts IS NOT NULL AND n.click_ts >= n.ts - INTERVAL 2 HOUR
+         AS attributed
+FROM nearest n
+LEFT JOIN clicks c ON c.user_id = n.user_id AND c.ts = n.click_ts
+""",
+    doc="Last-touch attribution: every purchase attributed to the user's "
+    "most recent click within a 2-hour lookback — the marketing-"
+    "attribution shape, built by COMPOSING operators.temporal.asof_join "
+    "(backward direction + interval tolerance) rather than a bespoke "
+    "plan: clicks pre-deduped per (user, ts) with max event_id so "
+    "same-timestamp ties are deterministic on both engines. One sort "
+    "shuffle on the user key (the as-of union trick); no inequality "
+    "join. Oracle: correlated MAX subquery + equi-join re-lookup — a "
+    "different algorithm that must agree.",
+    tags=("temporal", "asof", "events"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purch,
+        clicks,
+        left_time="ts",
+        right_time="ts",
+        by=["user_id"],
+        right_cols=["click_id"],
+        tolerance="2 hours",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
