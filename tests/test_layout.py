@@ -108,3 +108,56 @@ def test_compact_small_files(spark, tmp_path):
     stats = sorted(parquet_file_stats(dst, "l_shipdate"), key=lambda t: t[1])
     for (_, _, prev_max), (_, nxt_min, _) in zip(stats, stats[1:]):
         assert prev_max <= nxt_min
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from amazon_sales_data_engineering_spark.operators.layout import (
+        write_zorder_layout,
+    )
+
+    li = table(spark, SF_DIR_MID, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "single")
+
+    write_zorder_layout(li, z_path, ["l_partkey", "l_suppkey"], num_files=16)
+    write_sorted_layout(li, s_path, ["l_partkey"], num_files=16)
+
+    # A thin slab on either clustered dimension: the z-layout reads a
+    # minority of files for BOTH; the single-column sort prunes only its
+    # leading column and must read every file for the other.
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_lo, pk_hi, sk_lo, sk_hi = bounds
+    pk_slab = (pk_lo, pk_lo + (pk_hi - pk_lo) // 10)
+    sk_slab = (sk_lo, sk_lo + (sk_hi - sk_lo) // 10)
+
+    zp = parquet_file_stats(z_path, "l_partkey")
+    zs = parquet_file_stats(z_path, "l_suppkey")
+    sp = parquet_file_stats(s_path, "l_partkey")
+    ss = parquet_file_stats(s_path, "l_suppkey")
+    n = len(zp)
+    assert n >= 12  # range exchange may merge a couple of tiny partitions
+
+    z_pk = len(files_overlapping(zp, *pk_slab))
+    z_sk = len(files_overlapping(zs, *sk_slab))
+    s_pk = len(files_overlapping(sp, *pk_slab))
+    s_sk = len(files_overlapping(ss, *sk_slab))
+
+    # Z-order: real pruning on both dimensions.
+    assert z_pk <= n // 2, (z_pk, n)
+    assert z_sk <= n // 2, (z_sk, n)
+    # Single sort: great on the leading column, useless on the other.
+    assert s_pk <= 3
+    assert s_sk >= len(sp) - 1
+
+    # Layout changed, data didn't.
+    back = spark.read.parquet(z_path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+    orig = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
+    new = back.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
+    assert orig == new
