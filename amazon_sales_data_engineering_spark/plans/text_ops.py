@@ -196,3 +196,115 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str):
         n(r"[0-9]+").alias("n_number_runs"),
         n(r"[^a-z0-9\s]").alias("n_punct"),
     )
+
+
+@register(
+    "ngram_lm_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), tri AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM toks,
+       unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+                   ELSE [] END) AS t(i)
+), tc AS (
+  SELECT w1, w2, w3, COUNT(*) AS n_tri FROM tri GROUP BY 1, 2, 3
+), cc AS (
+  SELECT w1, w2, SUM(n_tri) AS n_ctx FROM tc GROUP BY 1, 2
+)
+SELECT tc.w1, tc.w2, tc.w3, tc.n_tri, cc.n_ctx,
+       CAST(tc.n_tri AS DOUBLE) / cc.n_ctx AS cond_p
+FROM tc JOIN cc ON cc.w1 = tc.w1 AND cc.w2 = tc.w2
+WHERE tc.n_tri >= 3
+""",
+    doc="Trigram language-model counts: occurrence counts per trigram, "
+    "bigram-context totals, and the MLE conditional probability "
+    "P(w3|w1,w2) as one exact-integer IEEE division. The context total "
+    "is derived from the SAME trigram aggregate (sum over w3) so the "
+    "two counts are consistent by construction. Shape at scale: two "
+    "map-side-combinable aggregates + one context-keyed join — the "
+    "n-gram-counting backbone of data-quality LMs (KenLM-style), "
+    "min-count 3 bounds the output to the frequent tail.",
+    tags=("text", "corpus", "lm"),
+)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str):
+    from ..functions.text import normalized_text
+
+    d = t_cpu(spark, sf_dir, "documents")
+    toks = F.split(normalized_text("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))).otherwise(
+        F.array().cast("array<int>")
+    )
+    tris = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(toks, i + 2).alias("w3"),
+        ),
+    )
+    tri = d.select(F.explode(tris).alias("t")).select("t.w1", "t.w2", "t.w3")
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n_tri"))
+    cc = tc.groupBy("w1", "w2").agg(F.sum("n_tri").alias("n_ctx"))
+    return (
+        tc.filter(F.col("n_tri") >= 3)
+        .join(cc, ["w1", "w2"])
+        .select(
+            "w1", "w2", "w3", "n_tri", "n_ctx",
+            (F.col("n_tri").cast("double") / F.col("n_ctx")).alias("cond_p"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_step",
+    oracle="""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS f FROM words GROUP BY 1
+), pairs AS (
+  SELECT substr(wf.w, i, 2) AS pair, SUM(wf.f) AS n
+  FROM wf, unnest(CASE WHEN length(wf.w) >= 2
+                       THEN range(1, length(wf.w)) ELSE [] END) AS t(i)
+  GROUP BY 1
+)
+SELECT pair, n FROM pairs
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+    doc="One BPE-training merge step: adjacent character-pair frequencies "
+    "over the word distribution (pairs counted once per word occurrence "
+    "via the word-frequency weight — the classic BPE optimization of "
+    "aggregating unique words first). The top pair is the next merge "
+    "rule. Integer counts, (count, pair) total order for the "
+    "deterministic top-20. Shape: word-frequency aggregate (vocab-"
+    "bounded) + per-unique-word pair explode + one aggregate + global "
+    "top-k — the inner loop of tokenizer training as three "
+    "map-side-combinable passes.",
+    tags=("text", "corpus", "tokenize"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ln = F.length("w")
+    idx = F.when(ln >= 2, F.sequence(F.lit(1), ln - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = wf.select(
+        F.explode(idx).alias("i"), "w", "f"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "f")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
