@@ -454,3 +454,50 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str):
         block_cols=["p_brand", "p_size"],
         max_dist=12,
     )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+WITH v AS ({_V}),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 127.0 /
+             (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)) AS q8
+  FROM (
+    SELECT vec_id, e,
+           list_reduce(list_transform(e, x -> abs(x)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+    FROM v
+  )
+),
+p AS (SELECT vec_id AS probe_id, q8 AS pq FROM q WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT probe_id, q.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(pq) + 1),
+                                      i -> pq[i] * q.q8[i])) AS BIGINT)
+           AS idot
+  FROM p, q WHERE q.vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank, idot FROM (
+  SELECT probe_id, neighbor_id, idot,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY idot DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="Int8-quantized brute-force top-5 (operators.similarity."
+    "quantized_topk): max-abs floor quantization to [-127, 127], then "
+    "INTEGER dot-product scoring — 4× less vector bandwidth and a "
+    "ranking that is deterministic BY TYPE (integer scores can't "
+    "diverge in the last ulp; ties resolve on id identically "
+    "everywhere). The production two-stage-retrieval first stage next "
+    "to the float baseline ann_cosine_topk.",
+    tags=("similarity", "quantize"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import quantized_topk
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") % 100 == 0)
+    return quantized_topk(v, probes, k=5)
