@@ -803,3 +803,69 @@ def contingency_chi2_cells(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(n))
         .select("status", "priority", "o", e.alias("expected"), term.alias("chi2_term"))
     )
+
+
+_COPURCHASE_EDGES = """
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+WITH e0 AS ({_COPURCHASE_EDGES}),
+d1 AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+  ) GROUP BY 1
+),
+k1 AS (SELECT node FROM d1 WHERE c >= 3),
+e1 AS (
+  SELECT e0.u, e0.v FROM e0
+  JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v
+),
+d2 AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+  ) GROUP BY 1
+),
+k2 AS (SELECT node FROM d2 WHERE c >= 3),
+e2 AS (
+  SELECT e1.u, e1.v FROM e1
+  JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v
+)
+SELECT node, COUNT(*) AS deg FROM (
+  SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+) GROUP BY 1
+""",
+    doc="Two peeling rounds toward the 3-core of the co-purchase graph "
+    "(operators.graph.kcore_peel): drop degree<3 nodes and their edges, "
+    "twice; output survivors with residual degree. Fifth member of the "
+    "graph family — the dense-substructure filter used to isolate "
+    "well-connected product communities (and, in corpus land, tightly "
+    "interlinked near-dup clusters) before running costlier analytics "
+    "inside them. Bounded rounds keep it gate-comparable; each round is "
+    "one degree aggregate + two semi joins, O(|E|) per round.",
+    tags=("graph", "iterative", "agg"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import kcore_peel
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=2)

@@ -220,3 +220,62 @@ def ratio_to_report(spark: SparkSession, sf_dir: str):
         "o_orderstatus",
         (F.col("o_totalprice") / total).alias("share_of_status"),
     )
+
+
+@register(
+    "outliers_mad_by_status",
+    oracle="""
+WITH med AS (
+  SELECT o_orderstatus,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, m.med,
+         abs(o.o_totalprice - m.med) AS adev
+  FROM orders o JOIN med m ON m.o_orderstatus = o.o_orderstatus
+), mad AS (
+  SELECT o_orderstatus,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.med, m.mad,
+       d.adev > 3.0 * m.mad AS is_outlier
+FROM dev d JOIN mad m ON m.o_orderstatus = d.o_orderstatus
+""",
+    doc="Robust outlier flags via median absolute deviation: per-status "
+    "median and MAD both come from exact PERCENTILE_DISC (actual data "
+    "members, zero interpolation), the deviation is one IEEE subtraction "
+    "and the 3-MAD fence one multiply — fully deterministic robust "
+    "statistics, immune to the outliers that poison mean/stddev fences "
+    "(complementing zscore_by_group and winsorize_by_status). Two "
+    "groups-sized aggregates broadcast back; the fact table is scanned "
+    "twice but shuffled never.",
+    tags=("agg", "profile", "stats"),
+)
+def outliers_mad_by_status(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias(
+            "mad"
+        )
+    )
+    return dev.join(F.broadcast(mad), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "med",
+        "mad",
+        (F.col("adev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+    )
