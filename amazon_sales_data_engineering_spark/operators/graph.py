@@ -129,7 +129,10 @@ def pagerank_rounds(
     scales to billions of edges. Returns (node, pr_fixed BIGINT,
     pr DOUBLE) where pr = pr_fixed/scale (one exact-input division).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list feeds the degree aggregate, the node set, and one join
+    # PER ROUND — callers pass expensive plans (distinct self-joins), so
+    # materialize once.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

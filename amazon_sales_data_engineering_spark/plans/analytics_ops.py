@@ -706,8 +706,12 @@ WHERE p.n_both >= 2
     bench=True,
 )
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str):
+    # Feeds the order count, item frequencies, and both pair-join sides —
+    # persist the distinct once instead of recomputing it per subtree.
     basket = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
     )
     n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
