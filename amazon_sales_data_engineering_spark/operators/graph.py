@@ -148,9 +148,20 @@ def pagerank_rounds(
     )
     teleport = f"({100 - damping_pct} * CAST({scale} AS BIGINT)) DIV (100 * n_nodes)"
     for _ in range(n_rounds):
+        # shuffle_hash with the rank/degree tables as build side: the
+        # persisted edge list now has an accurate (small-looking) size
+        # estimate while the computed rank table's is unknown (huge), so
+        # the planner would otherwise BROADCAST THE EDGES — correct only
+        # by accident at toy scale and a driver OOM beyond it. SHJ keeps
+        # both sides partitioned by src; AQE still handles skew.
         contrib = (
-            e.join(pr.select(F.col("node").alias("src"), "pr_fixed"), "src")
-            .join(deg, "src")
+            e.join(
+                pr.select(F.col("node").alias("src"), "pr_fixed").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .join(deg.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("pr_fixed DIV outdeg").alias("c"),
