@@ -311,3 +311,119 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol)
         for r in merged.itertuples()
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_union_matches_point_count(spark, intervals):
+    """Union length per key == count of integer points covered by any
+    interval (brute-force oracle over the small domain)."""
+    from amazon_sales_data_engineering_spark.operators.temporal import (
+        interval_union_length,
+    )
+
+    rows = [(k, s, s + d, i) for i, (k, s, d) in enumerate(intervals)]
+    df = spark.createDataFrame(rows, "k int, s long, e long, rid int")
+    got = {
+        r.k: (r.covered_len, r.n_islands, r.n_intervals)
+        for r in interval_union_length(
+            df, by=["k"], start_col="s", end_col="e", order_tiebreak=["rid"]
+        ).collect()
+    }
+    per_key: dict[int, set[int]] = defaultdict(set)
+    n_per_key: dict[int, int] = defaultdict(int)
+    for k, s, e, _ in rows:
+        per_key[k].update(range(s, e))
+        n_per_key[k] += 1
+    for k, pts in per_key.items():
+        covered, islands, n_iv = got[k]
+        assert covered == len(pts)
+        # islands = maximal runs of consecutive covered points
+        want_islands = sum(
+            1 for p in pts if p - 1 not in pts
+        )
+        assert islands == want_islands
+        assert n_iv == n_per_key[k]
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold_pct=st.sampled_from([30, 50, 70, 90]),
+)
+def test_prefix_filter_exact_recall(spark, docs, threshold_pct):
+    """Prefix-filtered candidates must contain EVERY pair whose token-set
+    Jaccard >= t (the pigeonhole exact-recall guarantee), for any corpus
+    and threshold."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = shingles(df, "text", "doc_id", k=1)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_candidates(
+            tok, "doc_id", threshold_pct=threshold_pct
+        ).collect()
+    }
+    sets = {i: set(d.split()) for i, d in rows}
+    t = threshold_pct / 100.0
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                assert (a, b) in cand, (a, b, inter / union, t)
+
+
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_delta_join_equals_full_recompute(spark, left, right):
+    """V_old ∪ ΔV == full A⋈B for ANY split of each side into old/delta
+    (the incremental view-maintenance algebra), as a multiset."""
+    from amazon_sales_data_engineering_spark.operators.delta import delta_join
+
+    a = spark.createDataFrame(
+        [(k, f, p) for k, f, p in left], "k int, is_new int, pa int"
+    )
+    b = spark.createDataFrame(
+        [(k, f, p) for k, f, p in right], "k int, is_new int, pb int"
+    )
+    a_old = a.filter("is_new = 0").select("k", "pa")
+    a_new = a.filter("is_new = 1").select("k", "pa")
+    b_old = b.filter("is_new = 0").select("k", "pb")
+    b_new = b.filter("is_new = 1").select("k", "pb")
+    cols = ["k", "pa", "pb"]
+    v_old = a_old.join(b_old, "k").select(*cols)
+    dv = delta_join(a_old, a_new, b_old, b_new, on=["k"]).select(*cols)
+    got = Counter(tuple(r) for r in v_old.unionByName(dv).collect())
+    want = Counter(
+        tuple(r)
+        for r in a.select("k", "pa").join(b.select("k", "pb"), "k").collect()
+    )
+    assert got == want
