@@ -25,6 +25,7 @@ Everything here is triggered-batch testable: ``Trigger.AvailableNow`` +
 advancement, so unit tests cover late-data/close semantics deterministically.
 """
 
+from .cdc import cdc_apply_stream
 from .dedup import dedup_stream, dedup_stream_exact
 from .ingest import hourly_agg_stream, incremental_append, run_available_now, stream_source
 from .joins import attribute_stream, enrich_stream
@@ -32,6 +33,7 @@ from .sessionize import sessionize_session_window, sessionize_stateful
 
 __all__ = [
     "attribute_stream",
+    "cdc_apply_stream",
     "dedup_stream",
     "dedup_stream_exact",
     "enrich_stream",

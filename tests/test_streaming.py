@@ -287,3 +287,32 @@ def test_enrich_stream_rejects_streaming_dim(spark, stream_dir):
     src = _source(spark, stream_dir)
     with pytest.raises(ValueError, match="static"):
         enrich_stream(src, src, ["user_id"])
+
+
+def test_cdc_apply_stream_matches_batch_compaction(spark, stream_dir):
+    """Streaming last-writer-wins state (complete mode, drained with
+    AvailableNow so later files arrive in later micro-batches) must equal
+    the batch window compaction over the same events."""
+    from amazon_sales_data_engineering_spark.streaming import cdc_apply_stream
+
+    from pyspark.sql import Window
+
+    out = cdc_apply_stream(_source(spark, stream_dir))
+    rows = run_available_now(out, "cdc_state", output_mode="complete")
+    got = {
+        r.user_id: (r.last_type, r.last_value, r.updated_at)
+        for r in rows
+        if r.user_id > 0
+    }
+
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: (r.event_type, r.value, r.ts)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND event_type <> 'error' AND user_id > 0")
+        .collect()
+    }
+    assert got == want
