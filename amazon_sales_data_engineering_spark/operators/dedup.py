@@ -572,3 +572,59 @@ def passage_dup_fraction(
         )
         .withColumn("dup_ppm", F.expr("(n_dup_windows * 1000000) div n_windows"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key,
+    block_cols: list[str],
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood ER candidates: within each block, rows are
+    sorted by ``sort_key`` (plus id tiebreak) and every pair within
+    ``window`` positions becomes a candidate — the classic
+    sorted-neighborhood method, complementing LSH (probabilistic),
+    prefix filtering (exact for set similarity), and blocked
+    all-pairs (exact within block): it finds near-sorted neighbors in
+    O(n·w) pairs per block with no similarity function at all at the
+    candidate stage.
+
+    The position join is an equi-join on (block, position bucket): each
+    row emits its position and the ``window`` following positions are
+    matched by a between-predicate on the SAME sorted sequence — rows
+    shuffled once for the sort window, candidates bounded by n·w.
+    Output: (id_a, id_b, key_a, key_b, pos_gap), id ordering follows the
+    SORT order (a before b).
+    """
+    key = sort_key if isinstance(sort_key, Column) else F.col(sort_key)
+    w = Window.partitionBy(*block_cols).orderBy("__key", id_col)
+    ranked = df.select(
+        *block_cols, F.col(id_col), key.alias("__key")
+    ).withColumn("__pos", F.row_number().over(w))
+    a = ranked.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col("__key").alias("key_a"),
+        F.col("__pos").alias("pos_a"),
+    )
+    b = ranked.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col("__key").alias("key_b"),
+        F.col("__pos").alias("pos_b"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(
+            (F.col("pos_b") > F.col("pos_a"))
+            & (F.col("pos_b") <= F.col("pos_a") + window)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            (F.col("pos_b") - F.col("pos_a")).cast("int").alias("pos_gap"),
+        )
+    )

@@ -451,3 +451,44 @@ def dedup_passage_fraction(spark: SparkSession, sf_dir: str):
 
     win = passage_windows(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=8)
     return passage_dup_fraction(win, "doc_id", min_docs=2)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+WITH ranked AS (
+  SELECT p_brand, p_partkey, p_name,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_name, p_partkey) AS pos
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS key_a, b.p_name AS key_b,
+       CAST(b.pos - a.pos AS INT) AS pos_gap
+FROM ranked a
+JOIN ranked b ON b.p_brand = a.p_brand
+             AND b.pos > a.pos AND b.pos <= a.pos + 3
+WHERE levenshtein(a.p_name, b.p_name) <= 15
+""",
+    doc="Sorted-neighborhood ER candidates (operators.dedup."
+    "sorted_neighborhood_pairs): within each brand block, names are "
+    "sorted and every pair within 3 positions is a candidate — O(n·w) "
+    "pairs per block with no similarity computation at the candidate "
+    "stage (the fourth blocking strategy next to LSH, prefix filtering, "
+    "and blocked all-pairs; it shines when near-duplicates sort "
+    "adjacently, e.g. prefixed names and zero-padded codes). Candidates "
+    "then pass a Levenshtein<=15 verify. One sort window + one "
+    "position-band self-join.",
+    tags=("dedup", "similarity", "fuzzy"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    cand = sorted_neighborhood_pairs(
+        t_cpu(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        sort_key=F.col("p_name"),
+        block_cols=["p_brand"],
+        window=3,
+    )
+    return cand.filter(F.levenshtein("key_a", "key_b") <= 15)
