@@ -492,3 +492,128 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str):
         window=3,
     )
     return cand.filter(F.levenshtein("key_a", "key_b") <= 15)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(h4 || '|' || h5) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_other
+  FROM buckets n
+  JOIN buckets o ON o.band = n.band AND o.band_key = n.band_key
+                AND o.doc_id <> n.doc_id
+  WHERE n.doc_id % 10 = 0
+    AND (o.doc_id % 10 <> 0 OR o.doc_id > n.doc_id)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_other, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_new
+  JOIN sh b ON b.doc_id = c.id_other AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_new, i.id_other,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_new
+JOIN sz sb ON sb.doc_id = i.id_other
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+""",
+    doc="Incremental corpus dedup — the daily-ingest shape: a new batch "
+    "(doc_id % 10 = 0 stands in for today's delivery) is near-dup-"
+    "checked against the WHOLE corpus without ever re-pairing the "
+    "existing corpus with itself. MinHash band buckets are built for "
+    "all docs (one aggregate — at steady state the old side's summaries "
+    "are precomputed and persisted, see minhash_dedup_pairs), but the "
+    "band self-join is RESTRICTED to pairs touching the new batch "
+    "(new×old plus deduped new×new) — candidate volume scales with "
+    "|Δ|·collision-rate, not |corpus|². Exact-Jaccard verify at 0.5, "
+    "candidates-only (no cap needed).",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import minhash_signatures
+
+    sh = shingles(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).persist()
+    sig = minhash_signatures(sh, "doc_id", num_hashes=6)
+    # Band buckets exactly as minhash_lsh_pairs builds them — but the
+    # candidate join's LEFT input is pre-filtered to the new batch, so
+    # old×old pairs are never GENERATED (filtering minhash_lsh_pairs
+    # output instead would still pay the full corpus self-join).
+    bands = []
+    for bi in range(3):
+        cols = [F.col(f"h{bi * 2 + r}") for r in range(2)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    buckets = _reduce(_DF.unionByName, bands)
+    new_b = buckets.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_new"), "band", "band_key"
+    )
+    other_b = buckets.select(
+        F.col("doc_id").alias("id_other"), "band", "band_key"
+    )
+    oriented = (
+        new_b.join(other_b, ["band", "band_key"])
+        .filter(
+            (F.col("id_other") != F.col("id_new"))
+            & (
+                (F.col("id_other") % 10 != 0)
+                | (F.col("id_other") > F.col("id_new"))
+            )
+        )
+        .select("id_new", "id_other")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("id_new"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_other"), "shingle")
+    inter = (
+        oriented.join(sh_a, "id_new")
+        .join(sh_b, ["id_other", "shingle"])
+        .groupBy("id_new", "id_other")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("na"))
+    nb = sizes.select(
+        F.col("doc_id").alias("id_other"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(na, "id_new")
+        .join(nb, "id_other")
+        .select(
+            "id_new",
+            "id_other",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
