@@ -96,3 +96,39 @@ def test_embedding_quantize_no_shuffle(spark):
 
     for m in re.finditer(r"Exchange (\w+)", plan):
         assert m.group(1) == "RoundRobinPartitioning", plan[:2000]
+
+
+def test_per_group_sample_prunes_before_shuffle(spark):
+    """rank<=50 must plan as Partial WindowGroupLimit (per-partition top-k
+    heap BEFORE the exchange) — the property the query doc claims."""
+    plan = _plan(spark, "sample_per_group_topn")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_key_skew_profile_take_ordered(spark):
+    """Global top-20 heavy hitters: TakeOrderedAndProject, not a global
+    sort or single-partition window."""
+    plan = _plan(spark, "key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_candidate_joins_never_cartesian(spark):
+    """Every candidate-generation strategy must plan as an equi-join on
+    its blocking key — a cartesian/BroadcastNestedLoop product means the
+    blocking silently stopped working."""
+    for name in (
+        "dedup_prefix_jaccard",
+        "dedup_sorted_neighborhood",
+        "fuzzy_join_part_names",
+        "dedup_incremental_minhash",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_delta_join_broadcasts_deltas(spark):
+    """The join-view delta terms must broadcast the delta sides — the old
+    sides are scanned but never shuffled."""
+    plan = _plan(spark, "delta_join_view")
+    assert plan.count("BroadcastHashJoin") >= 2
