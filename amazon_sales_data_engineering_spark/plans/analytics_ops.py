@@ -873,3 +873,70 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return kcore_peel(edges, k=3, rounds=2)
+
+
+@register(
+    "regression_trend_by_priority",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS y
+  FROM orders
+), m AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept
+FROM m
+""",
+    doc="Per-priority OLS trend of order value over time, from EXACT "
+    "moment sums: x (epoch days) moments are 64-bit integer sums, y and "
+    "xy moments are exact decimal sums leaving the decimal domain once "
+    "via the string route — so the closed-form slope/intercept inputs "
+    "are bit-identical doubles in both engines, and the remaining "
+    "arithmetic is a fixed parenthesization of IEEE ops written "
+    "identically on both sides. Contrast with built-in regr_slope, "
+    "whose running-covariance accumulation is partition-order-dependent "
+    "and NOT gate-comparable. Shape: one map-side-combinable aggregate "
+    "over the fact table; integer headroom documented in-line (n·Sxx "
+    "≈ 1e17 < 2^63 at sf0.1; scaled-up callers widen x to DECIMAL).",
+    tags=("agg", "stats", "ml"),
+)
+def regression_trend_by_priority(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("bigint")
+    y = F.col("o_totalprice").cast("decimal(18,6)")
+    m = o.select(
+        "o_orderpriority", x.alias("x"), y.alias("y")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .cast("string")
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
