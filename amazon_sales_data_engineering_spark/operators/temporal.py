@@ -77,16 +77,26 @@ def asof_join(
 
     rt_type = right.schema[right_time].dataType
 
+    # Right-row attributes travel as ONE struct, non-null exactly when the
+    # row IS a right row: last(ignorenulls) over the struct then skips
+    # only left rows — filling each attribute separately would let a
+    # legitimately-NULL right value (e.g. an open-ended valid_to) bleed
+    # the PREVIOUS right row's value through.
+    from pyspark.sql import types as T
+
+    pack_type = T.StructType(
+        [T.StructField("__rt", rt_type)]
+        + [
+            T.StructField(f"__r_{c}", right.schema[c].dataType)
+            for c in right_cols
+        ]
+    )
     l_tag = left.select(
         *by,
         *non_key_left,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast(rt_type).alias("__rt"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(pack_type).alias("__rpack"),
     )
     r_tag = right.select(
         *by,
@@ -96,8 +106,10 @@ def asof_join(
         ],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.col(right_time).alias("__rt"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        ).alias("__rpack"),
     )
     merged = l_tag.unionByName(r_tag)
 
@@ -114,15 +126,18 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = ["__rt", *[f"__r_{c}" for c in right_cols]]
     filled = merged.select(
         *merged.columns,
+        F.last(F.col("__rpack"), ignorenulls=True).over(w).alias("__fpack"),
+    )
+    out_left = filled.filter(F.col("__is_left") == 1).select(
+        *filled.columns,
+        F.col("__fpack.__rt").alias("__f___rt"),
         *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in fill_cols
+            F.col(f"__fpack.__r_{c}").alias(f"__f___r_{c}")
+            for c in right_cols
         ],
     )
-    out_left = filled.filter(F.col("__is_left") == 1)
 
     if tolerance is None:
         ok = F.lit(True)

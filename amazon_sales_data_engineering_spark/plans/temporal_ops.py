@@ -380,3 +380,77 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str):
         "click_id",
         F.col("click_id").isNotNull().alias("attributed"),
     )
+
+
+@register(
+    "pit_join_scd2",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         DATE '1994-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN DATE '1996-07-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MOVED', DATE '1996-07-01', CAST(NULL AS DATE)
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS od,
+       d.segment
+FROM orders o LEFT JOIN dim d
+  ON d.custkey = o.o_custkey
+ AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+ AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+""",
+    doc="Point-in-time-correct SCD2 join — THE feature-store primitive: "
+    "each order picks the dimension version valid AT ITS OWN DATE "
+    "(never the current one — that's label leakage in a training set). "
+    "Engine: backward as-of join on valid_from per customer (one sort "
+    "shuffle, no inequality join) + a valid_to check that nulls out "
+    "matches falling in a validity gap (orders before the first "
+    "version exercise it). Oracle: plain interval inequality LEFT join "
+    "— a different algorithm that must agree row-for-row. Dim: two "
+    "synthetic versions (every 3rd customer re-segmented 1996-07-01), "
+    "same construction style as scd2_customer_segments.",
+    tags=("join", "asof", "temporal", "scd2"),
+)
+def pit_join_scd2(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit("1996-07-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit("MOVED").alias("segment"),
+            F.lit("1996-07-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    out = asof_join(
+        o,
+        dim,
+        left_time="od",
+        right_time="valid_from",
+        by=["custkey"],
+        right_cols=["segment", "valid_to"],
+    )
+    valid = F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "od",
+        F.when(valid, F.col("segment")).alias("segment"),
+    )

@@ -135,3 +135,27 @@ def test_asof_join_date_tolerance_type_guard(spark):
             left, right, "t", "t",
             allow_global_window=True, tolerance="5 days",
         )
+
+
+def test_asof_join_null_right_attr_not_backfilled(spark):
+    """A legitimately-NULL right attribute must survive the as-of fill:
+    filling each column separately with last(ignorenulls) would bleed the
+    PREVIOUS version's value through (the SCD2 open-ended valid_to bug)."""
+    from pyspark.sql import functions as F
+
+    from amazon_sales_data_engineering_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, "v1", 20), (1, 20, "v2", None)],
+        "k int, t int, tag string, closes int",
+    )
+    left = spark.createDataFrame([(1, 15), (1, 25)], "k int, t int")
+    got = {
+        r.t: (r.tag, r.closes)
+        for r in asof_join(
+            left, right, left_time="t", right_time="t", by=["k"],
+            right_cols=["tag", "closes"],
+        ).collect()
+    }
+    assert got[15] == ("v1", 20)
+    assert got[25] == ("v2", None)  # NOT ("v2", 20)
