@@ -308,3 +308,57 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN range(1, len(ws) - 1)]
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+), first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_novel,
+       (COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) * 1000000)
+         // COUNT(*) AS novelty_ppm
+FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+GROUP BY 1
+""",
+    doc="N-gram novelty scoring: per document, the fraction of its "
+    "distinct 3-word shingles FIRST seen in it (min-doc_id attribution "
+    "— deterministic, order-free). Low novelty = the doc mostly repeats "
+    "earlier corpus content; the streaming-curation signal behind "
+    "'keep only documents adding new n-grams'. Shape: one "
+    "map-side-combinable MIN aggregate over shingles + an equi-join "
+    "back + one count aggregate — hot shingles cost one row each, "
+    "never a pair blow-up. Integer ppm arithmetic.",
+    tags=("text", "corpus", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import shingles
+
+    sh = shingles(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).persist()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000) div n_shingles")
+        )
+    )
