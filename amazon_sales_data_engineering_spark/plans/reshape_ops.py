@@ -279,3 +279,66 @@ def outliers_mad_by_status(spark: SparkSession, sf_dir: str):
         "mad",
         (F.col("adev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
     )
+
+
+@register(
+    "histogram_equidepth_price",
+    oracle="""
+WITH b AS (
+  SELECT [PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.3) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.7) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY l_extendedprice),
+          PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_extendedprice)]
+           AS bnds
+  FROM lineitem
+)
+SELECT CAST(len(list_filter(b.bnds, x -> x < l_extendedprice)) AS INT)
+         AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS bucket_min,
+       MAX(l_extendedprice) AS bucket_max
+FROM lineitem, b
+GROUP BY 1
+""",
+    doc="Equi-DEPTH decile histogram, the scale-honest way: a global "
+    "ntile(10) would funnel the whole table through ONE sorted "
+    "partition; instead the 9 decile fences come from exact "
+    "PERCENTILE_DISC (actual data members) and bucket assignment is a "
+    "map-side count of fences strictly below the value (higher-order "
+    "filter, whole-stage codegen) with the fence array broadcast. "
+    "Bucket populations are approximately equal (exact up to fence "
+    "ties — deterministically resolved since both engines use the "
+    "identical strict comparison against identical fence values). "
+    "Complements the equi-width histogram_extendedprice.",
+    tags=("agg", "profile"),
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    fences = li.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc(0.{p}) WITHIN GROUP "
+                    "(ORDER BY l_extendedprice)"
+                )
+                for p in range(1, 10)
+            ]
+        ).alias("bnds")
+    )
+    bucket = F.size(
+        F.filter(F.col("bnds"), lambda x: x < F.col("l_extendedprice"))
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(fences))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("bucket_min"),
+            F.max("l_extendedprice").alias("bucket_max"),
+        )
+    )
