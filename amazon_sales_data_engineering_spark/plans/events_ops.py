@@ -344,3 +344,33 @@ def events_cdc_apply(spark: SparkSession, sf_dir: str):
             F.col("ts").alias("updated_at"),
         )
     )
+
+
+@register(
+    "events_sliding_distinct",
+    oracle="""
+SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - j * 1800)
+                           * 1000000 AS BIGINT)) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN unnest([0, 1]) AS t(j)
+GROUP BY 1
+""",
+    doc="Sliding-window EXACT distinct users (1 h window, 30 min slide): "
+    "each event lands in 2 windows; COUNT(DISTINCT) shuffles on "
+    "(window, user) then counts — the exact-cardinality path next to "
+    "approx_distinct_sketch's HLL (which is the right answer at 100 TB; "
+    "this one is the oracle-checkable exact twin for bounded windows). "
+    "Spark assigns windows map-side via F.window.",
+    tags=("events", "window-agg", "distinct"),
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )

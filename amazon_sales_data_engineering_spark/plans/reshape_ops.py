@@ -342,3 +342,54 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str):
             F.max("l_extendedprice").alias("bucket_max"),
         )
     )
+
+
+@register(
+    "yoy_growth_by_priority",
+    oracle="""
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, yr, n_orders, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       (revenue - lag(revenue) OVER w) / lag(revenue) OVER w AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+""",
+    doc="Year-over-year growth per priority: yearly revenue through the "
+    "exact decimal sum + string route (bit-identical doubles), then lag "
+    "+ one fixed (a-b)/b IEEE chain. First year yields NULL growth, "
+    "SQL lag semantics. One aggregate shuffle + one tiny window over "
+    "groups×years rows.",
+    tags=("window", "agg", "reporting"),
+)
+def yoy_growth_by_priority(spark: SparkSession, sf_dir: str):
+    yearly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )
