@@ -374,3 +374,75 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+@register(
+    "events_funnel_timed",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view'
+    AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       s2.user_id IS NOT NULL AS reached_view,
+       s3.user_id IS NOT NULL AS reached_purchase
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+""",
+    doc="TIME-CONSTRAINED funnel (click → view within 24 h → purchase "
+    "within 24 h of the view): sequential pattern matching where each "
+    "stage's window anchors on the PREVIOUS stage's match — the shape "
+    "plain conditional-MIN funnels (events_funnel) can't express. "
+    "Three user-keyed aggregates chained by co-partitioned joins; every "
+    "shuffle is on user_id, so at scale the chain is one exchange "
+    "reused. Timestamps compare exactly (NTZ wall-clock on both "
+    "engines).",
+    tags=("events", "funnel", "join"),
+)
+def events_funnel_timed(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.col("t2").isNotNull().alias("reached_view"),
+            F.col("t3").isNotNull().alias("reached_purchase"),
+        )
+    )
