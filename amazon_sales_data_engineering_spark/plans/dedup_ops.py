@@ -617,3 +617,72 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh_all AS ({_SHINGLES}),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 100),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.id_a AS contained_id, inter.id_b AS container_id,
+       CAST(i AS DOUBLE) / sa.n AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.id_a
+WHERE CAST(i AS DOUBLE) / sa.n >= 0.8
+  AND CAST(i AS DOUBLE) / CAST(sa.n + (SELECT n FROM sz WHERE doc_id = inter.id_b) - i AS DOUBLE) < 0.5
+""",
+    doc="Shingle CONTAINMENT detection (|A∩B| / |A| >= 0.8 while Jaccard "
+    "< 0.5): finds documents mostly CONTAINED in a larger one — quotes, "
+    "excerpts, wrapped boilerplate — which symmetric Jaccard dedup "
+    "misses precisely because the container is much bigger. Directed "
+    "pairs (contained, container); the Jaccard<0.5 guard excludes pairs "
+    "the symmetric dedup already catches, so this op reports ONLY the "
+    "asymmetric cases. Same inverted-index + size-join machinery as "
+    "jaccard_pairs; at scale candidates come from the LSH/prefix "
+    "strategies like every other verify.",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str):
+    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    # Same df>100 stop-shingle cap as dedup_ngram_jaccard: bounds the
+    # inverted-index self-join against viral shingles (a no-op on this
+    # corpus), applied consistently to intersections AND sizes.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 100)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("container_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("contained_id"), F.col("n").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("container_id"), F.col("n").alias("nb")
+    )
+    cont = F.col("i").cast("double") / F.col("na")
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(na, "contained_id")
+        .join(nb, "container_id")
+        .filter((cont >= 0.8) & (jac < 0.5))
+        .select("contained_id", "container_id", cont.alias("containment"))
+    )
