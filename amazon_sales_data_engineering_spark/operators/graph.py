@@ -316,3 +316,67 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def edge_neighborhood_similarity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-edge neighborhood overlap — the classic link-prediction /
+    community-strength features: for every existing undirected edge
+    (u, v), the common-neighbor count and the neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v) \\ {u,v}|.
+
+    Same in-row adjacency-intersection shape as ``triangle_count``:
+    full adjacency arrays join onto each edge and intersect inside
+    codegen — the per-edge work is deg(u)+deg(v), i.e. Σdeg² overall,
+    so hub degrees dominate cost; callers on power-law graphs cap or
+    sample hub adjacencies first (common neighbors THROUGH a hub are
+    usually the least informative features anyway). Jaccard is one
+    integer division; edges whose endpoints have no other neighbors
+    yield NULL (0/0).
+
+    Output: (u, v, common, deg_u, deg_v, nb_jaccard), u < v.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    both = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = both.groupBy("u").agg(
+        F.collect_list("v").alias("nbrs"), F.count(F.lit(1)).alias("deg")
+    )
+    j = (
+        und.join(
+            adj.select(
+                F.col("u"),
+                F.col("nbrs").alias("nbrs_u"),
+                F.col("deg").alias("deg_u"),
+            ),
+            "u",
+        )
+        .join(
+            adj.select(
+                F.col("u").alias("v"),
+                F.col("nbrs").alias("nbrs_v"),
+                F.col("deg").alias("deg_v"),
+            ),
+            "v",
+        )
+    )
+    common = F.size(F.array_intersect("nbrs_u", "nbrs_v"))
+    denom = F.col("deg_u") + F.col("deg_v") - F.lit(2) - common
+    return j.select(
+        "u",
+        "v",
+        common.cast("bigint").alias("common"),
+        F.col("deg_u").cast("bigint").alias("deg_u"),
+        F.col("deg_v").cast("bigint").alias("deg_v"),
+        F.when(denom > 0, common.cast("double") / denom.cast("double")).alias(
+            "nb_jaccard"
+        ),
+    )

@@ -940,3 +940,56 @@ def regression_trend_by_priority(spark: SparkSession, sf_dir: str):
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@register(
+    "graph_edge_similarity",
+    oracle=f"""
+WITH e0 AS ({_COPURCHASE_EDGES}),
+und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+common AS (
+  SELECT e.u, e.v, COUNT(*) AS c
+  FROM e0 e
+  JOIN und a ON a.u = e.u
+  JOIN und b ON b.u = e.v AND b.v = a.v
+  GROUP BY 1, 2
+)
+SELECT e.u, e.v,
+       COALESCE(c.c, 0) AS common,
+       du.d AS deg_u, dv.d AS deg_v,
+       CASE WHEN du.d + dv.d - 2 - COALESCE(c.c, 0) > 0
+            THEN CAST(COALESCE(c.c, 0) AS DOUBLE)
+                 / (du.d + dv.d - 2 - COALESCE(c.c, 0)) END AS nb_jaccard
+FROM e0 e
+LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+JOIN deg du ON du.node = e.u
+JOIN deg dv ON dv.node = e.v
+""",
+    doc="Link-prediction features per co-purchase edge: common-neighbor "
+    "count and neighborhood Jaccard (operators.graph."
+    "edge_neighborhood_similarity — in-row adjacency intersection, the "
+    "triangle_count shape reused). Oracle: wedge-join common-neighbor "
+    "counting, a genuinely different plan. Integer counts + one "
+    "division; 0/0 edges yield NULL identically.",
+    tags=("graph", "join", "ml"),
+)
+def graph_edge_similarity(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import edge_neighborhood_similarity
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return edge_neighborhood_similarity(edges)
