@@ -393,3 +393,85 @@ def yoy_growth_by_priority(spark: SparkSession, sf_dir: str):
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                        DATE '1999-01-01') AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+), fences AS (
+  SELECT [PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY recency_days),
+          PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY recency_days),
+          PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY recency_days)] AS rf,
+         [PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY frequency),
+          PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY frequency),
+          PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY frequency)] AS ff,
+         [PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY monetary),
+          PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY monetary),
+          PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY monetary)] AS mf
+  FROM base
+)
+SELECT b.o_custkey, b.recency_days, b.frequency, b.monetary,
+       CAST(4 - len(list_filter(f.rf, x -> x < b.recency_days)) AS INT) AS r_score,
+       CAST(1 + len(list_filter(f.ff, x -> x < b.frequency)) AS INT) AS f_score,
+       CAST(1 + len(list_filter(f.mf, x -> x < b.monetary)) AS INT) AS m_score
+FROM base b CROSS JOIN fences f
+""",
+    doc="RFM customer segmentation: per-customer recency (days to a FIXED "
+    "anchor — never now(), reruns are deterministic), frequency, and "
+    "exact-decimal monetary total; quartile scores assigned map-side by "
+    "counting broadcast PERCENTILE_DISC fences below the value (recency "
+    "inverted: recent = high score). Same scale-honest fence pattern as "
+    "histogram_equidepth_price — no global-sort ntile. One customer-"
+    "keyed aggregate + one 1-row fence aggregate.",
+    tags=("agg", "profile", "reporting"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("monetary"),
+    )
+    def fence3(col: str):
+        return F.array(
+            *[
+                F.expr(
+                    f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY {col})"
+                )
+                for q in (25, 50, 75)
+            ]
+        )
+
+    fences = base.agg(
+        fence3("recency_days").alias("rf"),
+        fence3("frequency").alias("ff"),
+        fence3("monetary").alias("mf"),
+    )
+    below = lambda arr, v: F.size(  # noqa: E731
+        F.filter(F.col(arr), lambda x: x < F.col(v))
+    )
+    return base.crossJoin(F.broadcast(fences)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(4) - below("rf", "recency_days")).cast("int").alias("r_score"),
+        (F.lit(1) + below("ff", "frequency")).cast("int").alias("f_score"),
+        (F.lit(1) + below("mf", "monetary")).cast("int").alias("m_score"),
+    )
