@@ -27,7 +27,13 @@ advancement, so unit tests cover late-data/close semantics deterministically.
 
 from .cdc import cdc_apply_stream
 from .dedup import dedup_stream, dedup_stream_exact
-from .ingest import hourly_agg_stream, incremental_append, run_available_now, stream_source
+from .ingest import (
+    hourly_agg_stream,
+    incremental_append,
+    run_available_now,
+    stream_source,
+    windowed_distinct_stream,
+)
 from .joins import attribute_stream, enrich_stream
 from .sessionize import sessionize_session_window, sessionize_stateful
 
@@ -42,5 +48,6 @@ __all__ = [
     "incremental_append",
     "run_available_now",
     "sessionize_session_window",
+    "windowed_distinct_stream",
     "sessionize_stateful",
 ]

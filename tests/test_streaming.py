@@ -316,3 +316,25 @@ def test_cdc_apply_stream_matches_batch_compaction(spark, stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_windowed_distinct_stream_matches_batch(spark, stream_dir):
+    """Streaming exact distinct-users-per-hour (watermark-bounded
+    dropDuplicates + window count) must equal the batch computation."""
+    from amazon_sales_data_engineering_spark.streaming import (
+        windowed_distinct_stream,
+    )
+
+    out = windowed_distinct_stream(_source(spark, stream_dir))
+    rows = run_available_now(out, "win_distinct")
+    got = {r.hour_ts: r.n_users for r in rows}
+
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir).filter("user_id > 0")
+    want = {
+        r.h: r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for h, n in want.items():
+        assert got.get(h) == n, (h, n, got)
