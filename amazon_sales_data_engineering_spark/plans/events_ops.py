@@ -446,3 +446,73 @@ def events_funnel_timed(spark: SparkSession, sf_dir: str):
             F.col("t3").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@register(
+    "events_rate_anomalies",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n) AS med_n
+  FROM hourly GROUP BY 1
+), dev AS (
+  SELECT h.event_type, h.h, h.n, m.med_n,
+         abs(h.n - m.med_n) AS adev
+  FROM hourly h JOIN med m ON m.event_type = h.event_type
+), mad AS (
+  SELECT event_type,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev) AS mad_n
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.h AS hour_ts, d.n, d.med_n, m.mad_n,
+       d.adev > 4 * m.mad_n AS is_spike
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+""",
+    doc="Time-series rate-anomaly detection: hourly event counts per type "
+    "scored against the type's own median ± 4·MAD — robust monitoring "
+    "fences a single traffic spike cannot poison (unlike mean/stddev). "
+    "Everything is integers and exact PERCENTILE_DISC members; the "
+    "4·MAD comparison is one integer multiply. Composition of the "
+    "hourly-agg and MAD-outlier shapes over the time axis; both "
+    "percentile aggregates are per-type (bounded groups), the hourly "
+    "count is one map-side-combinable aggregate over the event log.",
+    tags=("events", "profile", "stats"),
+)
+def events_rate_anomalies(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    # date_trunc returns LTZ even for NTZ input (session-TZ shift) — build
+    # the hour NTZ-natively instead, as range_join_event_windows does.
+    hour = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        F.lit(0), F.lit(0),
+    )
+    hourly = e.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("med_n")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("bigint")
+        .alias("mad_n")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            "n",
+            "med_n",
+            "mad_n",
+            (F.col("adev") > 4 * F.col("mad_n")).alias("is_spike"),
+        )
+    )
