@@ -376,15 +376,72 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
     bench=True,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str):
-    from ..operators.dedup import prefix_filter_candidates
+    from pyspark.sql import Window
 
-    # The shingle set feeds six subtrees (df, sizes, ranked prefix, both
-    # candidate join sides, verify) — persist once, like minhash_dedup_pairs.
-    sh = shingles(
-        t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3
-    ).persist()
-    cand = prefix_filter_candidates(sh, "doc_id", threshold_pct=50)
-    return jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cand)
+    # Fused one-pass layout (the minhash_dedup_pairs trick applied to the
+    # prefix strategy): ONE window pass ranks shingles by global df and a
+    # single per-doc aggregate then yields BOTH the prefix array (rarest
+    # p = n - ceil(0.5n) + 1 shingles) and the full shingle set, persisted
+    # O(docs). Candidates come from exploding only the prefixes; the
+    # exact-Jaccard verify is an in-row array_intersect of the stored
+    # sets — the shingle stream is never re-shuffled for verification.
+    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # ranked feeds both the per-doc summary and the prefix stream.
+    ranked = (
+        sh.join(freq, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
+        .persist()
+    )
+    docsets = ranked.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # prefix length p = n - ceil(n/2) + 1 = n div 2 + 1 (for t = 50%)
+    prefix = ranked.join(
+        docsets.select("doc_id", "n"), "doc_id"
+    ).filter(F.col("pos") <= F.expr("n div 2 + 1"))
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(100) * F.least("na", "nb")
+            >= F.lit(50) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 _WINDOWS8 = f"""
