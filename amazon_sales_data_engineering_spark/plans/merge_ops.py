@@ -221,3 +221,65 @@ def delta_join_view(spark: SparkSession, sf_dir: str):
         o_old, o_new, l_old, l_new, on=["o_orderkey"], broadcast_deltas=True
     ).select(*cols)
     return v_old.unionByName(dv)
+
+
+@register(
+    "delete_cascade_audit",
+    oracle="""
+WITH del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0
+), del_orders AS (
+  SELECT o.o_orderkey FROM orders o
+  JOIN del d ON d.c_custkey = o.o_custkey
+)
+SELECT 'customer' AS tbl,
+       (SELECT COUNT(*) FROM del) AS n_deleted,
+       (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del)
+         AS n_remaining
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM del_orders))
+""",
+    doc="Right-to-be-forgotten cascade audit: a deletion list of customers "
+    "(every 13th) propagated through the FK chain customer → orders → "
+    "lineitem, reporting deleted/remaining counts per table — the "
+    "compliance-report shape run BEFORE executing a GDPR erasure. Each "
+    "hop is a semi/anti join on the parent's surviving keys (broadcast "
+    "when the delete list is small, AQE otherwise); nothing is "
+    "rewritten, so the audit is safely re-runnable. Counts are exact "
+    "integers.",
+    tags=("merge", "join", "compliance"),
+)
+def delete_cascade_audit(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    del_o = o.join(
+        F.broadcast(del_c), o.o_custkey == del_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+
+    def counts(tbl_name, total_df, deleted_df):
+        nd = deleted_df.agg(F.count(F.lit(1)).alias("n_deleted"))
+        nt = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        return nd.crossJoin(nt).select(
+            F.lit(tbl_name).alias("tbl"),
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_remaining"),
+        )
+
+    return (
+        counts("customer", c, del_c)
+        .unionByName(counts("orders", o, del_o))
+        .unionByName(counts("lineitem", li, del_li))
+    )
