@@ -236,3 +236,69 @@ def window_navigation(spark: SparkSession, sf_dir: str):
         F.lead("o_totalprice", 2, -1.0).over(base).alias("price_after_next"),
         F.lag("o_totalprice", 2, -1.0).over(base).alias("price_before_prev"),
     )
+
+
+@register(
+    "window_rolling_7day",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_no,
+         COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day_no, n_orders, revenue,
+       SUM(n_orders) OVER w AS orders_7d,
+       COUNT(*) OVER w AS active_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Time-based rolling 7-day window via a RANGE frame: per priority, "
+    "orders in the trailing week of each active day. RANGE frames bound "
+    "by VALUE distance (missing days still shrink the window — a ROWS "
+    "frame would wrongly span gaps), expressed on integer day numbers "
+    "so the frame arithmetic is exact and identical in both engines "
+    "(Spark's rangeBetween takes numeric offsets; interval-typed RANGE "
+    "is SQL-syntax sugar over the same thing). Completes the frame "
+    "family: ROWS (window_running_frame), GROUPS-like dedup windows, "
+    "and now value-RANGE. The rolling sum is over per-day integer "
+    "counts — no float accumulation in the frame.",
+    tags=("window", "frames", "temporal"),
+)
+def window_rolling_7day(spark: SparkSession, sf_dir: str):
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("day_no"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day_no",
+        "n_orders",
+        "revenue",
+        F.sum("n_orders").over(w).alias("orders_7d"),
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
+    )
