@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for the headline queries.
+
+The registry docstrings ARGUE each plan's scale shape; this artifact shows
+the actual Catalyst output backing the argument (pushed filters, broadcast
+vs shuffle joins, WindowGroupLimit, whole-stage codegen spans). Regenerate
+after plan-affecting changes: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHOWCASE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q19_disjunctive_pushdown",
+    "star_join_enriched",
+    "salted_join_revenue",
+    "dedup_minhash_lsh",
+    "dedup_prefix_jaccard",
+    "graph_triangle_count",
+    "asof_join_price_index",
+    "sample_per_group_topn",
+    "delta_join_view",
+    "events_sliding_agg",
+]
+
+
+def main() -> int:
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+    from amazon_sales_data_engineering_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    out = [
+        "# PLANS — physical plans of the headline queries (generated)\n",
+        "Regenerate with `python tools/dump_plans.py` (sf0.01, the gate's",
+        "scale). What to look for: `PushedFilters` on scans, `BroadcastHashJoin`",
+        "for dim sides vs `SortMergeJoin`/`ShuffledHashJoin` for fact joins,",
+        "`WindowGroupLimit ... Partial` before exchanges, `TakeOrderedAndProject`",
+        "for global top-k, and wide `WholeStageCodegen` spans.\n",
+    ]
+    for name in SHOWCASE:
+        q = REGISTRY[name]
+        df = q.spark_fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out.append(f"\n## {name}\n")
+        doc = (q.doc or "").strip().split(". ")[0]
+        if doc:
+            out.append(f"{doc}.\n")
+        out.append("```\n" + plan.strip() + "\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+    print(f"PLANS.md written ({len(SHOWCASE)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
