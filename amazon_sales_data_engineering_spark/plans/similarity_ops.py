@@ -501,3 +501,87 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str):
     v = t_cpu(spark, sf_dir, "embeddings")
     probes = v.filter(F.col("vec_id") % 100 == 0)
     return quantized_topk(v, probes, k=5)
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH v AS ({_V}),
+lab AS (SELECT vec_id, label FROM embeddings),
+p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT probe_id, v.vec_id AS neighbor_id, {_COS} AS cos
+  FROM p, v
+  WHERE v.vec_id <> probe_id
+),
+topk AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT t.probe_id, l.label, COUNT(*) AS c
+  FROM topk t JOIN lab l ON l.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+winner AS (
+  SELECT probe_id, label AS pred_label FROM (
+    SELECT probe_id, label,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT pl.label AS true_label,
+       COUNT(*) AS n_probes,
+       COUNT(*) FILTER (WHERE w.pred_label = pl.label) AS n_correct,
+       (COUNT(*) FILTER (WHERE w.pred_label = pl.label) * 1000000)
+         // COUNT(*) AS acc_ppm
+FROM winner w
+JOIN lab pl ON pl.vec_id = w.probe_id
+GROUP BY 1
+""",
+    doc="kNN classifier evaluation in-engine: every probe (vec_id % 100) "
+    "is classified by majority vote of its 5 cosine neighbors' labels "
+    "(deterministic tiebreak: count desc, label asc) and scored against "
+    "its own label — leave-one-out accuracy per class, integer ppm. "
+    "Composes the exact ANN path with two small aggregates; the "
+    "embedding-quality gate ('do nearest neighbors share labels?') a "
+    "retrieval pipeline should run before indexing 100 TB of vectors.",
+    tags=("similarity", "ml", "eval"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str):
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") % 100 == 0)
+    topk = cosine_topk(v, probes, id_col="vec_id", vec_col="embedding", k=5)
+    lab = v.select("vec_id", "label")
+    votes = (
+        topk.join(lab, topk.neighbor_id == lab.vec_id)
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), "label")
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"))
+    )
+    true_lab = v.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return (
+        winner.join(true_lab, "probe_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.count(
+                F.when(F.col("pred_label") == F.col("true_label"), 1)
+            ).alias("n_correct"),
+        )
+        .withColumn("acc_ppm", F.expr("(n_correct * 1000000) div n_probes"))
+    )

@@ -362,3 +362,69 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str):
             "novelty_ppm", F.expr("(n_novel * 1000000) div n_shingles")
         )
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST({_NTOK_G} AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split({_NORM}, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), pred AS (
+  SELECT lang AS true_lang,
+         CASE
+           WHEN n_tokens = 0 THEN 'unknown'
+           WHEN floor((n_stop * 1000.0) / n_tokens) >= 100 THEN 'en'
+           WHEN floor((n_stop * 1000.0) / n_tokens) >= 40 THEN 'mixed'
+           ELSE 'unknown'
+         END AS pred_lang
+  FROM m
+), tot AS (SELECT COUNT(*) AS n_total FROM pred)
+SELECT p.true_lang, p.pred_lang, COUNT(*) AS n_docs,
+       (COUNT(*) * 1000000) // t.n_total AS cell_ppm,
+       p.pred_lang = 'en' AND p.true_lang = 'en'
+         OR p.pred_lang <> 'en' AND p.true_lang <> 'en' AS en_detector_correct
+FROM pred p CROSS JOIN tot t
+GROUP BY p.true_lang, p.pred_lang, t.n_total
+""",
+    doc="In-engine model evaluation: confusion matrix of the stopword-"
+    "density language classifier against the labeled lang column, with "
+    "integer ppm cell shares and an en-vs-rest correctness flag per "
+    "cell — the eval step a data-quality pipeline runs BEFORE trusting "
+    "a heuristic filter at 100 TB. One aggregate over the scored "
+    "stream; the totals row broadcasts. Demonstrates that classifier "
+    "evaluation (not just application) lives in the engine.",
+    tags=("text", "ml", "eval"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    nstop = stopword_count("text")
+    denom = F.when(ntok == 0, F.lit(None)).otherwise(ntok)
+    milli = F.floor((nstop * F.lit(1000.0)) / denom)
+    pred = (
+        F.when(milli >= 100, F.lit("en"))
+        .when(milli >= 40, F.lit("mixed"))
+        .otherwise(F.lit("unknown"))
+    )
+    scored = d.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+    tot = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    correct = (
+        (F.col("pred_lang") == "en") & (F.col("true_lang") == "en")
+    ) | ((F.col("pred_lang") != "en") & (F.col("true_lang") != "en"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy("true_lang", "pred_lang", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_total").alias("cell_ppm"),
+            correct.alias("en_detector_correct"),
+        )
+    )
