@@ -743,3 +743,116 @@ def dedup_containment(spark: SparkSession, sf_dir: str):
         .filter((cont >= 0.8) & (jac < 0.5))
         .select("contained_id", "container_id", cont.alias("containment"))
     )
+
+
+@register(
+    "dedup_minhash_per_source",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+src AS (SELECT doc_id, source FROM documents),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT s.doc_id, src.source, b.band, b.band_key
+  FROM sig s JOIN src ON src.doc_id = s.doc_id,
+  LATERAL (VALUES (0, md5(s.h0 || '|' || s.h1)),
+                  (1, md5(s.h2 || '|' || s.h3)),
+                  (2, md5(s.h4 || '|' || s.h5))) AS b(band, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.source
+  FROM buckets a
+  JOIN buckets b ON a.source = b.source AND a.band = b.band
+                AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, c.source, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT i.id_a, i.id_b, i.source,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+""",
+    doc="Domain-scoped near-dup detection: MinHash-LSH with a COMPOSITE "
+    "blocking key (source, band, band_key) — candidates form only "
+    "within a source, the 'dedup each domain before global dedup' "
+    "staging every large corpus pipeline uses (within-domain dup rates "
+    "dwarf cross-domain ones, and per-domain blocking shrinks every "
+    "bucket). Demonstrates that the LSH blocking key COMPOSES with "
+    "business partitions for free — same shuffle count as plain "
+    "dedup_minhash_lsh, smaller buckets.",
+    tags=("dedup", "lsh", "blocking"),
+)
+def dedup_minhash_per_source(spark: SparkSession, sf_dir: str):
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from ..operators.dedup import minhash_signatures
+
+    d = t_cpu(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", k=3).persist()
+    sig = minhash_signatures(sh, "doc_id", num_hashes=6).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    bands = []
+    for bi in range(3):
+        cols = [F.col(f"h{bi * 2 + r}") for r in range(2)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                "source",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    buckets = _reduce(_DF.unionByName, bands)
+    a = buckets.select(
+        F.col("doc_id").alias("id_a"), "source", "band", "band_key"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("id_b"), "source", "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["source", "band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "source")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "source")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "source",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
