@@ -856,3 +856,56 @@ def dedup_minhash_per_source(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register(
+    "export_labeled_pairs",
+    oracle=f"""
+WITH sh_all AS ({_SHINGLES}),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 100),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+{_JACCARD_TAIL},
+pos AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+),
+ids AS (SELECT doc_id FROM documents),
+neg AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 137
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.id_a = a.doc_id AND p.id_b = b.doc_id)
+)
+SELECT id_a, id_b, 1 AS label FROM pos
+UNION ALL
+SELECT id_a, id_b, 0 AS label FROM neg
+""",
+    doc="Similarity training-set export: near-dup pairs (capped exact "
+    "Jaccard >= 0.5) become positives; deterministic stride-137 id "
+    "pairs not in the positive set become negatives — the labeled-pair "
+    "construction that distills the engine's dedup signal into "
+    "contrastive training data (no rand(): reruns and retries emit the "
+    "identical dataset). Negatives via one self-equi-join on a shifted "
+    "key + an anti join against positives; complements "
+    "contrastive_hard_negatives (embedding-space hard negatives) with "
+    "lexical-space labels.",
+    tags=("dedup", "corpus", "ml", "export"),
+)
+def export_labeled_pairs(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", k=3)
+    pos = jaccard_pairs(
+        sh, "doc_id", threshold=0.5, max_shingle_freq=100
+    ).select("id_a", "id_b")
+    ids = d.select("doc_id")
+    shifted = ids.select((F.col("doc_id") + 137).alias("doc_id"))
+    neg = (
+        ids.join(shifted, "doc_id", "left_semi")
+        .select((F.col("doc_id") - 137).alias("id_a"), F.col("doc_id").alias("id_b"))
+        .join(pos, ["id_a", "id_b"], "left_anti")
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
