@@ -516,3 +516,50 @@ def events_rate_anomalies(spark: SparkSession, sf_dir: str):
             (F.col("adev") > 4 * F.col("mad_n")).alias("is_spike"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), row_tot AS (
+  SELECT prev_type, SUM(n) AS tot FROM trans GROUP BY 1
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / r.tot AS p
+FROM trans t JOIN row_tot r ON r.prev_type = t.prev_type
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag over the (ts, event_id)-ordered stream pairs each "
+    "event with its predecessor, counts per (prev → next), and the "
+    "row-conditional probability as one exact-integer division — the "
+    "behavioral-model estimation step (what follows a click?) behind "
+    "next-event prediction and bot detection. One sort shuffle on the "
+    "user key + two tiny aggregates; states are bounded (event types), "
+    "so the matrix broadcasts anywhere.",
+    tags=("events", "window", "stats", "ml"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
+    )

@@ -709,3 +709,58 @@ def metadata_file_stats(spark: SparkSession, sf_dir: str):
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "sql_cte_window_qualify",
+    oracle="""
+WITH seg_rev AS (
+  SELECT c.c_mktsegment AS mktsegment, c.c_custkey,
+         CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS customer_value,
+         COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT mktsegment, c_custkey, customer_value, n_orders,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY mktsegment
+                               ORDER BY customer_value DESC, c_custkey) AS rnk
+  FROM seg_rev
+)
+WHERE rnk <= 3
+""",
+    doc="Full modern-SQL surface through ONE spark.sql string: CTE + "
+    "aggregate + windowed rank filter (the QUALIFY idiom, spelled as "
+    "the subquery filter both engines lower it to) — top-3 customers by exact-decimal lifetime value "
+    "per segment. Together with sql_string_entry this proves the "
+    "engine's SQL-string interface covers the analyst dialect, not "
+    "just programmatic DataFrames; Catalyst plans the rank filter as "
+    "the same partial WindowGroupLimit the DataFrame path gets.",
+    tags=("sql", "window", "agg"),
+)
+def sql_cte_window_qualify(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH seg_rev AS (
+          SELECT c.c_mktsegment AS mktsegment, c.c_custkey,
+                 CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                      AS STRING) AS DOUBLE) AS customer_value,
+                 COUNT(*) AS n_orders
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT mktsegment, c_custkey, customer_value, n_orders,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY mktsegment
+                                       ORDER BY customer_value DESC,
+                                                c_custkey) AS rnk
+          FROM seg_rev
+        )
+        WHERE rnk <= 3
+        """
+    )
