@@ -1,0 +1,98 @@
+"""Distributed prefix sums — global cumulative aggregates without the
+global-window cliff.
+
+A cumulative sum over a TOTAL order (`SUM(x) OVER (ORDER BY k)`) plans as
+ONE unpartitioned window: every row flows through a single task — the
+same scalability cliff `sequences.dense_keys` documents. The scalable
+shape is the classic two-phase scan:
+
+1. bucket rows by DETERMINISTIC value fences over the order key (exact
+   PERCENTILE_DISC members broadcast back — not ``spark_partition_id``,
+   which is plan/scheduling-dependent and would break retry determinism);
+2. run the cumulative window INSIDE each bucket (parallel, bounded);
+3. add each bucket's offset = sum of all earlier buckets' totals (a
+   groups-sized aggregate joined back by broadcast).
+
+Totals are EXACT decimal sums, so bucket offsets are associative and the
+result is bit-identical to the single-window answer regardless of how
+many buckets the fences produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tiebreak: list[str],
+    n_buckets: int = 16,
+    descending: bool = False,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append ``out_col``: exact-decimal cumulative sum of ``value_col``
+    over the global (order_col, *tiebreak) order, computed with the
+    two-phase bucket scan (no single-partition window). ``descending``
+    orders high-to-low (the Pareto direction)."""
+    q = [p / n_buckets for p in range(1, n_buckets)]
+    dirn = "DESC" if descending else "ASC"
+    fences = df.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP "
+                    f"(ORDER BY {order_col})"
+                )
+                for p in q
+            ]
+        ).alias("__fences")
+    )
+    cmp: Column
+    with_b = df.crossJoin(F.broadcast(fences))
+    if descending:
+        # bucket 0 = highest values: the count of (ascending) fences >= v
+        # is 0 for the largest v and len(q) for the smallest. Ties with a
+        # fence value compare identically for every duplicate, so equal
+        # keys never split across buckets.
+        cmp = F.size(
+            F.filter(F.col("__fences"), lambda x: x >= F.col(order_col))
+        )
+        bucket = cmp.cast("int")
+    else:
+        bucket = F.size(
+            F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
+        ).cast("int")
+    dec = F.col(value_col).cast("decimal(28,6)")
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(
+            F.col(order_col).desc() if descending else F.col(order_col),
+            *tiebreak,
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = with_b.withColumn("__bucket", bucket).drop("__fences")
+    local = bucketed.withColumn("__local_cum", F.sum(dec).over(w_local))
+    totals = (
+        bucketed.groupBy("__bucket")
+        .agg(F.sum(dec).alias("__btot"))
+    )
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # The offsets window IS global — over n_buckets rows, not the data.
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0).cast("decimal(28,6)"))
+        .alias("__offset"),
+    )
+    _ = dirn
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__bucket", "__local_cum", "__offset")
+    )

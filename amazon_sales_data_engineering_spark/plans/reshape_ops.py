@@ -475,3 +475,76 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
         (F.lit(1) + below("ff", "frequency")).cast("int").alias("f_score"),
         (F.lit(1) + below("mf", "monetary")).cast("int").alias("m_score"),
     )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS revenue_dec
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT SUM(revenue_dec) AS total FROM rev),
+cum AS (
+  SELECT l_partkey, revenue_dec,
+         SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_dec
+  FROM rev
+)
+SELECT c.l_partkey,
+       CAST(CAST(c.revenue_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t.total AS VARCHAR) AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(t.total AS VARCHAR) AS DOUBLE) <= 0.8 THEN 'A'
+            WHEN CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(t.total AS VARCHAR) AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum c CROSS JOIN tot t
+""",
+    doc="ABC/Pareto classification of parts by revenue: global cumulative "
+    "share over the revenue-descending order, computed with operators."
+    "prefixsum.distributed_cumsum — the two-phase bucket scan "
+    "(deterministic PERCENTILE_DISC fences → parallel in-bucket windows "
+    "→ broadcast bucket offsets) instead of the single-partition global "
+    "window the oracle uses; exact-decimal partials make the two plans "
+    "bit-identical. Shares leave the decimal domain via the string "
+    "route; class fences compare identical doubles. The cumulative-"
+    "distribution shape behind inventory ABC, revenue Pareto, and "
+    "cost-coverage reports.",
+    tags=("window", "agg", "reporting", "prefixsum"),
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias(
+                "revenue_dec"
+            )
+        )
+    )
+    tot = rev.agg(F.sum("revenue_dec").alias("total"))
+    cum = distributed_cumsum(
+        rev,
+        order_col="revenue_dec",
+        value_col="revenue_dec",
+        tiebreak=["l_partkey"],
+        n_buckets=16,
+        descending=True,
+        out_col="cum_dec",
+    )
+    share = F.col("cum_dec").cast("string").cast("double") / F.col(
+        "total"
+    ).cast("string").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("revenue_dec").cast("string").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
