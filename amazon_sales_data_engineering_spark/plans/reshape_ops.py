@@ -548,3 +548,44 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str):
             "abc_class"
         ),
     )
+
+
+@register(
+    "order_items_nested_export",
+    oracle="""
+SELECT l_orderkey,
+       list(l_partkey ORDER BY l_partkey) AS item_keys,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+         AS item_csv,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY 1
+""",
+    doc="Nested denormalized export: one row per order carrying its part "
+    "keys as a SORTED array and a CSV string — the document-assembly "
+    "shape for JSON/feature exports. collect_list order is partition-"
+    "nondeterministic, so the engine ALWAYS array_sorts before "
+    "emitting (and builds the string from the sorted array), making "
+    "nested exports reproducible across runs, retries, and engines. "
+    "One map-side-combinable aggregate.",
+    tags=("reshape", "export", "agg"),
+)
+def order_items_nested_export(spark: SparkSession, sf_dir: str):
+    keys = F.array_sort(F.collect_list("l_partkey"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            keys.alias("item_keys"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_orderkey",
+            "item_keys",
+            F.array_join(
+                F.transform(F.col("item_keys"), lambda x: x.cast("string")),
+                ",",
+            ).alias("item_csv"),
+            "n_items",
+        )
+    )
