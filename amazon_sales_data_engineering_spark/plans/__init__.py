@@ -24,6 +24,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     temporal_ops,
     text_ops,
     tpch_more,
+    warehouse_ops,
     window_ops,
 )
 from .registry import REGISTRY, Query
