@@ -114,3 +114,115 @@ def bridge_allocation_weights(spark: SparkSession, sf_dir: str):
             / F.col("order_rev_dec").cast("string").cast("double")
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "dim_inferred_members",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 17 <> 0
+), missing AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey
+  FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+  WHERE d.c_custkey IS NULL
+)
+SELECT c_custkey, c_name, c_mktsegment, FALSE AS is_inferred FROM dim
+UNION ALL
+SELECT c_custkey, 'UNKNOWN' AS c_name, 'UNKNOWN' AS c_mktsegment,
+       TRUE AS is_inferred
+FROM missing
+""",
+    doc="Late-arriving dimension handling: facts referencing keys absent "
+    "from the dimension (every 17th customer withheld to simulate a "
+    "late feed) get INFERRED members — placeholder rows flagged "
+    "is_inferred, inserted so fact loads never drop or orphan rows; "
+    "when the real dimension row arrives, the SCD2 machinery "
+    "(scd2_customer_segments) closes the placeholder. Distinct-missing "
+    "via one anti join; the union is narrow. The third piece of the "
+    "dim-maintenance triad: delta loads (left_anti_new_dims), SCD2 "
+    "history, inferred members.",
+    tags=("warehouse", "dim", "join"),
+)
+def dim_inferred_members(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    missing = (
+        o.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(dim.select("c_custkey"), "c_custkey", "left_anti")
+    )
+    return dim.withColumn("is_inferred", F.lit(False)).unionByName(
+        missing.select(
+            "c_custkey",
+            F.lit("UNKNOWN").alias("c_name"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+            F.lit(True).alias("is_inferred"),
+        )
+    )
+
+
+@register(
+    "percent_of_parent_hierarchy",
+    oracle="""
+WITH nat AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS bal_dec
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+), reg AS (
+  SELECT region_name, SUM(bal_dec) AS reg_dec FROM nat GROUP BY 1
+), tot AS (SELECT SUM(bal_dec) AS tot_dec FROM nat)
+SELECT n.region_name, n.nation_name,
+       CAST(CAST(n.bal_dec AS VARCHAR) AS DOUBLE) AS balance,
+       CAST(CAST(n.bal_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(r.reg_dec AS VARCHAR) AS DOUBLE) AS pct_of_region,
+       CAST(CAST(r.reg_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t.tot_dec AS VARCHAR) AS DOUBLE) AS region_pct_of_total
+FROM nat n
+JOIN reg r ON r.region_name = n.region_name
+CROSS JOIN tot t
+""",
+    doc="Percent-of-parent along the region → nation hierarchy: each "
+    "nation's share of its region and each region's share of the total, "
+    "from ONE leaf-level decimal aggregate re-aggregated upward (exact "
+    "and associative, so parent totals are bit-identical to direct "
+    "computation); shares leave via the string route and one IEEE "
+    "division each. The drill-down companion to rollup_region_nation's "
+    "subtotals.",
+    tags=("agg", "reporting", "hierarchy"),
+)
+def percent_of_parent_hierarchy(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("bal_dec")
+        )
+    )
+    reg = nat.groupBy("region_name").agg(F.sum("bal_dec").alias("reg_dec"))
+    tot = nat.agg(F.sum("bal_dec").alias("tot_dec"))
+    s = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    return (
+        nat.join(F.broadcast(reg), "region_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region_name",
+            "nation_name",
+            s("bal_dec").alias("balance"),
+            (s("bal_dec") / s("reg_dec")).alias("pct_of_region"),
+            (s("reg_dec") / s("tot_dec")).alias("region_pct_of_total"),
+        )
+    )
