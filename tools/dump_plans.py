@@ -27,6 +27,8 @@ SHOWCASE = [
     "sample_per_group_topn",
     "delta_join_view",
     "events_sliding_agg",
+    "pit_join_scd2",
+    "pareto_abc_parts",
 ]
 
 
