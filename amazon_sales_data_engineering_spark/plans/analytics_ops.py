@@ -291,7 +291,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)

@@ -254,7 +254,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str):
 @register(
     "embedding_centroids",
     oracle="""
-SELECT e.label, g.i AS dim,
+SELECT e.label, CAST(g.i AS INTEGER) AS dim,
        CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS VARCHAR)
                           AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE)
          / COUNT(*) AS centroid,

@@ -184,7 +184,8 @@ WITH cohort AS (
   SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
 )
 SELECT c.cohort_day,
-       date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+         AS day_offset,
        COUNT(DISTINCT e.user_id) AS n_active
 FROM events e JOIN cohort c ON c.user_id = e.user_id
 GROUP BY 1, 2

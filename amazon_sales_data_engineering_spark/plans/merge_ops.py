@@ -121,8 +121,8 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str):
 @register(
     "rollup_incremental_merge",
     oracle="""
-SELECT year(o_orderdate) AS order_year,
-       month(o_orderdate) AS order_month,
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
        o_orderpriority,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)

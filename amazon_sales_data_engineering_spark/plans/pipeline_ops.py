@@ -239,7 +239,8 @@ SELECT
   (SELECT COUNT(*) FROM (SELECT DISTINCT customer_name, contact, addr, country, region FROM cur)) AS n_customer,
   (SELECT COUNT(*) FROM (SELECT DISTINCT method, provider, country, region FROM cur)) AS n_payment,
   (SELECT date_diff('day', MIN(dt), MAX(dt)) + 1 FROM cur) AS n_date,
-  (SELECT SUM(n) FROM cur JOIN cust USING (customer_name, country, region)) AS n_fact
+  (SELECT CAST(SUM(n) AS BIGINT)
+   FROM cur JOIN cust USING (customer_name, country, region)) AS n_fact
 """,
     doc="Star-schema build (reference step_5) as one lazy plan: groupBy-"
     "distinct dim frames, distributed date spine, 7-way broadcast star "

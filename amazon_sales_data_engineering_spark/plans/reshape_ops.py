@@ -68,8 +68,8 @@ def unpivot_status_metrics(spark: SparkSession, sf_dir: str):
 SELECT o_orderkey, o_orderstatus,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd,
-       ntile(10) OVER (PARTITION BY o_orderstatus
-                       ORDER BY o_totalprice, o_orderkey) AS decile
+       CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
 """,

@@ -429,7 +429,7 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name) AS dist
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
 FROM part a
 JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
            AND a.p_partkey < b.p_partkey

@@ -281,9 +281,9 @@ WITH iv AS (
   FROM isl GROUP BY 1, 2
 )
 SELECT user_id,
-       SUM(len) AS covered_len,
+       CAST(SUM(len) AS BIGINT) AS covered_len,
        COUNT(*) AS n_islands,
-       SUM(n) AS n_intervals
+       CAST(SUM(n) AS BIGINT) AS n_intervals
 FROM per_island
 GROUP BY 1
 """,

@@ -211,7 +211,7 @@ WITH toks AS (
 ), tc AS (
   SELECT w1, w2, w3, COUNT(*) AS n_tri FROM tri GROUP BY 1, 2, 3
 ), cc AS (
-  SELECT w1, w2, SUM(n_tri) AS n_ctx FROM tc GROUP BY 1, 2
+  SELECT w1, w2, CAST(SUM(n_tri) AS BIGINT) AS n_ctx FROM tc GROUP BY 1, 2
 )
 SELECT tc.w1, tc.w2, tc.w3, tc.n_tri, cc.n_ctx,
        CAST(tc.n_tri AS DOUBLE) / cc.n_ctx AS cond_p
@@ -267,7 +267,7 @@ WITH words AS (
 ), wf AS (
   SELECT w, COUNT(*) AS f FROM words GROUP BY 1
 ), pairs AS (
-  SELECT substr(wf.w, i, 2) AS pair, SUM(wf.f) AS n
+  SELECT substr(wf.w, i, 2) AS pair, CAST(SUM(wf.f) AS BIGINT) AS n
   FROM wf, unnest(CASE WHEN length(wf.w) >= 2
                        THEN range(1, length(wf.w)) ELSE [] END) AS t(i)
   GROUP BY 1

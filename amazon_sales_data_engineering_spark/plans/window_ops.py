@@ -32,7 +32,8 @@ SELECT o_custkey, o_orderkey,
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_spend,
-       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS INTEGER)
          AS spend_quartile,
        PERCENT_RANK() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS pct_rank,
@@ -251,7 +252,7 @@ WITH daily AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderpriority, day_no, n_orders, revenue,
-       SUM(n_orders) OVER w AS orders_7d,
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS orders_7d,
        COUNT(*) OVER w AS active_days_7d
 FROM daily
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no

@@ -49,6 +49,65 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+#: DuckDB declared result type -> acceptable Spark simpleString dtypes.
+#: Spark `timestamp` (LTZ) and `timestamp_ntz` both collect to naive
+#: datetimes, matching DuckDB TIMESTAMP; everything else is exact.
+_DUCK_TO_SPARK = {
+    "BOOLEAN": {"boolean"},
+    "TINYINT": {"tinyint"},
+    "SMALLINT": {"smallint"},
+    "INTEGER": {"int"},
+    "BIGINT": {"bigint"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+}
+
+
+def duck_expected_spark_types(duck_type: str) -> set[str] | None:
+    """Spark dtypes that are hash-equivalent to a DuckDB result type.
+
+    Returns None for types with no safe Spark analogue (HUGEINT & friends
+    — pandas/Arrow conversion turns them into float64/object, so a typed
+    hasher diverges even when Python ints compare equal).
+    """
+    t = str(duck_type).strip().upper()
+    if t.endswith("[]"):
+        inner = duck_expected_spark_types(t[:-2])
+        if inner is None:
+            return None
+        return {f"array<{s}>" for s in inner}
+    if t.startswith("DECIMAL"):
+        return {t.lower().replace(" ", "")}
+    return _DUCK_TO_SPARK.get(t)
+
+
+def check_types(spark_df, duck_con, oracle_sql: str) -> None:
+    """Assert declared-result-type parity between the Spark plan and the
+    DuckDB oracle — the class of bug a type-sensitive hasher catches but
+    a canonicalizing value comparison does not (HUGEINT-vs-BIGINT,
+    decimal-scale skew, varchar-vs-numeric)."""
+    rel = duck_con.sql(oracle_sql)
+    d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for col, sp_type in spark_df.dtypes:
+        d_type = d_types.get(col)
+        if d_type is None:
+            continue  # column-set mismatch is reported by compare()
+        allowed = duck_expected_spark_types(d_type)
+        assert allowed is not None, (
+            f"type skew on {col!r}: oracle returns {d_type} which has no "
+            f"hash-stable Spark analogue — CAST it in the oracle SQL"
+        )
+        assert sp_type in allowed, (
+            f"type skew on {col!r}: spark={sp_type} oracle={d_type} "
+            f"(expected one of {sorted(allowed)})"
+        )
+
+
 def compare(spark_df, duck_con, oracle_sql: str) -> None:
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -60,6 +119,7 @@ def compare(spark_df, duck_con, oracle_sql: str) -> None:
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
+    check_types(spark_df, duck_con, oracle_sql)
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     )
