@@ -47,10 +47,18 @@ _HOT_GRAM_CAP = 50
 @register(
     "decontaminate_ngram_overlap",
     oracle=f"""
-WITH toks AS (
+WITH corpus AS (
+  -- Seeded contamination probe: re-inject every eval doc as a *training*
+  -- doc (id + 1000000 leaves the eval residue class: 1000000 % 101 = 100)
+  -- so the gate provably returns >= |eval split| true positives instead
+  -- of vacuously matching on an empty result.
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 101 = 0
+), toks AS (
   SELECT doc_id, doc_id % 101 = 0 AS is_eval,
          string_split({_NORM_SQL}, ' ') AS tk
-  FROM documents
+  FROM corpus
   WHERE length({_NORM_SQL}) > 0
 ), grams AS (
   SELECT DISTINCT doc_id, is_eval, gram
@@ -84,12 +92,21 @@ GROUP BY 1
     f"{_HOT_GRAM_CAP} eval docs are stock phrases, dropped to bound "
     "per-gram fanout), and broadcast; the train side then needs ONE "
     "shuffle-free broadcast-hash join + one (doc_id) aggregate. "
-    "Never doc-by-doc comparison. Counts are integers — engine-exact.",
+    "Never doc-by-doc comparison. Counts are integers — engine-exact. "
+    "The corpus is seeded with a copy of each eval doc under a shifted "
+    "train id (+1000000, which leaves the eval residue class) so the "
+    "gate demonstrably catches contamination — a 0-row result would "
+    "hash-match any always-empty plan.",
     tags=("corpus", "decontam", "join", "ngram"),
     bench=True,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str):
-    d = t_cpu(spark, sf_dir, "documents")
+    base = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
     norm = _NORM(F.col("text"))
     toks = (
         d.select("doc_id", norm.alias("norm"))

@@ -679,7 +679,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str):
 @register(
     "dedup_containment",
     oracle=f"""
-WITH sh_all AS ({_SHINGLES}),
+WITH seeded_docs AS (
+  -- Seeded containment probe: for a deterministic slice of long docs
+  -- (doc_id % 17 = 0, >= 30 tokens) inject a 10-token-prefix excerpt
+  -- under a shifted id, so the gate provably detects asymmetric
+  -- containment instead of vacuously matching an empty result.
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, array_to_string(list_slice(ws, 1, 10), ' ')
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+  WHERE doc_id % 17 = 0 AND len(ws) >= 30
+),
+sh_all AS ({_SHINGLES.replace("FROM documents", "FROM seeded_docs")}),
 hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 100),
 sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -703,11 +714,25 @@ WHERE CAST(i AS DOUBLE) / sa.n >= 0.8
     "the symmetric dedup already catches, so this op reports ONLY the "
     "asymmetric cases. Same inverted-index + size-join machinery as "
     "jaccard_pairs; at scale candidates come from the LSH/prefix "
-    "strategies like every other verify.",
+    "strategies like every other verify. The corpus is seeded with "
+    "10-token-prefix excerpts of a deterministic slice of long docs "
+    "(shifted ids) so the gate demonstrably reports contained/container "
+    "pairs — a 0-row result would hash-match any always-empty plan.",
     tags=("dedup", "containment"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str):
-    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    from ..functions.text import normalized_text
+
+    base = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(normalized_text("text"), " ")
+    excerpts = (
+        base.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 30))
+        .select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.array_join(F.slice(ws, 1, 10), " ").alias("text"),
+        )
+    )
+    sh = shingles(base.unionByName(excerpts), "text", "doc_id", k=3)
     # Same df>100 stop-shingle cap as dedup_ngram_jaccard: bounds the
     # inverted-index self-join against viral shingles (a no-op on this
     # corpus), applied consistently to intersections AND sizes.

@@ -34,6 +34,15 @@ def test_entry_smoke(spark):
     assert df.columns == ["region_name", "brand", "revenue", "n_items"]
 
 
+@pytest.mark.parametrize(
+    "name", ["decontaminate_ngram_overlap", "dedup_containment"]
+)
+def test_seeded_probes_nonempty(spark, name):
+    # These two carry seeded true positives precisely so a 0=0 hash match
+    # can never pass off an always-empty plan as correct.
+    assert REGISTRY[name].spark_fn(spark, SF_DIR).count() > 0
+
+
 def test_registry_contract():
     import __spark_entry__ as e
 
