@@ -590,41 +590,40 @@ def sorted_neighborhood_pairs(
     O(n·w) pairs per block with no similarity function at all at the
     candidate stage.
 
-    The position join is an equi-join on (block, position bucket): each
-    row emits its position and the ``window`` following positions are
-    matched by a between-predicate on the SAME sorted sequence — rows
-    shuffled once for the sort window, candidates bounded by n·w.
+    No self-join at all: the ``window`` following neighbors are read with
+    ``lead(j)`` over the same sorted block window, so the rows are
+    shuffled ONCE for the sort and candidates are generated in-row —
+    exactly n·w pairs per block, never the O(block²) intermediate a
+    block-keyed self-join would materialize before its position filter.
     Output: (id_a, id_b, key_a, key_b, pos_gap), id ordering follows the
     SORT order (a before b).
     """
     key = sort_key if isinstance(sort_key, Column) else F.col(sort_key)
     w = Window.partitionBy(*block_cols).orderBy("__key", id_col)
-    ranked = df.select(
-        *block_cols, F.col(id_col), key.alias("__key")
-    ).withColumn("__pos", F.row_number().over(w))
-    a = ranked.select(
-        *block_cols,
-        F.col(id_col).alias("id_a"),
-        F.col("__key").alias("key_a"),
-        F.col("__pos").alias("pos_a"),
-    )
-    b = ranked.select(
-        *block_cols,
-        F.col(id_col).alias("id_b"),
-        F.col("__key").alias("key_b"),
-        F.col("__pos").alias("pos_b"),
+    ranked = df.select(*block_cols, F.col(id_col), key.alias("__key"))
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead(id_col, j).over(w).alias("id_b"),
+                F.lead("__key", j).over(w).alias("key_b"),
+                F.lit(j).cast("int").alias("pos_gap"),
+            )
+            for j in range(1, window + 1)
+        ]
     )
     return (
-        a.join(b, block_cols)
-        .filter(
-            (F.col("pos_b") > F.col("pos_a"))
-            & (F.col("pos_b") <= F.col("pos_a") + window)
+        ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__key").alias("key_a"),
+            neighbors.alias("__nbs"),  # window exprs first …
         )
+        .select("id_a", "key_a", F.explode("__nbs").alias("nb"))  # … then explode
+        .filter(F.col("nb.id_b").isNotNull())
         .select(
             "id_a",
-            "id_b",
+            F.col("nb.id_b").alias("id_b"),
             "key_a",
-            "key_b",
-            (F.col("pos_b") - F.col("pos_a")).cast("int").alias("pos_gap"),
+            F.col("nb.key_b").alias("key_b"),
+            F.col("nb.pos_gap").alias("pos_gap"),
         )
     )

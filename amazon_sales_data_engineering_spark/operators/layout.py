@@ -122,11 +122,16 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 12):
     locality on EVERY input dimension at once.
 
     Returns ``(df_with_bounds, zcol)`` where ``zcol`` is the key
-    expression; all arithmetic is 64-bit integer (shift/mask/sum), inside
-    whole-stage codegen. Linear scaling assumes roughly uniform domains;
-    for heavily skewed columns substitute a rank/ntile normalization
-    before calling (the interleave is agnostic to how the ``bits``-wide
-    values were produced). k*bits must fit in 63 bits.
+    expression; all arithmetic is explicit 64-bit integer (shift/mask/
+    sum), inside whole-stage codegen — inputs are cast to BIGINT before
+    the scaling multiply, so IntegerType columns cannot wrap in 32-bit.
+    Wide-range columns (hi - lo > 2^62/top) switch to an equivalent
+    divide-first normalization that cannot overflow the multiply; the
+    only precondition is that each column's span hi - lo itself fits in
+    int64. Linear scaling assumes roughly uniform domains; for heavily
+    skewed columns substitute a rank/ntile normalization before calling
+    (the interleave is agnostic to how the ``bits``-wide values were
+    produced). k*bits must fit in 63 bits.
     """
     from pyspark.sql import functions as F
 
@@ -141,9 +146,18 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 12):
     top = (1 << bits) - 1
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
+        d = f"(cast({c} as bigint) - cast(__lo_{c} as bigint))"
+        rng = (
+            f"greatest(cast(__hi_{c} as bigint) - cast(__lo_{c} as bigint),"
+            " cast(1 as bigint))"
+        )
+        # multiply-first keeps full bits-precision while rng*top fits in
+        # 63 bits; beyond that, divide-first with bucket width
+        # floor(rng/(top+1))+1 > rng/(top+1) guarantees norm <= top.
         norm = F.expr(
-            f"(({c} - __lo_{c}) * {top}) div "
-            f"(greatest(__hi_{c} - __lo_{c}, 1))"
+            f"CASE WHEN {rng} <= {(1 << 62) // top} "
+            f"THEN ({d} * cast({top} as bigint)) div {rng} "
+            f"ELSE {d} div (({rng} div {top + 1}) + 1) END"
         ).cast("bigint")
         for b in range(bits):
             bit = F.shiftright(norm, b).bitwiseAND(F.lit(1))

@@ -348,6 +348,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    strict: bool = False,
 ) -> DataFrame:
     """Int8-quantized brute-force top-k — the production memory/bandwidth
     optimization for large corpora: each vector is max-abs scaled to
@@ -364,7 +365,25 @@ def quantized_topk(
     top-k' candidates in float, the classic two-stage retrieval).
     Output: (probe_id, neighbor_id, rank, idot), rank 1..k by idot desc,
     id asc.
+
+    Contract: ``probes`` ids must exist in ``vectors`` — the probe's own
+    quantized vector comes from the inner join against ``vectors``, so an
+    unknown probe id yields NO output rows rather than an error. Pass
+    ``strict=True`` to validate eagerly (one anti-join count) and raise
+    on missing probe ids instead of silently dropping them.
     """
+    if strict:
+        missing = (
+            probes.select(F.col(id_col))
+            .join(vectors.select(F.col(id_col)), id_col, "left_anti")
+            .limit(20)
+            .collect()
+        )
+        if missing:
+            ids = [r[0] for r in missing]
+            raise ValueError(
+                f"quantized_topk: probe ids absent from vectors: {ids}"
+            )
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.aggregate(e, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     safe = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs)

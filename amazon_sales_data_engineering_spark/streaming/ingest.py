@@ -111,18 +111,21 @@ def windowed_distinct_stream(
 ) -> DataFrame:
     """Watermarked EXACT distinct users per tumbling hour — the streaming
     twin of the batch sliding/exact-distinct profile. Two stateful steps,
-    both watermark-bounded: ``dropDuplicates`` on (window-hour, user)
-    keeps one state row per distinct pair until the watermark passes, and
-    the window count then aggregates the survivors — so state is
-    O(distinct users per open window), not O(events). At unbounded user
-    cardinality the right tool is approx_count_distinct (sketch state,
-    constant size); this is the exactness profile for bounded windows."""
-    hour = F.date_trunc("hour", F.col(ts_col))
+    both watermark-bounded: ``dropDuplicates`` on (window, user) keeps one
+    state row per distinct pair until the watermark passes, and the window
+    count then aggregates the survivors — so state is O(distinct users per
+    open window), not O(events). The dedup key MUST be the ``window()``
+    column, not a derived ``date_trunc`` hour: window columns retain the
+    event-time/watermark metadata, so StreamingDeduplicate actually evicts
+    expired pairs (a plain derived column would accumulate all-time state).
+    At unbounded user cardinality the right tool is approx_count_distinct
+    (sketch state, constant size); this is the exactness profile for
+    bounded windows."""
     return (
         events.withWatermark(ts_col, watermark)
-        .select(F.col(ts_col), hour.alias("h"), F.col("user_id"))
-        .dropDuplicates(["h", "user_id"])
-        .groupBy(F.window(ts_col, "1 hour").alias("win"))
+        .select(F.window(F.col(ts_col), "1 hour").alias("win"), F.col("user_id"))
+        .dropDuplicates(["win", "user_id"])
+        .groupBy("win")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("win.start").alias("hour_ts"), "n_users")
     )

@@ -161,3 +161,26 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     orig = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
     new = back.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).collect()[0][0]
     assert orig == new
+
+
+def test_zorder_value_wide_ranges_no_overflow(spark):
+    """Regression: the scaling multiply must not wrap for IntegerType
+    spans > ~524k (32-bit overflow at bits=12) nor for BIGINT spans too
+    wide to multiply by `top` — z-keys stay monotone in each column."""
+    from amazon_sales_data_engineering_spark.operators.layout import (
+        zorder_value,
+    )
+
+    # int32 column spanning 0..2M (would wrap in 32-bit multiply) and a
+    # bigint column spanning 0..2^60 (would overflow 64-bit multiply).
+    rows = [(i * 200_000, (i * (1 << 57))) for i in range(11)]
+    df = spark.createDataFrame(rows, "a int, b long")
+    out, z = zorder_value(df, ["a"], bits=12)
+    vals = [r["__z"] for r in out.select(z).orderBy("a").collect()]
+    assert vals == sorted(vals) and len(set(vals)) > 1
+    assert all(0 <= v <= (1 << 12) - 1 for v in vals)
+
+    out, z = zorder_value(df, ["b"], bits=12)
+    vals = [r["__z"] for r in out.select(z).orderBy("b").collect()]
+    assert vals == sorted(vals) and len(set(vals)) > 1
+    assert all(0 <= v <= (1 << 12) - 1 for v in vals)

@@ -338,3 +338,39 @@ def test_windowed_distinct_stream_matches_batch(spark, stream_dir):
     }
     for h, n in want.items():
         assert got.get(h) == n, (h, n, got)
+
+
+def test_windowed_distinct_state_evicted(spark, stream_dir):
+    """The dedup state must be watermark-bounded, not all-time: after the
+    far-future sentinel advances the watermark past every real window, the
+    deduplicate operator's state should hold only the sentinel's own
+    (window, user) pair — every expired pair evicted. This is exactly what
+    deduping on a derived hour column (no event-time metadata) silently
+    breaks: output stays equal while state grows without bound."""
+    from amazon_sales_data_engineering_spark.streaming import (
+        windowed_distinct_stream,
+    )
+
+    out = windowed_distinct_stream(_source(spark, stream_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wd_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    dedup_ops = [
+        op
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+        if "dedupe" in op["operatorName"]
+    ]
+    assert dedup_ops, "no deduplicate state operator in progress"
+    # 4 distinct (window, user) pairs ever existed (3 real + sentinel);
+    # only the sentinel's open window may remain in state.
+    assert dedup_ops[-1]["numRowsTotal"] <= 1, dedup_ops[-1]
+    assert sum(op["numRowsRemoved"] for op in dedup_ops) >= 3

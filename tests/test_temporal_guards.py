@@ -159,3 +159,25 @@ def test_asof_join_null_right_attr_not_backfilled(spark):
     }
     assert got[15] == ("v1", 20)
     assert got[25] == ("v2", None)  # NOT ("v2", 20)
+
+
+def test_quantized_topk_strict_missing_probe_raises(spark):
+    """quantized_topk silently yields no rows for probe ids absent from
+    the vector table (inner-join contract); strict=True must surface
+    them as an error instead."""
+    import pytest
+
+    from amazon_sales_data_engineering_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    vectors = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    probes = spark.createDataFrame([(1,), (99,)], "vec_id int")
+    # default: unknown probe vanishes, known probe still answered
+    out = quantized_topk(vectors, probes, k=2).collect()
+    assert {r.probe_id for r in out} == {1}
+    with pytest.raises(ValueError, match="99"):
+        quantized_topk(vectors, probes, k=2, strict=True)
