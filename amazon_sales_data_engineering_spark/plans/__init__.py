@@ -20,6 +20,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     reshape_ops,
     scalar_ops,
     similarity_ops,
+    streaming_ops,
     subquery_ops,
     temporal_ops,
     text_ops,
