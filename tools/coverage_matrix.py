@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md: the registry coverage matrix.
+
+One row per registered query: tag family, gate kind (DuckDB-oracled vs
+rows-only), bench membership, and the latest driver verdict if a
+CORRECTNESS_r*.json sampled it. Auto-generated so the matrix cannot drift
+from the registry as it grows: python tools/coverage_matrix.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_driver_verdicts() -> tuple[str, dict]:
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not files:
+        return "none", {}
+    with open(files[-1]) as fh:
+        return os.path.basename(files[-1]), json.load(fh)
+
+
+def main() -> int:
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    src, driver = latest_driver_verdicts()
+    lines = [
+        "# COVERAGE — registry matrix (generated)\n",
+        "Regenerate with `python tools/coverage_matrix.py`. One row per",
+        "registered query. *Gate*: `oracle` = DuckDB-differential (row",
+        "count + schema + type parity + order-insensitive value hash, see",
+        "tests/oracle_util.py), `rows-only` = no SQL-expressible oracle by",
+        "design (the docstring says why). *Driver*: verdict from the most",
+        f"recent driver sample ({src}); `—` = not sampled that round.",
+        "SURVEY.md §2 parity rows are mapped in README.md's coverage",
+        "table; tags group the extension families.\n",
+        "| query | tags | gate | bench | driver |",
+        "|---|---|---|---|---|",
+    ]
+    n_oracle = n_rows_only = 0
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        gate = "oracle" if q.oracle else "rows-only"
+        if q.oracle:
+            n_oracle += 1
+        else:
+            n_rows_only += 1
+        d = driver.get(name)
+        if d is None:
+            verdict = "—"
+        elif d.get("err") == "no_oracle":
+            verdict = "rows-only ok"
+        elif d.get("hash_match"):
+            verdict = "pass"
+        else:
+            verdict = "**FAIL**"
+        lines.append(
+            f"| {name} | {', '.join(q.tags)} | {gate} "
+            f"| {'yes' if q.bench else ''} | {verdict} |"
+        )
+    lines.append(
+        f"\n**{len(REGISTRY)} queries: {n_oracle} oracle-gated, "
+        f"{n_rows_only} rows-only.**\n"
+    )
+    out = os.path.join(REPO, "COVERAGE.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}: {len(REGISTRY)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
