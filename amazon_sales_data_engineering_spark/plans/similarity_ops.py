@@ -585,3 +585,58 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str):
         )
         .withColumn("acc_ppm", F.expr("(n_correct * 1000000) div n_probes"))
     )
+
+
+@register(
+    "embedding_norm_profile",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT label,
+         CAST(list_sum(list_transform(qv, y -> y * y)) AS BIGINT) AS norm2_fix
+  FROM q
+)
+SELECT label,
+       norm2_fix // 1000000000000 AS norm2_bucket,
+       COUNT(*) AS n_vectors,
+       MIN(norm2_fix) AS min_norm2_fix,
+       MAX(norm2_fix) AS max_norm2_fix
+FROM n
+GROUP BY 1, 2
+""",
+    doc="Embedding-norm distribution per label — the QA pass that catches "
+    "norm drift / collapsed vectors before they poison cosine retrieval. "
+    "Each component is fixed-point quantized (floor(x * 1e6): one "
+    "exactly-rounded IEEE multiply + floor, bit-identical on any "
+    "engine), so the squared norm is an exact INTEGER in-row fold — no "
+    "float ever crosses an aggregation boundary or a bucket edge, which "
+    "is what makes a bucketed float profile hash-gateable. Headroom: "
+    "(1e6)^2 x 64 dims = 6.4e13 << 2^63. One narrow scan + one "
+    "map-side-combinable aggregate; buckets of 1e12 = unit-norm steps.",
+    tags=("similarity", "embedding", "profile"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str):
+    e = t_cpu(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    norm2 = F.aggregate(
+        qv, F.lit(0).cast("bigint"), lambda acc, y: acc + y * y
+    )
+    return (
+        e.select("label", norm2.alias("norm2_fix"))
+        .groupBy(
+            "label", F.expr("norm2_fix div 1000000000000").alias("norm2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm2_fix").alias("min_norm2_fix"),
+            F.max("norm2_fix").alias("max_norm2_fix"),
+        )
+    )

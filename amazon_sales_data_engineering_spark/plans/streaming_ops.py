@@ -39,6 +39,67 @@ def _replay_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"asde_stream_replay_{tag}")
 
 
+#: schema of the replay files written by _write_replay (and therefore the
+#: readStream schema of every gated streaming query).
+_REPLAY_SCHEMA = "event_id bigint, user_id bigint, event_type string, sec bigint"
+
+
+def _write_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as three time-ordered parquet files
+    (ascending mtimes) under /tmp and return the directory.
+
+    Integer epoch seconds (``sec``) travel instead of the timestamp: the
+    stream rebuilds an LTZ event time with ``timestamp_seconds`` — an
+    absolute instant, immune to the session timezone. Time-ordered slices
+    mean the watermark (lagging by its delay) can never declare a
+    not-yet-seen row late, so replay results are micro-batching-proof.
+    """
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", sec.alias("sec")
+    )
+    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+
+    base = _replay_dir(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    s = F.col("sec")
+    slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
+    for i, pred in enumerate(slices):
+        e.filter(pred).coalesce(1).write.parquet(f"{base}/b{i}")
+    flat = f"{base}/flat"
+    os.makedirs(flat)
+    now = time.time()
+    for i in range(len(slices)):
+        for f in sorted(os.listdir(f"{base}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:02d}-{f}"
+                os.rename(f"{base}/b{i}/{f}", dst)
+                # file-source batch order follows modification time
+                os.utime(dst, (now + i, now + i))
+    return flat
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded stream to completion through a memory sink
+    (Trigger.AvailableNow) and return the final table."""
+    spark = stream_df.sparkSession
+    qname = f"asde_stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
 @register(
     "streaming_windowed_dedup",
     oracle="""
@@ -61,41 +122,12 @@ FROM events
     tags=("streaming", "dedup", "events"),
 )
 def streaming_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Integer epoch seconds end-to-end: TZ-proof (watermarks demand an LTZ
-    # event-time column, and epoch seconds -> timestamp_seconds() is an
-    # absolute instant, immune to the session timezone — an NTZ wall clock
-    # or LTZ literal would shift under the hostile-TZ gate).
-    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    e = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", sec.alias("sec")
-    )
-    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
-    b1 = lo + (hi - lo) // 3
-    b2 = lo + 2 * (hi - lo) // 3
-
-    base = _replay_dir(sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
-    s = F.col("sec")
-    slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
-    for i, pred in enumerate(slices):
-        e.filter(pred).coalesce(1).write.parquet(f"{base}/b{i}")
-    flat = f"{base}/flat"
-    os.makedirs(flat)
-    now = time.time()
-    for i in range(len(slices)):
-        for f in sorted(os.listdir(f"{base}/b{i}")):
-            if f.endswith(".parquet"):
-                dst = f"{flat}/{i:02d}-{f}"
-                os.rename(f"{base}/b{i}/{f}", dst)
-                # file-source batch order follows modification time
-                os.utime(dst, (now + i, now + i))
-
     from ..streaming.ingest import stream_source
 
     src = stream_source(
         spark,
-        flat,
-        "event_id bigint, user_id bigint, sec bigint",
+        _write_replay(spark, sf_dir),
+        _REPLAY_SCHEMA,
         fmt="parquet",
         max_files_per_trigger=1,
     )
@@ -112,16 +144,44 @@ def streaming_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
     )
-    qname = f"streaming_windowed_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _drain(deduped, "append")
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Streaming/batch equivalence #2 — the AGGREGATION path: the same "
+    "three-file replay runs through a streaming groupBy on (epoch hour, "
+    "event_type) in COMPLETE output mode, whose final memory-sink table "
+    "is the whole aggregate state after the last micro-batch. Integer "
+    "counts make the result micro-batching-proof (a float sum would "
+    "re-order across batches); complete mode sidesteps append-mode's "
+    "emission coupling (the final open window never closes), which is "
+    "why the dedup twin — not this — is the append-mode proof. Together "
+    "they gate both stateful paths: StreamingDeduplicate and stateful "
+    "HashAggregate.",
+    tags=("streaming", "agg", "events"),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+
+    src = stream_source(
+        spark,
+        _write_replay(spark, sf_dir),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
     )
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
-    return spark.table(qname)
+    counts = (
+        src.select((F.col("sec") / F.lit(3600)).cast("bigint").alias("hour_id"),
+                   "event_type")
+        .groupBy("hour_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _drain(counts, "complete")

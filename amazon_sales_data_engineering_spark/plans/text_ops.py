@@ -428,3 +428,144 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str):
             correct.alias("en_detector_correct"),
         )
     )
+
+
+@register(
+    "tokenizer_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+  FROM documents WHERE length({_NORM}) > 0
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, w LIMIT 20
+  )
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+       CAST((COUNT(*) FILTER (WHERE v.w IS NULL)) * 1000 // COUNT(*)
+            AS BIGINT) AS oov_milli
+FROM toks t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY 1
+""",
+    doc="Tokenizer vocabulary coverage: the per-document out-of-vocabulary "
+    "rate against a frequency-truncated vocab (top-20 words by count, "
+    "ties broken lexicographically — a deterministic total order, which "
+    "is what makes a truncated vocab gate-able at all). The vocab is a "
+    "corpus-derived driver table: one map-side-combinable word count, "
+    "top-k, then BROADCAST against the token stream — the exact shape "
+    "of a real tokenizer-coverage audit at 100 TB, where the vocab "
+    "(50k-200k entries) always broadcasts and the corpus never "
+    "shuffles. Integer milli-rates: engine-exact.",
+    tags=("text", "tokenize", "corpus"),
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("w"))
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(20)
+        .select("w", F.lit(1).alias("__v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__v").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000) div n_tokens").alias("oov_milli"),
+        )
+    )
+
+
+@register(
+    "phrase_pmi_top50",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS ws
+  FROM documents WHERE length({_NORM}) > 0
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1
+), bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS n_ab
+  FROM toks, unnest(CASE WHEN len(ws) >= 2 THEN range(1, len(ws))
+                         ELSE [] END) AS t(i)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bi) AS n_bi
+)
+SELECT w1, w2, n_ab, ca.c AS c_a, cb.c AS c_b,
+       ((CAST(n_ab AS DOUBLE) * n_uni / ca.c)
+        * (CAST(n_uni AS DOUBLE) / n_bi)) / cb.c AS pmi_ratio
+FROM bi
+JOIN uni ca ON ca.w = bi.w1
+JOIN uni cb ON cb.w = bi.w2
+CROSS JOIN tot
+WHERE n_ab >= 5
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 50
+""",
+    doc="Phrase mining by pointwise mutual information: adjacent-bigram "
+    "lift over independence, p(ab)/(p(a)p(b)) — the word2vec-style "
+    "collocation detector. All aggregates are integer counts; the ratio "
+    "is ONE fixed expression tree of exactly-rounded IEEE ops over exact "
+    "integers, mirrored verbatim in the oracle, so both engines produce "
+    "bit-identical doubles (no float ever crosses an aggregation "
+    "boundary — the registry determinism rule). Min-count 5 prunes the "
+    "noise tail; (ratio, w1, w2) is a total order for the top-50. "
+    "Shape: two map-side-combinable counts + two vocab-sized broadcast "
+    "joins + global top-k.",
+    tags=("text", "corpus", "lm"),
+)
+def phrase_pmi_top50(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = d.filter(F.length(norm) > 0).select(F.split(norm, " ").alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.size("ws")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = (
+        toks.select(F.explode(idx).alias("i"), "ws")
+        .select(
+            F.element_at("ws", F.col("i")).alias("w1"),
+            F.element_at("ws", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    ratio = (
+        (F.col("n_ab").cast("double") * F.col("n_uni") / F.col("c_a"))
+        * (F.col("n_uni").cast("double") / F.col("n_bi"))
+    ) / F.col("c_b")
+    return (
+        bi.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", "c_a", "c_b", ratio.alias("pmi_ratio"))
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(50)
+    )
