@@ -407,3 +407,55 @@ def edge_neighborhood_similarity(
     ).localCheckpoint()
     und.unpersist()
     return out
+
+
+def label_propagation_rounds(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection), ``n_rounds``
+    bounded rounds over the undirected graph ``edges``.
+
+    Every node starts labeled with itself; each round every node adopts
+    the most frequent label among its neighbors, ties broken by MINIMUM
+    label — a deterministic total order, which is what makes bounded-
+    round LPA gate-comparable at all (classic LPA breaks ties randomly
+    and is therefore not reproducible). Synchronous update: round r+1
+    reads only round r's labels, so the result is independent of
+    execution order.
+
+    Per round: one src-keyed join + one (node, label) count + one argmax
+    aggregate — the same two-shuffle step as a PageRank round, O(|E|)
+    per round, all aggregates map-side combinable. The argmax is
+    ``max_by(label, (count, -label))``: lexicographic struct comparison
+    gives max count then min label with no second shuffle. Returns
+    (node, label) for every node with at least one edge.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = both.distinct().localCheckpoint(eager=False)
+    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_rounds):
+        neighbor_labels = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("vl")
+                ),
+                "v",
+            )
+            .groupBy("u", "vl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = neighbor_labels.groupBy("u").agg(
+            F.max_by(
+                "vl", F.struct(F.col("c"), (-F.col("vl")).alias("neg"))
+            ).alias("label")
+        ).withColumnRenamed("u", "node")
+    out = labels.localCheckpoint()
+    e.unpersist()
+    return out

@@ -994,3 +994,60 @@ def graph_edge_similarity(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return edge_neighborhood_similarity(edges)
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), r1 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label, c,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM (SELECT e.u, e.v AS label, COUNT(*) AS c FROM e GROUP BY 1, 2)
+  ) WHERE rn = 1
+), r2 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label, c,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM (SELECT e.u, l.label, COUNT(*) AS c
+          FROM e JOIN r1 l ON l.node = e.v GROUP BY 1, 2)
+  ) WHERE rn = 1
+)
+SELECT node, label FROM r2
+""",
+    doc="Bounded-round synchronous label propagation (community detection) "
+    "over the part co-purchase graph — fifth member of the iterative "
+    "family, with a different update rule than connected components: "
+    "most-frequent neighbor label, ties to the MINIMUM label "
+    "(deterministic total order; classic random-tie LPA is not gate-"
+    "comparable). operators.graph.label_propagation_rounds: per round "
+    "one src-keyed join + one (node, label) count + a max_by((count, "
+    "-label)) argmax — two map-side-combinable shuffles per round, no "
+    "row ever carries more than one label. The oracle replays both "
+    "rounds as grouped row_number picks — a structurally different plan "
+    "that must agree exactly.",
+    tags=("graph", "iterative", "agg"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import label_propagation_rounds
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation_rounds(edges, n_rounds=2)

@@ -640,3 +640,89 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str):
             F.max("norm2_fix").alias("max_norm2_fix"),
         )
     )
+
+
+@register(
+    "record_linkage_scores",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey AS blk
+  FROM customer
+), pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CASE WHEN CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) <= 3
+              THEN 2 ELSE -1 END
+       + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE -1 END
+       + CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(12,2))
+                       - CAST(b.c_acctbal AS DECIMAL(12,2))) < 100
+              THEN 1 ELSE 0 END AS score
+  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+)
+SELECT CASE WHEN score >= 4 THEN 'match'
+            WHEN score >= 1 THEN 'possible'
+            ELSE 'nonmatch' END AS tier,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(score) AS INT) AS min_score,
+       CAST(MAX(score) AS INT) AS max_score
+FROM pairs
+GROUP BY 1
+""",
+    doc="Fellegi-Sunter-style record-linkage scoring: blocked candidate "
+    "pairs (nation key — the cheap high-recall block) scored by integer "
+    "agreement/disagreement weights over three fields (thresholded name "
+    "Levenshtein, segment, exact-decimal balance proximity), then "
+    "classified into match/possible/nonmatch tiers. The composite of "
+    "the ER primitives the engine already proves separately (blocking, "
+    "thresholded edit distance, exact decimal compare) into the "
+    "decision-model shape production linkage uses. All-integer weights: "
+    "engine-exact. Scale: candidate pairs bounded by sum(block^2) "
+    "exactly like fuzzy_join_part_names; the weight expressions never "
+    "leave the row; one tiers-sized aggregate out.",
+    tags=("similarity", "join", "fuzzy", "agg"),
+)
+def record_linkage_scores(spark: SparkSession, sf_dir: str):
+    c = t_cpu(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("c_nationkey").alias("blk"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 3)
+    score = (
+        F.when((lev >= 0) & (lev <= 3), F.lit(2)).otherwise(F.lit(-1))
+        + F.when(
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        + F.when(
+            F.abs(
+                F.col("a.c_acctbal").cast("decimal(12,2)")
+                - F.col("b.c_acctbal").cast("decimal(12,2)")
+            )
+            < 100,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(score.alias("score"))
+    )
+    tier = (
+        F.when(F.col("score") >= 4, "match")
+        .when(F.col("score") >= 1, "possible")
+        .otherwise("nonmatch")
+    )
+    return (
+        pairs.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("score").cast("int").alias("min_score"),
+            F.max("score").cast("int").alias("max_score"),
+        )
+    )
