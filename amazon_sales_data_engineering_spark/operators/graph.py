@@ -437,15 +437,25 @@ def label_propagation_rounds(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     e = both.distinct().localCheckpoint(eager=False)
-    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Round 1 from identity labels degenerates exactly: every neighbor
+    # carries a distinct label (its own id), so all counts are 1 and the
+    # (count desc, label asc) argmax IS min(neighbor) — one aggregate
+    # instead of the join + (node,label)-count + argmax chain. The
+    # generic step below takes over from round 2.
+    labels = e.groupBy("u").agg(F.min("v").alias("label")).withColumnRenamed(
+        "u", "node"
     )
-    for _ in range(n_rounds):
+    for _ in range(n_rounds - 1):
+        # shuffle_hash pins the label table as build side: the
+        # checkpointed edge list carries an accurate (small-looking) size
+        # estimate while the computed label table's is unknown, so the
+        # planner would otherwise BROADCAST THE EDGES — a driver OOM on
+        # any real graph (same trap documented in pagerank_rounds).
         neighbor_labels = (
             e.join(
                 labels.select(
                     F.col("node").alias("v"), F.col("label").alias("vl")
-                ),
+                ).hint("shuffle_hash"),
                 "v",
             )
             .groupBy("u", "vl")

@@ -679,6 +679,7 @@ GROUP BY 1
     "exactly like fuzzy_join_part_names; the weight expressions never "
     "leave the row; one tiers-sized aggregate out.",
     tags=("similarity", "join", "fuzzy", "agg"),
+    bench=True,
 )
 def record_linkage_scores(spark: SparkSession, sf_dir: str):
     c = t_cpu(spark, sf_dir, "customer").select(

@@ -454,3 +454,69 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str):
         "od",
         F.when(valid, F.col("segment")).alias("segment"),
     )
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) % 7 AS weekday_no,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders
+), per_day AS (
+  SELECT weekday_no, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total,
+         CAST(SUM(sum_cents) AS BIGINT) AS cents_total
+  FROM per_day
+)
+SELECT weekday_no, n_orders, sum_cents,
+       ((sum_cents * 1000) // n_orders) AS mean_millicents,
+       ((((sum_cents * 1000) // n_orders) * 1000)
+        // ((cents_total * 1000) // n_total)) AS seasonal_index_milli
+FROM per_day, tot
+""",
+    doc="Weekly seasonality profile: revenue-per-order by day-of-week as a "
+    "seasonal index (day mean / overall mean, integer milli-units). The "
+    "weekday is epoch-day mod 7 — pure integer arithmetic, no calendar "
+    "function, so the bucketing is identical on any engine and timezone "
+    "(DuckDB's dayofweek is Sunday=0 while Spark's is 1-based — the "
+    "exact cross-engine trap this sidesteps). Revenue is floored cents "
+    "(the same IEEE multiply+floor both sides), so means and the index "
+    "are floor-division chains of exact integers: engine-exact, "
+    "overflow-bounded (milli-cents means, never cents x total x 1000). "
+    "Shape: one map-side-combinable aggregate + a broadcast total — the "
+    "seasonal-decomposition input at any scale.",
+    tags=("temporal", "agg", "seasonality"),
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100).cast("bigint")
+    per_day = (
+        o.select((day_no % 7).alias("weekday_no"), cents.alias("cents"))
+        .groupBy("weekday_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    tot = per_day.agg(
+        F.sum("n_orders").cast("bigint").alias("n_total"),
+        F.sum("sum_cents").cast("bigint").alias("cents_total"),
+    )
+    return per_day.crossJoin(F.broadcast(tot)).select(
+        "weekday_no",
+        "n_orders",
+        "sum_cents",
+        F.expr("(sum_cents * 1000) div n_orders").alias("mean_millicents"),
+        F.expr(
+            "(((sum_cents * 1000) div n_orders) * 1000)"
+            " div ((cents_total * 1000) div n_total)"
+        ).alias("seasonal_index_milli"),
+    )

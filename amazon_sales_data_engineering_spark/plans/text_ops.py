@@ -460,6 +460,7 @@ GROUP BY 1
     "(50k-200k entries) always broadcasts and the corpus never "
     "shuffles. Integer milli-rates: engine-exact.",
     tags=("text", "tokenize", "corpus"),
+    bench=True,
 )
 def tokenizer_oov_rate(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
@@ -530,6 +531,7 @@ LIMIT 50
     "Shape: two map-side-combinable counts + two vocab-sized broadcast "
     "joins + global top-k.",
     tags=("text", "corpus", "lm"),
+    bench=True,
 )
 def phrase_pmi_top50(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")

@@ -30,6 +30,12 @@ DEFAULT_CONF: dict[str, str] = {
     # One shuffle partition per local core; a real cluster overrides this
     # (or relies on AQE coalescing from a higher initial value).
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
+    # Spark's 1g local-mode default heap starves 32 concurrent tasks
+    # (aggregate spill-readers alone OOM it on graph-sized shuffles); size
+    # the single local JVM like the executor it stands in for. Only takes
+    # effect when this factory launches the JVM — a cluster submit's
+    # --driver-memory/--executor-memory override it.
+    "spark.driver.memory": "8g",
 }
 
 

@@ -29,6 +29,10 @@ SHOWCASE = [
     "events_sliding_agg",
     "pit_join_scd2",
     "pareto_abc_parts",
+    "graph_label_propagation",
+    "record_linkage_scores",
+    "phrase_pmi_top50",
+    "tokenizer_oov_rate",
 ]
 
 
