@@ -427,3 +427,80 @@ def test_delta_join_equals_full_recompute(spark, left, right):
         for r in a.select("k", "pa").join(b.select("k", "pb"), "k").collect()
     )
     assert got == want
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(edges=edges_st)
+def test_label_propagation_matches_python_reference(spark, edges):
+    """Bounded-round synchronous LPA vs a brute-force Python oracle:
+    most-frequent neighbor label, ties to the minimum label."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        label_propagation_rounds,
+    )
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        labels = {
+            n: min(
+                Counter(labels[v] for v in adj[n]).most_common(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.node: r.label
+        for r in label_propagation_rounds(df, n_rounds=2).collect()
+    }
+    assert got == labels
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 2), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    window=st.integers(1, 4),
+)
+def test_sorted_neighborhood_matches_python_reference(spark, rows, window):
+    """lead()-based SNM candidates vs brute force: within each block,
+    every pair within `window` positions of the (key, id) sort order,
+    exactly once, with the right gap."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    blocks = defaultdict(list)
+    for rid, blk, key in rows:
+        blocks[blk].append((key, rid))
+    want = set()
+    for blk, members in blocks.items():
+        members.sort()
+        for i, (ka, ida) in enumerate(members):
+            for j in range(i + 1, min(i + window + 1, len(members))):
+                kb, idb = members[j]
+                want.add((ida, idb, ka, kb, j - i))
+
+    df = spark.createDataFrame(rows, "rid int, blk int, key int")
+    got = {
+        (r.id_a, r.id_b, r.key_a, r.key_b, r.pos_gap)
+        for r in sorted_neighborhood_pairs(
+            df, id_col="rid", sort_key="key", block_cols=["blk"], window=window
+        ).collect()
+    }
+    assert got == want
