@@ -9,12 +9,16 @@ and oracling the final table against plain batch SQL.
 Determinism: the replay is split into three time-ordered files (ascending
 mtimes, so the file source feeds micro-batches in event-time order and the
 watermark genuinely advances between batches without ever declaring a
-not-yet-seen row late), and the streamed operator is a DEDUPLICATION —
-its append-mode output is the set of first-seen keys, which is the same
-row set regardless of how the input was micro-batched. An aggregation
-would instead couple emission to watermark passage (the final open window
-never emits in append mode); dedup sidesteps that while still driving
-StreamingDeduplicate state + eviction for real.
+not-yet-seen row late). Three gates cover the three stateful shapes, each
+micro-batching-proof a different way:
+
+- **dedup** (streaming_windowed_dedup): append-mode output is the set of
+  first-seen keys — identical however the input is batched.
+- **aggregate** (streaming_hourly_counts): COMPLETE mode emits the whole
+  state at the end; integer counts make it order-proof.
+- **session windows** (streaming_sessionize_gap): append mode plus a
+  far-future sentinel that pushes the watermark past every real session,
+  so they all emit before the stream drains.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def _replay_dir(sf_dir: str) -> str:
 _REPLAY_SCHEMA = "event_id bigint, user_id bigint, event_type string, sec bigint"
 
 
-def _write_replay(spark: SparkSession, sf_dir: str) -> str:
+def _write_replay(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> str:
     """Materialize the events table as three time-ordered parquet files
     (ascending mtimes) under /tmp and return the directory.
 
@@ -53,6 +57,12 @@ def _write_replay(spark: SparkSession, sf_dir: str) -> str:
     absolute instant, immune to the session timezone. Time-ordered slices
     mean the watermark (lagging by its delay) can never declare a
     not-yet-seen row late, so replay results are micro-batching-proof.
+
+    ``sentinel=True`` appends a fourth file holding one far-future event
+    (user_id = -1): its arrival pushes the watermark past every real
+    window/session, so append-mode AGGREGATES emit all real groups
+    before the stream drains (the standard bounded-replay trick —
+    callers filter ``user_id >= 0`` from the output).
     """
     sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     e = t(spark, sf_dir, "events").select(
@@ -68,10 +78,16 @@ def _write_replay(spark: SparkSession, sf_dir: str) -> str:
     slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
     for i, pred in enumerate(slices):
         e.filter(pred).coalesce(1).write.parquet(f"{base}/b{i}")
+    n_files = len(slices)
+    if sentinel:
+        spark.createDataFrame(
+            [(-1, -1, "eos", hi + 10**9)], _REPLAY_SCHEMA
+        ).coalesce(1).write.parquet(f"{base}/b{n_files}")
+        n_files += 1
     flat = f"{base}/flat"
     os.makedirs(flat)
     now = time.time()
-    for i in range(len(slices)):
+    for i in range(n_files):
         for f in sorted(os.listdir(f"{base}/b{i}")):
             if f.endswith(".parquet"):
                 dst = f"{flat}/{i:02d}-{f}"
@@ -185,3 +201,79 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return _drain(counts, "complete")
+
+
+@register(
+    "streaming_sessionize_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), g AS (
+  SELECT user_id, sec,
+         lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_sec
+  FROM e
+), flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), sessions AS (
+  SELECT user_id, sec,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       MIN(sec) AS sess_start_sec,
+       MAX(sec) AS sess_last_sec,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_idx
+""",
+    doc="Streaming/batch equivalence #3 — SESSION WINDOWS: the replay "
+    "(plus a far-future sentinel that pushes the watermark past every "
+    "real session) runs through a streaming session_window(30 min) "
+    "aggregate in append mode; the emitted sessions must equal batch "
+    "gaps-islands sessionization. The oracle uses session_window's "
+    "STRICT boundary (a gap of exactly 30:00 splits — `>=`, not `>`; "
+    "the session interval is [t, t+gap)), on integer epoch seconds so "
+    "the comparison is timezone-proof and engine-exact. Gates Spark's "
+    "native stateful session operator end-to-end: merge, watermark "
+    "close, and emission — the one streaming shape the dedup and "
+    "complete-mode gates don't touch.",
+    tags=("streaming", "sessionize", "events"),
+)
+def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+
+    src = stream_source(
+        spark,
+        _write_replay(spark, sf_dir, sentinel=True),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    sessions = (
+        src.select("user_id", F.timestamp_seconds("sec").alias("evt_ts"))
+        .withWatermark("evt_ts", "1 hour")
+        .groupBy(
+            F.session_window("evt_ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("sess_start_sec"),
+            # session_window end = last event + gap; recover the last
+            # event time so the output is pure session content, not
+            # gap-padded bounds.
+            (F.unix_timestamp(F.col("win.end")) - F.lit(1800)).alias(
+                "sess_last_sec"
+            ),
+            "n_events",
+        )
+    )
+    out = _drain(sessions, "append")
+    return out.filter(F.col("user_id") >= 0)
