@@ -410,3 +410,51 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.col("rank").cast("int"), "idot")
     )
+
+
+def two_stage_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    k_candidates: int = 20,
+) -> DataFrame:
+    """Two-stage retrieval: int8-quantized first stage over the whole
+    corpus (cheap integer dot products, ``k_candidates`` survivors per
+    probe), exact float cosine re-rank of only the survivors — the
+    production ANN architecture (coarse quantized scan + precise re-rank)
+    where the expensive float math touches k' rows per probe instead of
+    the corpus.
+
+    Output: (probe_id, neighbor_id, rank), rank 1..k by exact cosine
+    desc, id asc on ties. Recall contract: a true top-k neighbor pushed
+    below rank ``k_candidates`` by quantization error is missed — the
+    standard two-stage trade; k'>>k makes it negligible.
+    """
+    cand = quantized_topk(
+        vectors, probes, id_col=id_col, vec_col=vec_col, k=k_candidates
+    ).select("probe_id", "neighbor_id")
+    pv = vectors.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    rescored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -727,3 +727,64 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str):
             F.max("score").cast("int").alias("max_score"),
         )
     )
+
+
+@register(
+    "ann_two_stage_rerank",
+    oracle=f"""
+WITH v AS ({_V}),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 127.0 /
+             (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)) AS q8
+  FROM (
+    SELECT vec_id, e,
+           list_reduce(list_transform(e, x -> abs(x)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+    FROM v
+  )
+),
+p AS (SELECT vec_id AS probe_id, q8 AS pq FROM q WHERE vec_id % 100 = 0),
+stage1 AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, q.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY list_sum(list_transform(range(1, len(pq) + 1),
+                                              i -> pq[i] * q.q8[i])) DESC,
+                      q.vec_id ASC) AS rn
+    FROM p, q WHERE q.vec_id <> probe_id
+  ) WHERE rn <= 20
+),
+rescored AS (
+  SELECT s.probe_id, s.neighbor_id,
+         list_sum(list_transform(range(1, len(pv.e) + 1),
+                                 i -> pv.e[i] * cv.e[i]))
+         / (sqrt(list_sum(list_transform(pv.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(cv.e, x -> x * x)))) AS cos
+  FROM stage1 s
+  JOIN v pv ON pv.vec_id = s.probe_id
+  JOIN v cv ON cv.vec_id = s.neighbor_id
+)
+SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM rescored
+) WHERE rn <= 5
+""",
+    doc="Two-stage retrieval (operators.similarity.two_stage_topk): int8-"
+    "quantized integer-dot first stage keeps 20 candidates per probe, "
+    "exact float cosine re-ranks only those 20 to the final top-5 — the "
+    "production ANN architecture, where the float math touches k' rows "
+    "per probe instead of the corpus. Stage-1 ranking is deterministic "
+    "by TYPE (integer scores); stage-2 carries only ranks, with the id "
+    "tiebreak absorbing last-ulp cosine disagreement. The oracle replays "
+    "both stages in SQL.",
+    tags=("similarity", "quantize", "rerank"),
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import two_stage_topk
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") % 100 == 0)
+    return two_stage_topk(v, probes, k=5, k_candidates=20)
