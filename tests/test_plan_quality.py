@@ -132,3 +132,35 @@ def test_delta_join_broadcasts_deltas(spark):
     sides are scanned but never shuffled."""
     plan = _plan(spark, "delta_join_view")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The frequency-truncated vocab is a driver-sized table and must
+    broadcast onto the token stream — a shuffle join here would shuffle
+    the whole corpus by token."""
+    plan = _plan(spark, "tokenizer_oov_rate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_pmi_global_topk_is_take_ordered(spark):
+    """The PMI top-50 must be TakeOrderedAndProject (per-partition top-k
+    + driver merge), never a single-partition global sort."""
+    plan = _plan(spark, "phrase_pmi_top50")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_neighborhood_has_no_join(spark):
+    """lead()-based SNM generates candidates in-row: the plan must be
+    window + generate with ZERO join operators (the O(block^2)
+    block-keyed self-join this operator replaced)."""
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    assert "Join" not in plan
+    assert "Window" in plan and "Generate" in plan
+
+
+def test_record_linkage_never_cartesian(spark):
+    """Blocked ER scoring must stay an equi-join on the block key — a
+    nested-loop/cartesian pair generation is the quadratic trap."""
+    plan = _plan(spark, "record_linkage_scores")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
