@@ -646,7 +646,8 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str):
     "record_linkage_scores",
     oracle="""
 WITH c AS (
-  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey AS blk
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey AS blk,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_blk
   FROM customer
 ), pairs AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -656,7 +657,8 @@ WITH c AS (
        + CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(12,2))
                        - CAST(b.c_acctbal AS DECIMAL(12,2))) < 100
               THEN 1 ELSE 0 END AS score
-  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  FROM c a JOIN c b ON a.blk = b.blk AND a.bal_blk = b.bal_blk
+                   AND a.c_custkey < b.c_custkey
 )
 SELECT CASE WHEN score >= 4 THEN 'match'
             WHEN score >= 1 THEN 'possible'
@@ -668,7 +670,9 @@ FROM pairs
 GROUP BY 1
 """,
     doc="Fellegi-Sunter-style record-linkage scoring: blocked candidate "
-    "pairs (nation key — the cheap high-recall block) scored by integer "
+    "pairs (nation x 1000-unit balance bucket — a composite block that "
+    "keeps block sizes bounded as the table grows; near-boundary pairs "
+    "are the standard blocking recall trade) scored by integer "
     "agreement/disagreement weights over three fields (thresholded name "
     "Levenshtein, segment, exact-decimal balance proximity), then "
     "classified into match/possible/nonmatch tiers. The composite of "
@@ -688,6 +692,9 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str):
         "c_mktsegment",
         "c_acctbal",
         F.col("c_nationkey").alias("blk"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint")
+        .alias("bal_blk"),
     )
     a = c.alias("a")
     b = c.alias("b")
@@ -710,6 +717,7 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str):
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bal_blk") == F.col("b.bal_blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(score.alias("score"))

@@ -528,8 +528,10 @@ LIMIT 50
     "bit-identical doubles (no float ever crosses an aggregation "
     "boundary — the registry determinism rule). Min-count 5 prunes the "
     "noise tail; (ratio, w1, w2) is a total order for the top-50. "
-    "Shape: two map-side-combinable counts + two vocab-sized broadcast "
-    "joins + global top-k.",
+    "Shape: two map-side-combinable counts + two vocab-keyed joins "
+    "(left to AQE: broadcast when the vocab is small, shuffle when a "
+    "real corpus makes it millions of rows — a forced broadcast here "
+    "would be the 100 TB trap) + global top-k.",
     tags=("text", "corpus", "lm"),
     bench=True,
 )
@@ -564,8 +566,8 @@ def phrase_pmi_top50(spark: SparkSession, sf_dir: str):
     ) / F.col("c_b")
     return (
         bi.filter(F.col("n_ab") >= 5)
-        .join(F.broadcast(ca), "w1")
-        .join(F.broadcast(cb), "w2")
+        .join(ca, "w1")
+        .join(cb, "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_ab", "c_a", "c_b", ratio.alias("pmi_ratio"))
         .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
