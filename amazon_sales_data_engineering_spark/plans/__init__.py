@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     pipeline_ops,
     quality_ops,
     reshape_ops,
+    rules_ops,
     scalar_ops,
     similarity_ops,
     streaming_ops,

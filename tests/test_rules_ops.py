@@ -1,0 +1,77 @@
+"""Semantic unit tests for the quality-rules family (plans.rules_ops)
+beyond the differential oracle sweep: the in-row max-run fold against a
+brute-force Python oracle, heavy-hitter share accounting, and
+time-weighted-average interval bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _brute_max_run(tokens: list[str]) -> int:
+    best = run = 0
+    prev = None
+    for tok in tokens:
+        run = run + 1 if tok == prev else 1
+        best = max(best, run)
+        prev = tok
+    return best
+
+
+def test_gopher_max_run_matches_bruteforce(spark):
+    df = REGISTRY["corpus_gopher_rules"].spark_fn(spark, SF_DIR)
+    got = {r["doc_id"]: r["max_run"] for r in df.select("doc_id", "max_run").collect()}
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"))
+        .collect()
+    )
+    for r in raw:
+        toks = r["norm"].split(" ") if r["norm"] else []
+        assert got[r["doc_id"]] == _brute_max_run(toks), r["doc_id"]
+
+
+def test_gopher_keep_discriminates(spark):
+    df = REGISTRY["corpus_gopher_rules"].spark_fn(spark, SF_DIR)
+    kept = df.groupBy("keep").count().collect()
+    assert {r["keep"] for r in kept} == {True, False}
+
+
+def test_heavy_hitters_share_accounting(spark):
+    df = REGISTRY["token_heavy_hitters"].spark_fn(spark, SF_DIR).collect()
+    assert df, "heavy hitters must be non-empty on this corpus"
+    total = df[0]["n_total"]
+    for r in df:
+        assert r["n_total"] == total
+        assert r["cnt"] * 50 >= total  # the registration's >= 2% contract
+        assert r["permille"] == (r["cnt"] * 1000) // total
+
+
+def test_twa_interval_bookkeeping(spark):
+    out = REGISTRY["events_time_weighted_avg"].spark_fn(spark, SF_DIR)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = out.collect()
+    # users with >= 2 events contribute exactly n-1 intervals
+    assert {r["user_id"] for r in rows} == {u for u, n in per_user.items() if n >= 2}
+    for r in rows:
+        assert r["n_intervals"] == per_user[r["user_id"]] - 1
+        assert r["total_dur_us"] > 0
+
+
+def test_clip_bounds_order_and_coverage(spark):
+    rows = REGISTRY["embedding_clip_bounds"].spark_fn(spark, SF_DIR).collect()
+    dim = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.size("embedding").alias("d")
+    ).first()["d"]
+    assert len(rows) == dim
+    for r in rows:
+        assert r["vmin"] <= r["p01"] <= r["p99"] <= r["vmax"]
