@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     decontam_ops,
     dedup_ops,
     events_ops,
+    layout_ops,
     merge_ops,
     multimodal_ops,
     packing_ops,

@@ -796,3 +796,53 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str):
     v = t_cpu(spark, sf_dir, "embeddings")
     probes = v.filter(F.col("vec_id") % 100 == 0)
     return two_stage_topk(v, probes, k=5, k_candidates=20)
+
+
+@register(
+    "embedding_rank_normalize",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), r AS (
+  SELECT vec_id, CAST(dim AS BIGINT) AS dim, val,
+         percent_rank() OVER (PARTITION BY dim ORDER BY val) AS cdf
+  FROM x
+)
+SELECT vec_id, dim, val, cdf FROM r WHERE vec_id % 50 = 0
+""",
+    doc="Rank-based (empirical-CDF) normalization per embedding "
+    "dimension — the distribution-free alternative to mean/std scaling "
+    "when dimensions have wildly different or heavy-tailed marginals "
+    "(quantile normalization is the probit-free first half of a "
+    "rank-Gaussian transform). cdf = percent_rank = (rank-1)/(n-1): "
+    "two exact integers and ONE IEEE division, so values are "
+    "engine-exact, and ties share a rank in both engines by "
+    "definition. The probe filter (vec_id % 50) sits ABOVE the window "
+    "on purpose — ranks are against the FULL corpus; Catalyst cannot "
+    "push a non-partition-column predicate below the window, which is "
+    "exactly the semantics required. Shape at scale: posexplode then "
+    "one sort-shuffle keyed on dim; each of the d reducers ranks its "
+    "dimension independently (parallelism = d). For corpora where a "
+    "full per-dim sort is too hot, the bucketed approximation is "
+    "embedding_clip_bounds' percentile grid.",
+    tags=("similarity", "embedding", "profile", "window"),
+)
+def embedding_rank_normalize(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    x = v.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "f")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("f").cast("double").alias("val"),
+    )
+    w = Window.partitionBy("dim").orderBy("val")
+    return (
+        x.withColumn("cdf", F.percent_rank().over(w))
+        .filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "dim", "val", "cdf")
+    )

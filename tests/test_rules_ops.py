@@ -75,3 +75,36 @@ def test_clip_bounds_order_and_coverage(spark):
     assert len(rows) == dim
     for r in rows:
         assert r["vmin"] <= r["p01"] <= r["p99"] <= r["vmax"]
+
+
+def test_zorder_buckets_have_narrow_envelopes(spark):
+    rows = REGISTRY["zorder_curve_locality"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    import statistics
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    glob = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    pk_span, sk_span = glob[1] - glob[0], glob[3] - glob[2]
+    # Mean per-bucket envelope must be far narrower than the global span on
+    # BOTH dimensions — the property that makes Z-order stats prunable.
+    mean_pk = statistics.mean(r["pk_max"] - r["pk_min"] for r in rows)
+    mean_sk = statistics.mean(r["sk_max"] - r["sk_min"] for r in rows)
+    assert mean_pk < pk_span * 0.5
+    assert mean_sk < sk_span * 0.5
+
+
+def test_rank_normalize_cdf_bounds(spark):
+    rows = REGISTRY["embedding_rank_normalize"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["cdf"] <= 1.0
+    # a probe's per-dim cdf ordering must agree with its value ordering
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append((r["val"], r["cdf"]))
+    for pairs in by_dim.values():
+        pairs.sort()
+        cdfs = [c for _, c in pairs]
+        assert cdfs == sorted(cdfs)
