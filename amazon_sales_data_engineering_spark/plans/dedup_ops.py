@@ -934,3 +934,112 @@ def export_labeled_pairs(spark: SparkSession, sf_dir: str):
     return pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+{_JACCARD_TAIL},
+truth AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(h4 || '|' || h5) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT t.id_a FROM truth t JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand) AS n_lsh_candidates,
+         (SELECT COUNT(*) FROM hit) AS n_lsh_found
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_lsh_candidates AS BIGINT) AS n_lsh_candidates,
+       CAST(n_lsh_found AS BIGINT) AS n_lsh_found,
+       CASE WHEN n_truth = 0 THEN NULL
+            ELSE CAST(floor((n_lsh_found * 1000.0) / n_truth) AS BIGINT)
+       END AS recall_milli,
+       CASE WHEN n_lsh_candidates = 0 THEN NULL
+            ELSE CAST(floor((n_lsh_found * 1000.0) / n_lsh_candidates) AS BIGINT)
+       END AS cand_precision_milli
+FROM m
+""",
+    doc="Sketch-quality evaluation: MinHash-LSH candidate recall and "
+    "precision measured against EXACT ground truth from the prefix-"
+    "filter strategy (exact recall by pigeonhole, sub-quadratic) — the "
+    "in-engine answer to 'are 6 hashes x 3 bands enough for this "
+    "corpus, and how much verify work do the candidates waste?'. "
+    "Emits one row: |truth|, |LSH candidates|, |truth ∩ candidates|, "
+    "recall and candidate-precision in exact integer permille. Every "
+    "count is an integer and both pair generators are already gated "
+    "queries (dedup_prefix_jaccard, dedup_minhash_lsh), so the eval "
+    "composes two proven subplans and one semi-join; the oracle "
+    "re-derives truth from the UNFILTERED inverted index — a "
+    "different plan proving the same pair set. Shape at scale: the "
+    "shingle inventory is computed once and feeds both strategies; "
+    "no stage is all-pairs.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str):
+    from ..functions.hashing import seeded_md5
+    from ..operators.dedup import minhash_lsh_pairs, prefix_filter_candidates
+
+    d = t_cpu(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", k=3).persist()
+    exact_cand = prefix_filter_candidates(sh, "doc_id", threshold_pct=50)
+    truth = jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=exact_cand)
+
+    aggs = [
+        F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}") for s in range(6)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    lsh_cand = minhash_lsh_pairs(sig, "doc_id", num_hashes=6, bands=3)
+
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = lsh_cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_candidates")
+    )
+    n_hit = (
+        truth.join(lsh_cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_found"))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor((F.col(num) * F.lit(1000.0)) / F.col(den)).cast("bigint")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_lsh_candidates",
+            "n_lsh_found",
+            ratio("n_lsh_found", "n_truth").alias("recall_milli"),
+            ratio("n_lsh_found", "n_lsh_candidates").alias("cand_precision_milli"),
+        )
+    )

@@ -108,3 +108,14 @@ def test_rank_normalize_cdf_bounds(spark):
         pairs.sort()
         cdfs = [c for _, c in pairs]
         assert cdfs == sorted(cdfs)
+
+
+def test_lsh_recall_eval_consistency(spark):
+    r = REGISTRY["dedup_lsh_recall_eval"].spark_fn(spark, SF_DIR).first()
+    assert r["n_lsh_found"] <= r["n_truth"]
+    assert r["n_lsh_found"] <= r["n_lsh_candidates"]
+    assert 0 <= r["recall_milli"] <= 1000
+    assert 0 <= r["cand_precision_milli"] <= 1000
+    # verified LSH pairs are a subset of truth, so found == truth here
+    # means the banded sketch lost nothing on this corpus
+    assert r["n_truth"] > 0
