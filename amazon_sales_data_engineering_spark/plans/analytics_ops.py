@@ -1051,3 +1051,122 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return label_propagation_rounds(edges, n_rounds=2)
+
+
+@register(
+    "graph_community_modularity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), r1 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label, c,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM (SELECT e.u, e.v AS label, COUNT(*) AS c FROM e GROUP BY 1, 2)
+  ) WHERE rn = 1
+), r2 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label, c,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM (SELECT e.u, l.label, COUNT(*) AS c
+          FROM e JOIN r1 l ON l.node = e.v GROUP BY 1, 2)
+  ) WHERE rn = 1
+), deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM e GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS e2 FROM e
+), intra AS (
+  SELECT la.label, COUNT(*) AS intra_edges
+  FROM e
+  JOIN r2 la ON la.node = e.u
+  JOIN r2 lb ON lb.node = e.v
+  WHERE la.label = lb.label
+  GROUP BY 1
+), comm AS (
+  SELECT r2.label,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+  FROM r2 JOIN deg ON deg.node = r2.node
+  GROUP BY 1
+)
+SELECT c.label, c.n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       c.degree_sum,
+       CAST(tot.e2 AS BIGINT) AS e2,
+       CAST(COALESCE(i.intra_edges, 0) * tot.e2
+            - c.degree_sum * c.degree_sum AS BIGINT) AS modularity_term_num
+FROM comm c LEFT JOIN intra i ON i.label = c.label, tot
+""",
+    doc="Community quality for the LPA partition (graph_label_propagation's "
+    "labels): per-community intra-edge count, degree mass, and the "
+    "modularity contribution kept as the EXACT INTEGER numerator "
+    "intra_c*2m - deg_c^2 (global Q = sum(term)/(2m)^2) — modularity "
+    "never crosses an aggregation boundary as a float, so community "
+    "ranking and the gate comparison are engine-exact; the single "
+    "float division is left to the consumer. Shape at scale: labels "
+    "are two bounded LPA rounds (node-keyed shuffles); intra-edges is "
+    "the edge list with two label lookups joined on its endpoints "
+    "(node-keyed, never pair-wise); degree mass reuses the node-keyed "
+    "degree aggregate. Nothing materializes more than O(|E|) rows.",
+    tags=("graph", "iterative", "agg", "eval"),
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import label_propagation_rounds
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    labels = label_propagation_rounds(edges, n_rounds=2)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast("bigint").alias("e2"))
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lab_b"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    out = (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            "e2",
+            (
+                F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint")
+                * F.col("e2")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("bigint").alias("modularity_term_num"),
+        )
+    )
+    return out

@@ -119,3 +119,15 @@ def test_lsh_recall_eval_consistency(spark):
     # verified LSH pairs are a subset of truth, so found == truth here
     # means the banded sketch lost nothing on this corpus
     assert r["n_truth"] > 0
+
+
+def test_modularity_terms_consistent(spark):
+    rows = REGISTRY["graph_community_modularity"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    e2 = rows[0]["e2"]
+    # the symmetric edge list's degree mass sums to the edge count, and
+    # intra-community edges can never exceed a community's degree mass
+    assert sum(r["degree_sum"] for r in rows) == e2
+    for r in rows:
+        assert 0 <= r["intra_edges"] <= r["degree_sum"]
+        assert r["modularity_term_num"] == r["intra_edges"] * e2 - r["degree_sum"] ** 2
