@@ -464,3 +464,96 @@ def sample_per_group_topn(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "corpus_source_drift",
+    oracle="""
+WITH b AS (
+  SELECT source, CAST(n_chars // 50 AS BIGINT) AS bucket FROM documents
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM b
+), grid AS (
+  SELECT s.source, g.bucket
+  FROM (SELECT DISTINCT source FROM b) s
+  CROSS JOIN (SELECT DISTINCT bucket FROM b) g
+), src_cnt AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), all_cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_all FROM b GROUP BY 1
+), shares AS (
+  SELECT g.source, g.bucket,
+         COALESCE(s.c, 0) * 1000 * tot.n_all AS lhs,
+         a.c_all * 1000 * st.n_docs AS rhs,
+         st.n_docs, tot.n_all
+  FROM grid g
+  LEFT JOIN src_cnt s ON s.source = g.source AND s.bucket = g.bucket
+  JOIN all_cnt a ON a.bucket = g.bucket
+  JOIN src_tot st ON st.source = g.source
+  CROSS JOIN tot
+)
+SELECT source, n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(abs(lhs - rhs)) // (n_docs * n_all) AS BIGINT) AS l1_milli
+FROM shares
+GROUP BY source, n_docs, n_all
+""",
+    doc="Per-source distribution drift vs the whole corpus: the document-"
+    "length histogram (width-50 char buckets) of each source is compared "
+    "to the corpus marginal by L1 distance, computed as EXACT INTEGERS "
+    "via cross-multiplication — sum|c_s/n_s - c/n| becomes "
+    "sum|c_s*1000*n - c*1000*n_s| / (n_s*n), so no per-bucket float "
+    "share ever rounds before the sum (summing floor'd permilles would "
+    "accumulate up to one milli of error PER BUCKET). The monitoring "
+    "pass that catches a source whose crawl shifted under the mix "
+    "weights. Shape at scale: two small aggregates + a (sources x "
+    "buckets) grid join — all keyed on bounded-cardinality columns; "
+    "the corpus scan happens once.",
+    tags=("corpus", "profile", "drift", "agg"),
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    b = d.select("source", (F.col("n_chars") / 50).cast("bigint").alias("bucket"))
+    # integer floor-div: n_chars >= 0, so cast-after-divide equals // only
+    # for non-negatives; make it explicit floor to be safe
+    b = d.select(
+        "source", F.floor(F.col("n_chars") / F.lit(50)).cast("bigint").alias("bucket")
+    )
+    src_tot = b.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    grid = (
+        b.select("source").distinct().crossJoin(b.select("bucket").distinct())
+    )
+    src_cnt = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    all_cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    shares = (
+        grid.join(src_cnt, ["source", "bucket"], "left")
+        .join(all_cnt, "bucket")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "n_all",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1000 * F.col("n_all")).alias("lhs"),
+            (F.col("c_all") * 1000 * F.col("n_docs")).alias("rhs"),
+        )
+    )
+    return (
+        shares.groupBy("source", "n_docs", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.floor(
+                F.sum(F.abs(F.col("lhs") - F.col("rhs")))
+                / (F.col("n_docs") * F.col("n_all"))
+            ).cast("bigint").alias("l1_milli"),
+        )
+        .select("source", "n_docs", "n_buckets", "l1_milli")
+    )

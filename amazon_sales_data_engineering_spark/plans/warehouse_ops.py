@@ -226,3 +226,63 @@ def percent_of_parent_hierarchy(spark: SparkSession, sf_dir: str):
             (s("reg_dec") / s("tot_dec")).alias("region_pct_of_total"),
         )
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+WITH close AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+  FROM lineitem GROUP BY 1
+), spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+         CAST(COALESCE(c.close_ts, o.o_orderdate) AS DATE) + 1 AS close_d
+  FROM orders o LEFT JOIN close c ON c.l_orderkey = o.o_orderkey
+), ev AS (
+  SELECT open_d AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d AS d, -1 AS delta FROM spans
+), daily AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM ev GROUP BY 1
+)
+SELECT d, net, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS n_open
+FROM daily
+""",
+    doc="Open-order backlog time series (the census / concurrent-intervals "
+    "problem): each order is open from o_orderdate until its last "
+    "l_shipdate; the daily open count is the running sum of +1/-1 "
+    "boundary events. The naive formulation is a GLOBAL running window "
+    "— a single-partition sort at scale — so the Spark plan first "
+    "collapses events to per-day nets (bounded by the calendar, "
+    "map-side combinable) and then runs operators.prefixsum."
+    "distributed_cumsum: percentile-fenced range buckets, per-bucket "
+    "local windows, and a broadcast offset join — bit-identical to the "
+    "global window (proven by this gate: the oracle IS the global "
+    "window) with parallelism n_buckets instead of 1. Integer deltas "
+    "end-to-end.",
+    tags=("warehouse", "temporal", "prefixsum", "window"),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    spans = o.join(close, o.o_orderkey == close.l_orderkey, "left").select(
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.date_add(
+            F.coalesce(F.col("close_ts"), F.col("o_orderdate")).cast("date"), 1
+        ).alias("close_d"),
+    )
+    ev = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    # percentile_disc fences need a numeric order key; epoch-day is the
+    # same total order as the date itself.
+    daily = daily.withColumn(
+        "d_num", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint")
+    )
+    return distributed_cumsum(
+        daily, "d_num", "net", tiebreak=[], out_col="cum"
+    ).select("d", "net", F.col("cum").cast("bigint").alias("n_open"))

@@ -131,3 +131,31 @@ def test_modularity_terms_consistent(spark):
     for r in rows:
         assert 0 <= r["intra_edges"] <= r["degree_sum"]
         assert r["modularity_term_num"] == r["intra_edges"] * e2 - r["degree_sum"] ** 2
+
+
+def test_backlog_census_invariants(spark):
+    rows = (
+        REGISTRY["orders_open_backlog"].spark_fn(spark, SF_DIR)
+        .orderBy("d")
+        .collect()
+    )
+    assert rows
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    running = 0
+    peak = 0
+    for r in rows:
+        running += r["net"]
+        assert running == r["n_open"]
+        assert running >= 0
+        peak = max(peak, running)
+    assert running == 0  # every order eventually closes
+    assert 0 < peak <= n_orders
+
+
+def test_source_drift_bounds(spark):
+    rows = REGISTRY["corpus_source_drift"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # L1 distance between two distributions is in [0, 2] -> [0, 2000] milli
+        assert 0 <= r["l1_milli"] <= 2000
+        assert r["n_docs"] > 0
