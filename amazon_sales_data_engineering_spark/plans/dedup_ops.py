@@ -1043,3 +1043,78 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str):
             ratio("n_lsh_found", "n_lsh_candidates").alias("cand_precision_milli"),
         )
     )
+
+
+# Embedding near-dup component CTE shared by the cluster-size report
+# (same pairs/closure as dedup_connected_components' oracle).
+_CC_COMP_CTE = """
+WITH RECURSIVE
+raw AS (
+  SELECT vec_id,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.4
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.a, n.v FROM reach r JOIN und n ON r.b = n.u
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+{_CC_COMP_CTE},
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+""",
+    doc="Dedup impact report: the duplicate-cluster size distribution "
+    "(how many 2-clusters, 3-clusters, ... the near-dup graph "
+    "produced, and how many documents each size class holds) — the "
+    "number a curation team actually reviews before committing a "
+    "dedup pass, and the shape that exposes pathological "
+    "over-clustering (one giant component = a threshold or blocking "
+    "bug) that per-pair metrics hide. Two map-side-combinable "
+    "aggregates on top of the gated iterative component computation; "
+    "singleton documents are intentionally absent (they form no "
+    "component) so the histogram is exactly the DUPLICATE clusters.",
+    tags=("dedup", "graph", "eval", "agg"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
+        vec_col="embedding", threshold=0.4, bits=4,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+    )

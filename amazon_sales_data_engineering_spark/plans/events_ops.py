@@ -564,3 +564,84 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str):
         "n",
         (F.col("n").cast("double") / F.col("tot")).alias("p"),
     )
+
+
+@register(
+    "events_late_arrival_profile",
+    oracle="""
+WITH a AS (
+  SELECT user_id, ts, event_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') * 12 + hour(ts) // 2 AS batch,
+         event_id % 7 AS shard
+  FROM events
+), w AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY batch, shard, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_max
+  FROM a
+), l AS (
+  SELECT user_id,
+         CASE WHEN seen_max IS NOT NULL AND seen_max > ts
+              THEN epoch_us(seen_max) - epoch_us(ts) ELSE 0 END AS late_us
+  FROM w
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_out_of_order,
+       CAST(COUNT(*) FILTER (WHERE late_us > 1800000000) AS BIGINT)
+         AS n_beyond_watermark,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM l
+GROUP BY 1
+""",
+    doc="Late-data profile for watermark sizing: replaying each user's "
+    "events in ARRIVAL order — batched ingestion simulated "
+    "deterministically as (2-hour wall-clock batch, event_id %% 7 "
+    "shard, event_id), the arrival pattern of a sharded collector "
+    "that flushes per batch — an event is out-of-order when "
+    "its event time is behind the running max already seen, and would "
+    "be DROPPED by a 30-minute watermark when it is more than 30 "
+    "minutes behind — the batch measurement that tells you what "
+    "delayThreshold the streaming twins (streaming/) can afford "
+    "before they start discarding real data. Lateness is an exact "
+    "integer microsecond difference (timestampdiff — NTZ-safe); one "
+    "user-keyed sort shuffle feeds both the running-max window and "
+    "the aggregate.",
+    tags=("events", "streaming", "profile", "window"),
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) * 12
+            + F.floor(F.hour("ts") / 2)
+        ).alias("batch"),
+        (F.col("event_id") % 7).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("batch", "shard", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.when(
+        F.col("seen_max").isNotNull() & (F.col("seen_max") > F.col("ts")),
+        F.expr("timestampdiff(MICROSECOND, ts, seen_max)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        e.withColumn("seen_max", F.max("ts").over(w))
+        .select("user_id", late_us.alias("late_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(F.col("late_us") > 0, 1)).cast("bigint").alias(
+                "n_out_of_order"
+            ),
+            F.count(F.when(F.col("late_us") > 1800000000, 1)).cast("bigint").alias(
+                "n_beyond_watermark"
+            ),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+    )

@@ -159,3 +159,23 @@ def test_source_drift_bounds(spark):
         # L1 distance between two distributions is in [0, 2] -> [0, 2000] milli
         assert 0 <= r["l1_milli"] <= 2000
         assert r["n_docs"] > 0
+
+
+def test_cluster_histogram_accounts_for_components(spark):
+    hist = REGISTRY["dedup_cluster_size_histogram"].spark_fn(spark, SF_DIR).collect()
+    comp = REGISTRY["dedup_connected_components"].spark_fn(spark, SF_DIR)
+    n_nodes = comp.count()
+    n_components = comp.select("component").distinct().count()
+    assert sum(r["n_docs"] for r in hist) == n_nodes
+    assert sum(r["n_clusters"] for r in hist) == n_components
+    for r in hist:
+        assert r["cluster_size"] >= 2  # components need an edge -> >= 2 nodes
+
+
+def test_late_arrival_profile_discriminates(spark):
+    rows = REGISTRY["events_late_arrival_profile"].spark_fn(spark, SF_DIR).collect()
+    assert sum(r["n_out_of_order"] for r in rows) > 0
+    assert sum(r["n_beyond_watermark"] for r in rows) > 0
+    for r in rows:
+        assert r["n_beyond_watermark"] <= r["n_out_of_order"] <= r["n_events"]
+        assert (r["max_late_us"] > 0) == (r["n_out_of_order"] > 0)
