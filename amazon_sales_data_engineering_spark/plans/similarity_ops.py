@@ -846,3 +846,104 @@ def embedding_rank_normalize(spark: SparkSession, sf_dir: str):
         .filter(F.col("vec_id") % 50 == 0)
         .select("vec_id", "dim", "val", "cdf")
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+WITH v AS ({_V}),
+p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 20 = 0),
+ex AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY {_COS} DESC, v.vec_id ASC) AS rn
+    FROM p, v WHERE v.vec_id <> probe_id
+  ) WHERE rn <= 5
+),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+cscored AS (
+  SELECT v.vec_id, v.e, centroid_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ce[i]))
+                    / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                    centroid_id ASC) AS crank
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, e, centroid_id FROM cscored WHERE crank <= 1
+),
+probe_lists AS (
+  SELECT vec_id AS probe_id, e AS pe, centroid_id
+  FROM cscored WHERE vec_id % 20 = 0 AND crank <= 2
+),
+iscored AS (
+  SELECT p.probe_id, a.neighbor_id,
+         list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * a.e[i]))
+         / (sqrt(list_sum(list_transform(pe, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.e, x -> x * x)))) AS cos
+  FROM probe_lists p
+  JOIN assigned a USING (centroid_id)
+  WHERE a.neighbor_id <> p.probe_id
+),
+ivf AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM iscored
+  ) WHERE rn <= 5
+),
+hit AS (
+  SELECT e.probe_id, COUNT(*) AS h
+  FROM ex e JOIN ivf i
+    ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT pr.probe_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       CAST(floor(COALESCE(h.h, 0) * 1000.0 / 5) AS BIGINT) AS recall_milli
+FROM (SELECT DISTINCT probe_id FROM ex) pr
+LEFT JOIN hit h ON h.probe_id = pr.probe_id
+""",
+    doc="ANN quality evaluation: per-probe recall@5 of the IVF index over a wider probe panel (vec_id % 20) "
+    "(nprobe=2, deterministic coarse centroids) against the exact "
+    "brute-force top-5 — the measurement that decides whether nprobe "
+    "or the centroid count needs to grow before shipping an index. "
+    "Same in-engine-eval pattern as dedup_lsh_recall_eval: both "
+    "retrieval paths are already independently gated queries; the "
+    "eval composes them with one equi-join on (probe, neighbor) and "
+    "reports exact integer permille. Probes that lose every true "
+    "neighbor still appear (left join, 0 hits) — an eval that drops "
+    "its failures overstates recall. Shape at scale: probe-keyed "
+    "joins only; the corpus-sized work is inside the two gated "
+    "subplans.",
+    tags=("similarity", "ivf", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str):
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(v, probes, id_col="vec_id", vec_col="embedding", k=5)
+    ivf = ivf_topk(
+        v, probes=probes, centroids=v.filter(F.col("vec_id") % 50 == 0),
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+    )
+    hits = (
+        exact.join(ivf, ["probe_id", "neighbor_id"], "inner")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("probe_id")
+        .distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.floor(F.coalesce(F.col("h"), F.lit(0)) * F.lit(1000.0) / F.lit(5))
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )

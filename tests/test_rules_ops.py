@@ -179,3 +179,13 @@ def test_late_arrival_profile_discriminates(spark):
     for r in rows:
         assert r["n_beyond_watermark"] <= r["n_out_of_order"] <= r["n_events"]
         assert (r["max_late_us"] > 0) == (r["n_out_of_order"] > 0)
+
+
+def test_ann_recall_eval_discriminates(spark):
+    rows = REGISTRY["ann_recall_eval"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    vals = {r["recall_milli"] for r in rows}
+    assert not vals - {0, 200, 400, 600, 800, 1000}  # hits out of 5
+    assert len(vals) > 1, "recall must discriminate on this corpus"
+    for r in rows:
+        assert r["recall_milli"] == (r["n_hits"] * 1000) // 5
