@@ -277,3 +277,116 @@ def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(sessions, "append")
     return out.filter(F.col("user_id") >= 0)
+
+
+def _write_replay_stragglers(spark: SparkSession, sf_dir: str) -> str:
+    """Replay variant for the watermark-DROP gate: the three time-ordered
+    slices, then a fourth file of deterministic STRAGGLERS — copies of
+    (a) early events (windows hours closed: must be dropped) and
+    (b) last-half-hour events (window still open: must be double-counted)
+    — then the far-future sentinel. Separate directory tag so it never
+    races the plain replay."""
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", sec.alias("sec")
+    )
+    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+
+    base = _replay_dir(sf_dir) + "_strag"
+    shutil.rmtree(base, ignore_errors=True)
+    s = F.col("sec")
+    # dropped probes are thinned (%10) — plenty of early events exist;
+    # kept probes take EVERY last-half-hour event, the tail is sparse.
+    strag = e.filter(
+        ((s < b1) & (F.col("event_id") % 10 == 0)) | (s >= hi - 1800)
+    )
+    parts = [
+        e.filter(s < b1),
+        e.filter((s >= b1) & (s < b2)),
+        e.filter(s >= b2),
+        strag,
+        spark.createDataFrame([(-1, -1, "eos", hi + 10**9)], _REPLAY_SCHEMA),
+    ]
+    for i, df in enumerate(parts):
+        df.coalesce(1).write.parquet(f"{base}/b{i}")
+    flat = f"{base}/flat"
+    os.makedirs(flat)
+    now = time.time()
+    for i in range(len(parts)):
+        for f in sorted(os.listdir(f"{base}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:02d}-{f}"
+                os.rename(f"{base}/b{i}/{f}", dst)
+                os.utime(dst, (now + i, now + i))
+    return flat
+
+
+@register(
+    "streaming_watermark_drops",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), bounds AS (
+  SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e
+), kept_extra AS (
+  SELECT e.sec, e.event_type
+  FROM e, bounds
+  WHERE e.sec >= bounds.hi - 1800
+), allrows AS (
+  SELECT sec, event_type FROM e
+  UNION ALL
+  SELECT sec, event_type FROM kept_extra
+)
+SELECT sec // 3600 AS hour_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM allrows
+GROUP BY 1, 2
+""",
+    doc="Streaming/batch equivalence #4 — WATERMARK DROP SEMANTICS: the "
+    "replay carries a deliberate straggler file after the time-ordered "
+    "slices, holding copies of (a) early events whose hour windows "
+    "closed long before the straggler batch (watermark = max seen - "
+    "1 h is days past their window end -> the stateful aggregate MUST "
+    "drop them) and (b) last-half-hour events whose window is still "
+    "open (window end > watermark -> MUST be double-counted). The "
+    "append-mode hourly aggregate drains after a far-future sentinel "
+    "closes every window; the oracle is the batch aggregate over base "
+    "events + ONLY the kept stragglers. If the stream failed to drop "
+    "the closed-window copies, early-hour counts inflate; if it "
+    "wrongly dropped the open-window copies, last-hour counts deflate "
+    "— the hash discriminates both failure directions. This gates the "
+    "one watermark behavior the time-ordered gates can never exercise: "
+    "state-eviction-driven data drop, the semantics that bound state "
+    "at 100 TB.",
+    tags=("streaming", "agg", "events", "watermark"),
+)
+def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+
+    src = stream_source(
+        spark,
+        _write_replay_stragglers(spark, sf_dir),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    counts = (
+        src.select(
+            F.timestamp_seconds("sec").alias("evt_ts"), "event_type"
+        )
+        .withWatermark("evt_ts", "1 hour")
+        .groupBy(F.window("evt_ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            (F.unix_timestamp(F.col("win.start")) / F.lit(3600))
+            .cast("bigint")
+            .alias("hour_id"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = _drain(counts, "append")
+    return out.filter(F.col("event_type") != "eos")

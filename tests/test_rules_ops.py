@@ -189,3 +189,25 @@ def test_ann_recall_eval_discriminates(spark):
     assert len(vals) > 1, "recall must discriminate on this corpus"
     for r in rows:
         assert r["recall_milli"] == (r["n_hits"] * 1000) // 5
+
+
+def test_watermark_drop_gate_discriminates(spark):
+    # the straggler replay must contain BOTH failure probes: copies that
+    # get dropped (early, window closed) and copies that get kept
+    # (last half hour, window open)
+    out = REGISTRY["streaming_watermark_drops"].spark_fn(spark, SF_DIR)
+    total_streamed = out.agg(F.sum("n_events")).first()[0]
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = e.select("event_id", sec.alias("sec"))
+    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
+    b1 = lo + (hi - lo) // 3
+    n_base = e.count()
+    n_dropped_probe = e.filter(
+        (F.col("sec") < b1) & (F.col("event_id") % 10 == 0)
+    ).count()
+    n_kept_probe = e.filter(F.col("sec") >= hi - 1800).count()
+    assert n_dropped_probe > 0 and n_kept_probe > 0
+    assert total_streamed == n_base + n_kept_probe
