@@ -469,3 +469,53 @@ def label_propagation_rounds(
     out = labels.localCheckpoint()
     e.unpersist()
     return out
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first distances from ``seeds`` (a DataFrame with a single
+    ``node`` column) over the DIRECTED edge list, bounded at ``max_depth``
+    hops. Returns (node, dist) with dist = the minimum hop count <=
+    max_depth; unreachable nodes are absent.
+
+    Frontier algorithm: each round expands only the PREVIOUS frontier
+    (nodes first reached last round) through one src-keyed equi-join,
+    anti-joins away already-settled nodes, and unions into the settled
+    set — so every edge is traversed at most once per endpoint discovery
+    and the per-round shuffle is O(frontier boundary), not O(settled).
+    Rounds are lazily localCheckpointed and materialized by the
+    frontier-count probe (one job per round, same discipline as
+    connected_components), with the previous round's cache released;
+    early exit when the frontier empties."""
+    settled = (
+        seeds.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("node"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.select(F.col("node").alias("u"))
+            .join(e, "u")
+            .select("node")
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()  # one job: materialize + probe
+        if n_new == 0:
+            frontier.unpersist()
+            break
+        new_settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        new_settled.count()
+        settled.unpersist()
+        frontier.unpersist()
+        settled, frontier = new_settled, nxt
+    return settled

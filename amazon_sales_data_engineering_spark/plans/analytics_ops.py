@@ -1170,3 +1170,66 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str):
         )
     )
     return out
+
+
+@register(
+    "graph_bfs_layers",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seed AS (
+  SELECT u AS node FROM (
+    SELECT u, COUNT(*) AS c FROM e GROUP BY 1
+    ORDER BY c DESC, u ASC LIMIT 1
+  )
+), walk(node, dist) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.v, w.dist + 1
+  FROM walk w JOIN e ON e.u = w.node
+  WHERE w.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY 1
+""",
+    doc="Bounded breadth-first distances (3 hops) from the top-degree "
+    "part in the co-purchase graph — the sixth iterative-family member "
+    "and the reachability primitive behind 'related products within k "
+    "steps' and taxonomy blast-radius queries. operators.graph."
+    "bfs_layers expands only the previous FRONTIER per round (one "
+    "src-keyed join + anti-join against settled, lazily checkpointed, "
+    "probe-materialized, caches released per round), so total work is "
+    "O(edges within k hops), not O(rounds x graph). The seed is the "
+    "deterministic (degree DESC, id) argmax. The oracle is a "
+    "recursive-CTE walk with UNION-dedup on (node, dist) states and "
+    "MIN-dist collapse — a different formulation that must agree "
+    "exactly.",
+    tags=("graph", "iterative", "join"),
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import bfs_layers
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    seed = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return bfs_layers(edges, seed, max_depth=3)

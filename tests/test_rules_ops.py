@@ -211,3 +211,29 @@ def test_watermark_drop_gate_discriminates(spark):
     n_kept_probe = e.filter(F.col("sec") >= hi - 1800).count()
     assert n_dropped_probe > 0 and n_kept_probe > 0
     assert total_streamed == n_base + n_kept_probe
+
+
+def test_bfs_layers_triangle_inequality(spark):
+    rows = REGISTRY["graph_bfs_layers"].spark_fn(spark, SF_DIR).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert sorted(set(dist.values()))[0] == 0
+    assert sum(1 for d in dist.values() if d == 0) == 1  # single seed
+    assert max(dist.values()) <= 3
+    # every settled node at depth d>0 must have an in-neighbor at d-1
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .collect()
+    )
+    in_nbrs = {}
+    for e in edges:
+        in_nbrs.setdefault(e["dst"], set()).add(e["src"])
+    for node, d in dist.items():
+        if d > 0:
+            assert any(dist.get(p) == d - 1 for p in in_nbrs.get(node, ()))
