@@ -947,3 +947,91 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str):
             .alias("recall_milli"),
         )
     )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, 8)) AS sub),
+vs AS (
+  SELECT vec_id, sub,
+         list_transform(range(1, 9), i -> e[sub * 8 + i]) AS sv
+  FROM v, subs
+),
+cs AS (
+  SELECT vec_id AS centroid_id, sub, sv AS cv
+  FROM vs WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT vs.vec_id, vs.sub, cs.centroid_id,
+         list_sum(list_transform(range(1, 9),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS dist2
+  FROM vs JOIN cs ON cs.sub = vs.sub
+)
+SELECT vec_id, CAST(sub AS INT) AS sub, centroid_id AS code, dist2 FROM (
+  SELECT vec_id, sub, centroid_id, dist2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist2 ASC, centroid_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    doc="Product-quantization encoding: each 64-dim embedding splits into "
+    "8 contiguous 8-dim subvectors, each assigned to its nearest "
+    "deterministic sub-codebook centroid (the vec_id % 50 panel, "
+    "sliced the same way) — the memory-side half of a PQ/IVF-PQ index, "
+    "compressing a vector to 8 small codes whose distances are later "
+    "served from lookup tables. Output is (vec, subspace, code, exact "
+    "squared residual): the residual column is the per-subspace "
+    "quantization error that sizes the codebook. Each (subvector, "
+    "centroid) distance is one mirrored IEEE expression tree — "
+    "deterministic doubles — and the argmin is row_number with the "
+    "(dist, centroid) total order, id-tiebroken. Shape at scale: "
+    "broadcast sub-codebooks x streamed corpus, pure map-side "
+    "assignment (the kmeans_two_rounds shape, 8 subproblems at once); "
+    "no corpus-sized shuffle at all.",
+    tags=("similarity", "quantize", "embedding"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str):
+    v = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    subs = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
+    vs = v.select("vec_id", subs, F.col("e")).select(
+        "vec_id",
+        "sub",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.element_at(F.col("e"), (F.col("sub") * 8 + i).cast("int")),
+        ).alias("sv"),
+    )
+    cs = vs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "sub", F.col("sv").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vs.join(F.broadcast(cs), "sub").select(
+        "vec_id", "sub", "centroid_id", dist2.alias("dist2")
+    )
+    # Argmin as a struct-MIN aggregate (lexicographic (dist2, centroid) =
+    # the same id-tiebroken total order the oracle's row_number uses):
+    # map-side combinable, so the shuffle carries one partial per
+    # (vec, sub) per partition instead of every scored candidate row.
+    best = F.min(F.struct(F.col("dist2"), F.col("centroid_id"))).alias("b")
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("sub"),
+            F.col("b.centroid_id").alias("code"),
+            F.col("b.dist2").alias("dist2"),
+        )
+    )

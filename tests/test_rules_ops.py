@@ -237,3 +237,19 @@ def test_bfs_layers_triangle_inequality(spark):
     for node, d in dist.items():
         if d > 0:
             assert any(dist.get(p) == d - 1 for p in in_nbrs.get(node, ()))
+
+
+def test_pq_codes_shape_and_residuals(spark):
+    rows = REGISTRY["embedding_pq_codes"].spark_fn(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vecs = emb.count()
+    assert len(rows) == n_vecs * 8
+    for r in rows:
+        assert 0 <= r["sub"] <= 7
+        assert r["code"] % 50 == 0  # codes come from the centroid panel
+        assert r["dist2"] >= 0.0
+    # centroid panel members must encode themselves with zero residual
+    self_rows = [r for r in rows if r["vec_id"] % 50 == 0]
+    assert self_rows
+    for r in self_rows:
+        assert r["dist2"] == 0.0 and r["code"] == r["vec_id"]
