@@ -33,6 +33,11 @@ SHOWCASE = [
     "record_linkage_scores",
     "phrase_pmi_top50",
     "tokenizer_oov_rate",
+    "corpus_gopher_rules",
+    "zorder_curve_locality",
+    "orders_open_backlog",
+    "embedding_pq_codes",
+    "graph_bfs_layers",
 ]
 
 
