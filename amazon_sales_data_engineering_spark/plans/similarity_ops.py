@@ -1035,3 +1035,187 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str):
             F.col("b.dist2").alias("dist2"),
         )
     )
+
+
+@register(
+    "ann_pq_adc_recall",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, 8)) AS sub),
+vs AS (
+  SELECT vec_id, sub,
+         list_transform(range(1, 9), i -> e[sub * 8 + i]) AS sv
+  FROM v, subs
+),
+cs AS (
+  SELECT vec_id AS centroid_id, sub, sv AS cv
+  FROM vs WHERE vec_id % 50 = 0
+),
+codes AS (
+  SELECT vec_id, sub, centroid_id AS code FROM (
+    SELECT vs.vec_id, vs.sub, cs.centroid_id,
+           row_number() OVER (
+             PARTITION BY vs.vec_id, vs.sub
+             ORDER BY list_sum(list_transform(range(1, 9),
+                      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC,
+                      cs.centroid_id ASC) AS rn
+    FROM vs JOIN cs ON cs.sub = vs.sub
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, sub, sv AS pv FROM vs WHERE vec_id % 20 = 0),
+lut AS (
+  SELECT p.probe_id, p.sub, c.centroid_id,
+         CAST(floor(list_sum(list_transform(range(1, 9),
+              i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))) * 1000000000.0)
+              AS BIGINT) AS d_fix
+  FROM probes p JOIN cs c ON c.sub = p.sub
+),
+adc AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT l.probe_id, k.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY l.probe_id
+             ORDER BY SUM(l.d_fix) ASC, k.vec_id ASC) AS rn
+    FROM codes k
+    JOIN lut l ON l.sub = k.sub AND l.centroid_id = k.code
+    WHERE k.vec_id <> l.probe_id
+    GROUP BY l.probe_id, k.vec_id
+  ) WHERE rn <= 5
+),
+exact AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.e) + 1),
+                      i -> (p.e[i] - v.e[i]) * (p.e[i] - v.e[i]))) ASC,
+                      v.vec_id ASC) AS rn
+    FROM (SELECT vec_id, e FROM v WHERE vec_id % 20 = 0) p
+    CROSS JOIN v
+    WHERE v.vec_id <> p.vec_id
+  ) WHERE rn <= 5
+),
+hit AS (
+  SELECT e.probe_id, COUNT(*) AS h
+  FROM exact e JOIN adc a
+    ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT pr.probe_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       CAST(floor(COALESCE(h.h, 0) * 1000.0 / 5) AS BIGINT) AS recall_milli
+FROM (SELECT DISTINCT probe_id FROM exact) pr
+LEFT JOIN hit h ON h.probe_id = pr.probe_id
+""",
+    doc="The serving half of IVF-PQ, end to end: probes build an 8 x "
+    "codebook lookup table of subspace distances to every centroid "
+    "(asymmetric distance computation — the probe stays full-precision, "
+    "the corpus is its PQ codes), every corpus vector is scored as the "
+    "SUM OF 8 TABLE LOOKUPS joined on (subspace, code) — never touching "
+    "the original vectors — and ADC top-5 is evaluated for recall "
+    "against exact L2 top-5. Table distances are fixed-point-quantized "
+    "(floor(d x 1e9): one deterministic IEEE multiply + floor) BEFORE "
+    "the 8-term sum, so the score is an exact integer — a raw double "
+    "sum across a groupBy would be order-dependent and gate-breakable. "
+    "Shape at scale: the LUT is probes x 8 x codebook (tiny, "
+    "broadcast); scoring joins the O(corpus x 8) code table once; no "
+    "full-vector math ever touches the corpus at query time — exactly "
+    "why PQ serves billion-vector indexes from RAM.",
+    tags=("similarity", "quantize", "eval"),
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    v = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    subs = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
+    vs = v.select("vec_id", subs, "e").select(
+        "vec_id",
+        "sub",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.element_at(F.col("e"), (F.col("sub") * 8 + i).cast("int")),
+        ).alias("sv"),
+    )
+    cs = vs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "sub", F.col("sv").alias("cv")
+    )
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.min(F.struct(sq(F.col("sv"), F.col("cv")).alias("dist2"),
+                          F.col("centroid_id"))).alias("b")
+    codes = (
+        vs.join(F.broadcast(cs), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(best)
+        .select("vec_id", "sub", F.col("b.centroid_id").alias("code"))
+    )
+    probes = vs.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), "sub", F.col("sv").alias("pv")
+    )
+    lut = probes.join(F.broadcast(cs), "sub").select(
+        "probe_id",
+        "sub",
+        "centroid_id",
+        F.floor(sq(F.col("pv"), F.col("cv")) * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("d_fix"),
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.code == lut.centroid_id),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_fix").alias("score"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    p_full = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        v.crossJoin(F.broadcast(p_full))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sq(F.col("pe"), F.col("e")).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(adc, ["probe_id", "neighbor_id"], "inner")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("probe_id")
+        .distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.floor(F.coalesce(F.col("h"), F.lit(0)) * F.lit(1000.0) / F.lit(5))
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )

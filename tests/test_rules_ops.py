@@ -253,3 +253,13 @@ def test_pq_codes_shape_and_residuals(spark):
     assert self_rows
     for r in self_rows:
         assert r["dist2"] == 0.0 and r["code"] == r["vec_id"]
+
+
+def test_pq_adc_recall_discriminates(spark):
+    rows = REGISTRY["ann_pq_adc_recall"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    vals = {r["recall_milli"] for r in rows}
+    assert len(vals) > 1
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_milli"] == (r["n_hits"] * 1000) // 5
