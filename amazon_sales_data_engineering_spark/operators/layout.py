@@ -194,3 +194,45 @@ def write_zorder_layout(
               *[f"__hi_{c}" for c in zorder_cols])
     )
     out.write.mode(mode).parquet(path)
+
+
+def compaction_plan(
+    inventory: DataFrame,
+    order_col: str,
+    size_col: str,
+    target: int,
+    tiebreak: list[str] | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Assign every file in ``inventory`` to a compaction group such
+    that (a) groups are CONTIGUOUS in ``order_col`` — compaction never
+    destroys an existing clustering order, merged files still cover
+    disjoint key ranges — and (b) each group's total ``size_col`` is
+    ~``target`` (first-fit on the running total: a file starting at
+    cumulative offset s joins group ``s DIV target``).
+
+    This is the *planning* half of compaction (``compact_small_files``
+    is the rewrite half): at 100 TB the inventory itself is millions of
+    rows (one per file from the table-format manifest), so the running
+    total uses operators.prefixsum.distributed_cumsum — two bounded
+    shuffles, no single-partition global window. All arithmetic is
+    integer (sizes are counts/bytes; the cumsum's decimal is
+    integer-valued), so the plan is deterministic and engine-portable.
+    """
+    from pyspark.sql import functions as F
+
+    from .prefixsum import distributed_cumsum
+
+    inv = distributed_cumsum(
+        inventory,
+        order_col=order_col,
+        value_col=size_col,
+        tiebreak=list(tiebreak or []),
+        out_col="__cum",
+    )
+    start = (F.col("__cum") - F.col(size_col)).cast("bigint")
+    return (
+        inv.withColumn("__start", start)
+        .withColumn(out_col, F.expr(f"__start DIV {int(target)}"))
+        .drop("__cum", "__start")
+    )

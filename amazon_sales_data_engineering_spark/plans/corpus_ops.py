@@ -557,3 +557,50 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str):
         )
         .select("source", "n_docs", "n_buckets", "l1_milli")
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ((doc_id % 2147483647) * 2654435761) % 4294967296 AS h
+  FROM documents
+), prio AS (
+  SELECT doc_id, source, n_chars,
+         CAST((h * 1000000) // GREATEST(n_chars, 1) AS BIGINT) AS priority
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, priority
+FROM prio
+ORDER BY priority, doc_id
+LIMIT 100
+""",
+    doc="Deterministic weighted sampling: longer documents are "
+    "proportionally more likely to be kept — the corpus-composition "
+    "knob for token-weighted (rather than document-weighted) training "
+    "mixes. Priority-sampling formulation: every doc gets an integer "
+    "priority u/w where u is a multiplicative-hash uniform of doc_id "
+    "and w = n_chars; the global smallest-k by priority IS the "
+    "weighted sample. All-integer arithmetic (hash, *1e6, truncating "
+    "DIV) makes it seedless, retry-safe, and bit-identical across "
+    "engines — rerunning a recomputed partition after executor loss "
+    "selects the same documents, which rand()-based sampling cannot "
+    "guarantee. Scale shape: the keying is pure map-side; the global "
+    "smallest-k plans as TakeOrderedAndProject (per-partition top-k + "
+    "driver merge of k rows/partition), never a global sort.",
+    tags=("corpus", "sampling", "weighted", "topk"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483647)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    prio = F.expr("(h * 1000000) DIV GREATEST(n_chars, CAST(1 AS BIGINT))")
+    return (
+        d.select("doc_id", "source", "n_chars", h.alias("h"))
+        .select("doc_id", "source", "n_chars", prio.cast("bigint").alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

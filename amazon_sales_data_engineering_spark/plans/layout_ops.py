@@ -104,3 +104,55 @@ def zorder_curve_locality(spark: SparkSession, sf_dir: str):
             F.max("l_suppkey").alias("sk_max"),
         )
     )
+
+
+@register(
+    "compaction_binpack_plan",
+    oracle="""
+WITH inv AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+              + EXTRACT(month FROM l_shipdate) AS BIGINT) AS file_key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), planned AS (
+  SELECT file_key, n_rows,
+         CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) // 5000 AS bin
+  FROM inv
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+       MIN(file_key) AS file_lo, MAX(file_key) AS file_hi
+FROM planned GROUP BY 1
+""",
+    doc="Order-preserving compaction planning (operators.layout."
+    "compaction_plan): the file inventory (here one 'file' per lineitem "
+    "ship-month, sized by row count — the shape a table-format manifest "
+    "provides) is assigned to contiguous target-sized merge groups by "
+    "first-fit on the running size total. Contiguity is the point: "
+    "merged files still cover disjoint key ranges, so compaction "
+    "composes with the range/Z-order layouts instead of undoing them. "
+    "Scale shape: the running total is the two-phase distributed scan "
+    "(operators.prefixsum) because at 100 TB the inventory itself is "
+    "millions of manifest rows — no single-partition window anywhere. "
+    "All-integer arithmetic (counts, truncating DIV) keeps the plan "
+    "bit-deterministic; the oracle replays it with a window cumsum.",
+    tags=("layout", "compaction", "prefixsum", "window"),
+)
+def compaction_binpack_plan(spark: SparkSession, sf_dir: str):
+    from ..operators.layout import compaction_plan
+
+    li = t(spark, sf_dir, "lineitem").select("l_shipdate")
+    inv = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("file_key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    planned = compaction_plan(inv, "file_key", "n_rows", target=5000)
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("bin_rows"),
+        F.min("file_key").alias("file_lo"),
+        F.max("file_key").alias("file_hi"),
+    )
