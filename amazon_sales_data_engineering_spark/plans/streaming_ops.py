@@ -48,7 +48,11 @@ def _replay_dir(sf_dir: str) -> str:
 _REPLAY_SCHEMA = "event_id bigint, user_id bigint, event_type string, sec bigint"
 
 
-def _write_replay(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> str:
+def _write_replay(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False,
+    n_sentinels: int | None = None,
+    sentinel_kinds: tuple[str, ...] = ("eos",),
+) -> str:
     """Materialize the events table as three time-ordered parquet files
     (ascending mtimes) under /tmp and return the directory.
 
@@ -63,7 +67,23 @@ def _write_replay(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> s
     window/session, so append-mode AGGREGATES emit all real groups
     before the stream drains (the standard bounded-replay trick —
     callers filter ``user_id >= 0`` from the output).
+
+    ``n_sentinels=2`` appends a SECOND far-future file after the first:
+    needed by operators whose watermark-driven emission happens while a
+    DATA batch runs (outer-join null flushes) — with AvailableNow the
+    watermark advanced by the last file is otherwise never followed by
+    another batch that could emit against it. Distinct sentinel secs
+    keep each file's arrival advancing the watermark.
+
+    ``sentinel_kinds``: each sentinel file holds ONE ROW PER KIND (all
+    user_id < 0). Multi-watermark queries (stream-stream joins) split
+    the source by event_type BEFORE their per-side watermark nodes, and
+    each node only tracks rows that pass ITS side's filter — a single
+    'eos' row advances one side while the global (min-policy) watermark
+    stays pinned by the other. One sentinel row per joined kind
+    advances every node.
     """
+    n_sent = (1 if sentinel else 0) if n_sentinels is None else n_sentinels
     sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     e = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", sec.alias("sec")
@@ -72,17 +92,25 @@ def _write_replay(spark: SparkSession, sf_dir: str, sentinel: bool = False) -> s
     b1 = lo + (hi - lo) // 3
     b2 = lo + 2 * (hi - lo) // 3
 
-    base = _replay_dir(sf_dir)
+    tag = "" if (n_sent <= 1 and sentinel_kinds == ("eos",)) else (
+        f"_s{n_sent}_{'_'.join(sentinel_kinds)}"
+    )
+    base = _replay_dir(sf_dir) + tag
     shutil.rmtree(base, ignore_errors=True)
     s = F.col("sec")
     slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
     for i, pred in enumerate(slices):
         e.filter(pred).coalesce(1).write.parquet(f"{base}/b{i}")
     n_files = len(slices)
-    if sentinel:
-        spark.createDataFrame(
-            [(-1, -1, "eos", hi + 10**9)], _REPLAY_SCHEMA
-        ).coalesce(1).write.parquet(f"{base}/b{n_files}")
+    for j in range(n_sent):
+        rows = [
+            (-1 - j * len(sentinel_kinds) - k, -1 - k, kind,
+             hi + (j + 1) * 10**9)
+            for k, kind in enumerate(sentinel_kinds)
+        ]
+        spark.createDataFrame(rows, _REPLAY_SCHEMA).coalesce(1).write.parquet(
+            f"{base}/b{n_files}"
+        )
         n_files += 1
     flat = f"{base}/flat"
     os.makedirs(flat)
@@ -390,3 +418,144 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(counts, "append")
     return out.filter(F.col("event_type") != "eos")
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       p.sec - v.sec AS delta_sec
+FROM e v JOIN e p ON v.user_id = p.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.sec >= v.sec AND p.sec <= v.sec + 7200
+""",
+    doc="Streaming/batch equivalence #5 — STREAM-STREAM JOIN: two "
+    "streams (views, purchases) split from the replayed file source "
+    "are inner-joined on user_id with the event-time range condition "
+    "purchase IN [view, view + 2 h], both sides watermarked 1 h. "
+    "Inner-join output is the SET of matching pairs — identical "
+    "however the input is micro-batched — provided no buffered row is "
+    "evicted before its partner arrives; the time-ordered replay "
+    "guarantees that: a partner arriving in a later slice has "
+    "sec >= the slice boundary, so the watermark (boundary - 1 h) is "
+    "always behind view_time + tolerance when the match is attempted. "
+    "The time bound is what makes this runnable at all at scale — it "
+    "lets the join evict view-side state once the watermark passes "
+    "view_time + 2 h, so state is O(events per 3 h), not O(stream). "
+    "Gates Spark's StreamingSymmetricHashJoin end-to-end: buffering, "
+    "range-condition state bounds, and eviction — the one stateful "
+    "operator the dedup/aggregate/session gates don't touch.",
+    tags=("streaming", "join", "events", "watermark"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+
+    # ONE file source self-joined: both sides share the micro-batch
+    # boundaries, so neither can run ahead of the other's watermark.
+    src = stream_source(
+        spark, _write_replay(spark, sf_dir), _REPLAY_SCHEMA,
+        fmt="parquet", max_files_per_trigger=1,
+    )
+
+    def side(kind: str, alias: str) -> DataFrame:
+        return (
+            src.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds("sec").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    views, purchases = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delta_sec"),
+    )
+    return _drain(joined, "append")
+
+@register(
+    "streaming_stream_join_outer",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), v AS (SELECT * FROM e WHERE event_type = 'view'),
+   p AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       p.sec - v.sec AS delta_sec
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+  AND p.sec >= v.sec AND p.sec <= v.sec + 7200
+""",
+    doc="Streaming/batch equivalence #6 — OUTER stream-stream join: "
+    "same views/purchases interval join, LEFT OUTER. Unmatched views "
+    "can only emit (with nulls) once the watermark proves no partner "
+    "can still arrive — i.e. passes view_time + tolerance — so this "
+    "gate needs TWO far-future sentinel files, each holding one row "
+    "PER JOINED KIND: a per-side watermark node only tracks rows that "
+    "pass its side's filter, so a single-kind sentinel advances one "
+    "node while the min-policy global watermark stays pinned by the "
+    "other (measured — the last 3 h of views never flushed); and the "
+    "null flush only runs inside a DATA batch under AvailableNow, so "
+    "the second sentinel provides the batch that emits under the "
+    "first one's watermark. The oracle is the plain batch LEFT JOIN: "
+    "every view appears exactly once per match or once with nulls. "
+    "This is the strongest eviction proof in the streaming family — "
+    "a join that never evicted state would pass the inner gate but "
+    "hang matched-only here (missing null rows), and one that "
+    "evicted too early would emit false nulls AND lose matches; the "
+    "hash discriminates both.",
+    tags=("streaming", "join", "events", "watermark", "outer"),
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+
+    src = stream_source(
+        spark,
+        _write_replay(
+            spark, sf_dir, n_sentinels=2,
+            sentinel_kinds=("view", "purchase"),
+        ),
+        _REPLAY_SCHEMA, fmt="parquet", max_files_per_trigger=1,
+    )
+
+    def side(kind: str, alias: str) -> DataFrame:
+        return (
+            src.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds("sec").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    views, purchases = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delta_sec"),
+    )
+    out = _drain(joined, "append")
+    return out.filter(F.col("user_id") >= 0)
