@@ -519,3 +519,66 @@ def bfs_layers(
         frontier.unpersist()
         settled, frontier = new_settled, nxt
     return settled
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted single-source shortest distances over the DIRECTED edge
+    list, bounded at ``rounds`` relaxations (Bellman-Ford). Returns
+    (node, dist) with dist = the minimum path cost over paths of <=
+    ``rounds`` edges; unreachable nodes are absent. Integer weights ->
+    integer dists (deterministic, engine-portable).
+
+    Delta-stepping-style FRONTIER relaxation: each round expands only
+    the nodes whose distance improved last round (classic result: after
+    k frontier rounds the table equals k full relaxations — a node
+    settled earlier already propagated its final distance), so per-round
+    work is O(edges out of the improved set), not O(rounds x graph).
+    Two shuffles per round (candidate min-combine + improvement
+    anti-join); rounds are lazily localCheckpointed and materialized by
+    the improvement-count probe (one job per round), previous caches
+    released — the same loop discipline as connected_components; early
+    exit when no distance improves."""
+    dist = (
+        seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("node"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    for _ in range(rounds):
+        cand = (
+            frontier.select(F.col("node").alias("u"), "dist")
+            .join(e, "u")
+            .groupBy("node")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_improved = improved.count()  # one job: materialize + probe
+        if n_improved == 0:
+            frontier.unpersist()
+            break
+        new_dist = (
+            dist.join(improved, "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=False)
+        )
+        new_dist.count()
+        dist.unpersist()
+        frontier.unpersist()
+        dist, frontier = new_dist, improved
+    return dist

@@ -1233,3 +1233,93 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
         .select("node")
     )
     return bfs_layers(edges, seed, max_depth=3)
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(1 + LEAST(a.l_quantity, b.l_quantity) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), e AS (
+  SELECT u, v, MIN(w) AS w FROM pairs GROUP BY 1, 2
+), seed AS (
+  SELECT u AS node FROM (
+    SELECT u, COUNT(*) AS c FROM e GROUP BY 1
+    ORDER BY c DESC, u ASC LIMIT 1
+  )
+), d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM seed
+), d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.node
+  ) GROUP BY 1
+), d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON e.u = d1.node
+  ) GROUP BY 1
+), d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON e.u = d2.node
+  ) GROUP BY 1
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+""",
+    doc="Weighted single-source shortest paths (3 Bellman-Ford rounds) "
+    "from the top-degree part over the co-purchase graph, edge weight "
+    "= 1 + min co-purchased quantity (integer -> deterministic dists). "
+    "The weighted complement of graph_bfs_layers: hop counts become "
+    "path costs, which is the primitive behind cheapest-substitution "
+    "chains and weighted taxonomy distance. operators.graph."
+    "sssp_rounds relaxes only the IMPROVED frontier per round (k "
+    "frontier rounds provably equal k full relaxations), min-combines "
+    "candidates map-side before touching the distance table, and "
+    "keeps the round discipline (lazy localCheckpoint, probe "
+    "materialization, cache release, early exit). The oracle unrolls "
+    "the same three relaxations as nested full-table min-merges — a "
+    "different formulation that must agree exactly.",
+    tags=("graph", "iterative", "join", "weighted"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import sssp_rounds
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            (
+                F.lit(1)
+                + F.least(F.col("a.l_quantity"), F.col("b.l_quantity"))
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    seed = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return sssp_rounds(edges, seed, rounds=3)
