@@ -504,3 +504,70 @@ def test_sorted_neighborhood_matches_python_reference(spark, rows, window):
         ).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(1, 50), min_size=1, max_size=25),
+    target=st.integers(10, 120),
+)
+def test_compaction_plan_matches_sequential_first_fit(spark, sizes, target):
+    """compaction_plan == the sequential one-pass plan: walk files in
+    order, a file starting at running offset s joins bin s // target.
+    Implies contiguity (bins are intervals of the file order) and the
+    size bound (every bin except possibly the last closes at >= target
+    only via the file that crosses the boundary)."""
+    from amazon_sales_data_engineering_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = [(i, sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "file_key bigint, n bigint")
+    got = {
+        r.file_key: r.bin
+        for r in compaction_plan(df, "file_key", "n", target=target).collect()
+    }
+    run = 0
+    want = {}
+    for i, sz in rows:
+        want[i] = run // target
+        run += sz
+    assert got == want
+    # contiguity: bin ids are non-decreasing in file order
+    assert all(want[i] <= want[i + 1] for i in range(len(rows) - 1))
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(edges=edges_st, rounds=st.integers(1, 4))
+def test_sssp_rounds_equals_bounded_bellman_ford(spark, edges, rounds):
+    """Frontier relaxation == textbook full relaxation at every round
+    bound (the claim the operator docstring makes)."""
+    from amazon_sales_data_engineering_spark.operators.graph import sssp_rounds
+
+    e = [(u, v, w) for u, v, w in edges if u != v]
+    if not e:
+        return
+    df = spark.createDataFrame(e, "src bigint, dst bigint, w bigint")
+    seed_node = min(u for u, _, _ in e)
+    seeds = spark.createDataFrame([(seed_node,)], "node bigint")
+    got = {r.node: r.dist for r in sssp_rounds(df, seeds, rounds).collect()}
+
+    best = {(u, v): None for u, v, _ in e}
+    for u, v, w in e:
+        if best[(u, v)] is None or w < best[(u, v)]:
+            best[(u, v)] = w
+    dist = {seed_node: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (u, v), w in best.items():
+            if u in dist and (v not in nxt or dist[u] + w < nxt[v]):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    assert got == dist
