@@ -520,3 +520,96 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str):
             " div ((cents_total * 1000) div n_total)"
         ).alias("seasonal_index_milli"),
     )
+
+
+@register(
+    "attribution_position_weighted",
+    oracle="""
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id, user_id, event_type, ts
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT p.purchase_id, t.event_id, t.event_type, t.ts
+  FROM purch p JOIN touch t
+    ON t.user_id = p.user_id
+   AND t.ts >= p.ts - INTERVAL 2 HOUR AND t.ts < p.ts
+), ranked AS (
+  SELECT purchase_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY ts, event_id) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY ts DESC, event_id DESC) AS rev,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM joined
+), credited AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 1000
+              WHEN n = 2 THEN 500
+              WHEN pos = 1 THEN 400
+              WHEN rev = 1 THEN 400
+              ELSE 200 // (n - 2) END AS credit_milli
+  FROM ranked
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_total
+FROM credited GROUP BY 1
+""",
+    doc="Position-weighted (U-shaped) multi-touch attribution: every "
+    "purchase credits the user's click/view touches in its 2-hour "
+    "lookback 40/20/40 — first touch 400 permille, last 400, the "
+    "middle 200 split evenly (truncating integer division keeps both "
+    "engines bit-identical; 1-touch paths get 1000, 2-touch 500/500). "
+    "Complements attribution_last_touch (winner-take-all) with the "
+    "multi-touch shape marketing analytics actually reports. Engine: "
+    "the purchase-touch pairing is an EQUI-join on user_id with the "
+    "time window as a join filter — per-user fanout, never an "
+    "inequality-only nested loop — then per-purchase position ranks "
+    "(two row_numbers + count over the purchase partition) and one "
+    "final aggregate. Tie-safe: (ts, event_id) totally orders "
+    "touches on both engines.",
+    tags=("temporal", "events", "attribution", "window"),
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = purch.join(
+        touch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("ts") < F.col("p_ts")),
+    ).select("purchase_id", "event_id", "event_type", "ts")
+    fwd = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    bwd = Window.partitionBy("purchase_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = joined.select(
+        "event_type",
+        F.row_number().over(fwd).alias("pos"),
+        F.row_number().over(bwd).alias("rev"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n"),
+    )
+    credited = ranked.select(
+        "event_type",
+        F.when(F.col("n") == 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .when(F.col("pos") == 1, 400)
+        .when(F.col("rev") == 1, 400)
+        .otherwise(F.expr("200 DIV (n - 2)"))
+        .alias("credit_milli"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_milli").cast("bigint").alias("credit_milli_total"),
+    )
