@@ -93,3 +93,64 @@ def multimodal_decode_media(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents").select("doc_id")
     payloads = synthesize_media(d, "doc_id")
     return decode_media_meta(payloads, "doc_id", "payload")
+
+
+@register(
+    "multimodal_patch_plan",
+    oracle="""
+WITH png AS (
+  SELECT doc_id,
+         CAST(doc_id % 640 + 16 AS BIGINT) AS w,
+         CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), tiled AS (
+  SELECT doc_id, w, h,
+         (w + 15) // 16 AS npx, (h + 15) // 16 AS npy
+  FROM png
+), planned AS (
+  SELECT doc_id,
+         npx * 16 - w AS pad_x, npy * 16 - h AS pad_y,
+         npx * npy + 1 AS seq_len
+  FROM tiled
+)
+SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(pad_x) AS BIGINT) AS pad_x_total,
+       CAST(SUM(pad_y) AS BIGINT) AS pad_y_total
+FROM planned GROUP BY 1
+""",
+    doc="Vision-tokenizer batch planning downstream of the REAL decode "
+    "path: the spec-valid PNG payloads are synthesized and header-"
+    "decoded (multimodal.binary_ops, Arrow mapInPandas), then each "
+    "image's ViT tiling is computed from the RECOVERED width/height — "
+    "16px patches, ceil tiling, +1 CLS token — and rolled up into the "
+    "visual-sequence-length histogram (with total padding waste) that "
+    "sizes multimodal training batches. The tiling arithmetic is pure "
+    "integer built-ins on top of the decode, so everything after the "
+    "two narrow mapInPandas stages stays in codegen with no extra "
+    "shuffle beyond the final small aggregate. The oracle predicts "
+    "the whole pipeline byte-arithmetically from doc_id (the decoder "
+    "is the identity on the synthesizer's header fields — proven by "
+    "multimodal_decode_media).",
+    tags=("multimodal", "decode", "packing", "agg"),
+)
+def multimodal_patch_plan(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_media_meta(synthesize_media(d, "doc_id"), "doc_id", "payload")
+    png = meta.filter(F.col("format") == "png").select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("w"),
+        F.col("height").cast("bigint").alias("h"),
+    )
+    npx = F.expr("(w + 15) DIV 16")
+    npy = F.expr("(h + 15) DIV 16")
+    planned = png.select(
+        "doc_id",
+        (npx * 16 - F.col("w")).alias("pad_x"),
+        (npy * 16 - F.col("h")).alias("pad_y"),
+        (npx * npy + 1).alias("seq_len"),
+    )
+    return planned.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("pad_x").cast("bigint").alias("pad_x_total"),
+        F.sum("pad_y").cast("bigint").alias("pad_y_total"),
+    )
