@@ -458,3 +458,100 @@ def two_stage_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 4,
+    n_candidates: int = 40,
+    lam10: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection: from the probe's
+    ``n_candidates`` most relevant vectors, greedily pick ``k`` that
+    trade relevance against redundancy — score(j) = lam10*rel(j) -
+    (10-lam10)*max_{s in selected} sim(j, s), all in the int8-quantized
+    INTEGER dot-product space of ``quantized_topk`` (lambda = lam10/10
+    cross-multiplied away), so every argmax is deterministic with an id
+    tiebreak and the greedy trace is engine-reproducible.
+
+    This is the diversity-selection primitive for RAG result lists and
+    training-data curation (pick exemplars, not near-copies). Scale
+    shape: stage 1 is the distributed quantized scan + per-probe top-N
+    (TakeOrderedAndProject); the greedy runs on the BOUNDED candidate
+    set (N^2 pairwise sims, k tiny argmax steps) — the standard
+    two-stage structure, never an all-corpus quadratic. Returns
+    (step, vec_id, rel, score): step 1..k in selection order; step 1's
+    score is lam10*rel (empty selected set).
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.aggregate(e, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    safe = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs)
+    q8 = F.transform(e, lambda x: F.floor(x * F.lit(127.0) / safe).cast("bigint"))
+    qv = vectors.select(F.col(id_col).alias("vid"), q8.alias("q8"))
+    p = (
+        probes.select(F.col(id_col).alias("probe_id"))
+        .join(qv, F.col("probe_id") == F.col("vid"))
+        .select("probe_id", F.col("q8").alias("pq"))
+    )
+    idot = F.aggregate(
+        F.zip_with("pq", "cq", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        qv.select(F.col("vid").alias("id"), F.col("q8").alias("cq"))
+        .join(F.broadcast(p), F.col("probe_id") != F.col("id"))
+        .select("id", "cq", idot.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(n_candidates)
+        .persist()
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("aq", "bq", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("cq").alias("aq"))
+    b = cand.select(F.col("id").alias("ib"), F.col("cq").alias("bq"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", pair_dot.alias("sim"))
+        .persist()
+    )
+    mu = 10 - lam10
+    selected = (
+        cand.orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"), "id", "rel",
+            (F.lit(lam10) * F.col("rel")).alias("score"),
+        )
+    )
+    for step in range(2, k + 1):
+        ms = (
+            sims.join(selected.select(F.col("id").alias("ib")), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim").alias("ms"))
+        )
+        nxt = (
+            cand.join(selected.select("id"), "id", "left_anti")
+            .join(ms, F.col("id") == F.col("ia"))
+            .select(
+                F.lit(step).alias("step"), "id", "rel",
+                (F.lit(lam10) * F.col("rel") - F.lit(mu) * F.col("ms"))
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(nxt)
+    out = selected.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("id").alias(id_col), "rel", "score",
+    ).localCheckpoint()
+    cand.unpersist()
+    sims.unpersist()
+    return out

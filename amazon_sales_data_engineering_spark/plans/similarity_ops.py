@@ -1219,3 +1219,90 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str):
             .alias("recall_milli"),
         )
     )
+
+
+@register(
+    "ann_mmr_select",
+    oracle=f"""
+WITH v AS ({_V}),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 127.0 /
+             (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)) AS q8
+  FROM (
+    SELECT vec_id, e,
+           list_reduce(list_transform(e, x -> abs(x)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+    FROM v
+  )
+),
+p AS (SELECT vec_id AS probe_id, q8 AS pq FROM q
+      WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+cand AS (
+  SELECT q.vec_id AS id, q.q8,
+         CAST(list_sum(list_transform(range(1, len(pq) + 1),
+                                      i -> pq[i] * q.q8[i])) AS BIGINT) AS rel
+  FROM p, q WHERE q.vec_id <> probe_id
+  ORDER BY rel DESC, id ASC LIMIT 40
+),
+sims AS (
+  SELECT a.id AS ia, b.id AS ib,
+         CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+                                      i -> a.q8[i] * b.q8[i])) AS BIGINT)
+           AS sim
+  FROM cand a, cand b WHERE a.id <> b.id
+),
+s1 AS (SELECT id, rel, 7 * rel AS score FROM cand
+       ORDER BY rel DESC, id ASC LIMIT 1),
+s2 AS (
+  SELECT c.id, c.rel, 7 * c.rel - 3 * s.sim AS score
+  FROM cand c JOIN sims s ON s.ia = c.id JOIN s1 ON s.ib = s1.id
+  WHERE c.id NOT IN (SELECT id FROM s1)
+  ORDER BY score DESC, c.id ASC LIMIT 1
+),
+sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+s3 AS (
+  SELECT c.id, c.rel, 7 * c.rel - 3 * m.ms AS score
+  FROM cand c JOIN (
+    SELECT s.ia AS id, MAX(s.sim) AS ms FROM sims s
+    JOIN sel2 ON s.ib = sel2.id GROUP BY 1
+  ) m ON m.id = c.id
+  WHERE c.id NOT IN (SELECT id FROM sel2)
+  ORDER BY score DESC, c.id ASC LIMIT 1
+),
+sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+s4 AS (
+  SELECT c.id, c.rel, 7 * c.rel - 3 * m.ms AS score
+  FROM cand c JOIN (
+    SELECT s.ia AS id, MAX(s.sim) AS ms FROM sims s
+    JOIN sel3 ON s.ib = sel3.id GROUP BY 1
+  ) m ON m.id = c.id
+  WHERE c.id NOT IN (SELECT id FROM sel3)
+  ORDER BY score DESC, c.id ASC LIMIT 1
+)
+SELECT CAST(1 AS INT) AS step, id AS vec_id, rel, score FROM s1
+UNION ALL SELECT 2, id, rel, score FROM s2
+UNION ALL SELECT 3, id, rel, score FROM s3
+UNION ALL SELECT 4, id, rel, score FROM s4
+""",
+    doc="Maximal-marginal-relevance diversity selection (operators."
+    "similarity.mmr_select): from the probe's top-40 quantized-dot "
+    "candidates, greedily pick 4 maximizing 7*rel - 3*max_sim_to_"
+    "selected (lambda = 0.7 cross-multiplied to integers) — the "
+    "dedup-aware result-list / exemplar-curation primitive that pure "
+    "top-k lacks. Every quantity is an int8-quantized INTEGER dot "
+    "product, so each greedy argmax (and therefore the whole trace) "
+    "is deterministic with an id tiebreak on both engines; the oracle "
+    "unrolls the identical 4 steps as chained argmax CTEs. Scale "
+    "shape: stage 1 is the distributed quantized scan + top-N "
+    "(TakeOrderedAndProject); the greedy touches only the bounded "
+    "candidate set (N^2 broadcast pairwise sims, k tiny argmax "
+    "steps) — two-stage retrieval structure, never corpus-quadratic.",
+    tags=("similarity", "quantize", "mmr", "topk"),
+)
+def ann_mmr_select(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import mmr_select
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probe = v.select(F.min("vec_id").alias("vec_id"))
+    return mmr_select(v, probe, k=4, n_candidates=40, lam10=7)
