@@ -1287,6 +1287,7 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
     "the same three relaxations as nested full-table min-merges — a "
     "different formulation that must agree exactly.",
     tags=("graph", "iterative", "join", "weighted"),
+    bench=True,
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
     from ..operators.graph import sssp_rounds
@@ -1323,3 +1324,72 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         .select("node")
     )
     return sssp_rounds(edges, seed, rounds=3)
+
+
+@register(
+    "json_variant_native",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                         -1)) AS BIGINT) AS mk_sum,
+       CAST(SUM(user_id) AS BIGINT) AS u_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tag0_match,
+       'OBJECT<m: OBJECT<k: BIGINT>, tags: ARRAY<STRING>, u: BIGINT>'
+         AS nested_schema
+FROM events
+GROUP BY 1
+""",
+    doc="NATIVE VARIANT parity (SURVEY §2.1 S7): the reference loads "
+    "semi-structured files through a schemaless VARIANT and extracts "
+    "typed paths ($1:\"Field\"::type — /root/reference/step_3_load_"
+    "from_stage_to_source.py:58-76). Spark 4 has the real thing: "
+    "try_parse_json -> VariantType (schemaless, malformed -> NULL), "
+    "variant_get typed path extraction including NESTED object and "
+    "ARRAY INDEX paths, schema_of_variant introspection. The query "
+    "parses the live props column, then round-trips a CONSTRUCTED "
+    "nested document {u, tags[], m{k}} through to_json -> parse_json "
+    "-> $.m.k / $.tags[0] / $.u, proving the full path grammar; the "
+    "recovered values must reconcile with the flat columns they came "
+    "from (mk_sum = k_sum with NULL ks pinned to -1; tags[0] always "
+    "matches event_type; the per-row variant schema is the constant "
+    "the oracle hardcodes). Complements json_props_extract "
+    "(from_json with a DECLARED schema): VARIANT is the schema-on-"
+    "read path, from_json the schema-on-write one — the same split "
+    "the reference's stage-vs-table layers draw.",
+    tags=("json", "semistruct", "variant", "agg"),
+)
+def json_variant_native(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    live = F.try_parse_json(F.col("props"))
+    vk = F.variant_get(live, "$.k", "bigint")
+    nested_json = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.array(F.col("event_type")).alias("tags"),
+            F.struct(F.coalesce(vk, F.lit(-1)).alias("k")).alias("m"),
+        )
+    )
+    nv = F.parse_json(nested_json)
+    mk = F.variant_get(nv, "$.m.k", "bigint")
+    tag0 = F.variant_get(nv, "$.tags[0]", "string")
+    uu = F.variant_get(nv, "$.u", "bigint")
+    return (
+        e.select(
+            "event_type", vk.alias("vk"), mk.alias("mk"), uu.alias("uu"),
+            tag0.alias("tag0"), F.schema_of_variant(nv).alias("sch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vk").alias("k_sum"),
+            F.sum("mk").alias("mk_sum"),
+            F.sum("uu").alias("u_sum"),
+            F.count(F.when(F.col("tag0") == F.col("event_type"), 1)).alias(
+                "n_tag0_match"
+            ),
+            F.min("sch").alias("nested_schema"),
+        )
+    )

@@ -590,6 +590,7 @@ LIMIT 100
     "smallest-k plans as TakeOrderedAndProject (per-partition top-k + "
     "driver merge of k rows/partition), never a global sort.",
     tags=("corpus", "sampling", "weighted", "topk"),
+    bench=True,
 )
 def sample_weighted_priority(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")

@@ -139,6 +139,7 @@ FROM planned GROUP BY 1
     "All-integer arithmetic (counts, truncating DIV) keeps the plan "
     "bit-deterministic; the oracle replays it with a window cumsum.",
     tags=("layout", "compaction", "prefixsum", "window"),
+    bench=True,
 )
 def compaction_binpack_plan(spark: SparkSession, sf_dir: str):
     from ..operators.layout import compaction_plan

@@ -1299,6 +1299,7 @@ UNION ALL SELECT 4, id, rel, score FROM s4
     "candidate set (N^2 broadcast pairwise sims, k tiny argmax "
     "steps) — two-stage retrieval structure, never corpus-quadratic.",
     tags=("similarity", "quantize", "mmr", "topk"),
+    bench=True,
 )
 def ann_mmr_select(spark: SparkSession, sf_dir: str):
     from ..operators.similarity import mmr_select
