@@ -541,10 +541,14 @@ def sssp_rounds(
     settled earlier already propagated its final distance), so per-round
     work is O(edges out of the improved set), not O(rounds x graph).
     Two shuffles per round (candidate min-combine + improvement
-    anti-join); rounds are lazily localCheckpointed and materialized by
-    the improvement-count probe (one job per round), previous caches
-    released — the same loop discipline as connected_components; early
-    exit when no distance improves."""
+    anti-join); ONE job per round — the improvement-count probe, whose
+    computation also (lazily) materializes the previous round's merged
+    distance table, so the merge never gets its own action. A table is
+    released only after the probe that consumed it, two rounds later
+    (unpersisting a lazily-localCheckpointed input before its dependents
+    materialize would force a truncated-lineage replay); at most two
+    superseded tables are in flight at any time. Early exit when no
+    distance improves."""
     dist = (
         seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
         .distinct()
@@ -555,6 +559,7 @@ def sssp_rounds(
         F.col(src).alias("u"), F.col(dst).alias("node"),
         F.col(weight).cast("bigint").alias("w"),
     )
+    to_release: list[DataFrame] = []
     for _ in range(rounds):
         cand = (
             frontier.select(F.col("node").alias("u"), "dist")
@@ -568,7 +573,12 @@ def sssp_rounds(
             .select("node", F.col("cand").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        n_improved = improved.count()  # one job: materialize + probe
+        # one job per round: materializes `improved` AND (as its join
+        # input) the previous round's lazy merged `dist`.
+        n_improved = improved.count()
+        for old in to_release:
+            old.unpersist()
+        to_release = []
         if n_improved == 0:
             frontier.unpersist()
             break
@@ -577,8 +587,8 @@ def sssp_rounds(
             .unionByName(improved)
             .localCheckpoint(eager=False)
         )
-        new_dist.count()
-        dist.unpersist()
-        frontier.unpersist()
+        # dist/frontier feed the still-unmaterialized new_dist — release
+        # them only after the next probe (or the caller's action) runs.
+        to_release = [dist] if frontier is dist else [dist, frontier]
         dist, frontier = new_dist, improved
     return dist

@@ -1,0 +1,73 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+partitioned synthetic-rows source.
+
+The reference extends its engine's input surface with declarative
+FILE FORMAT + stage objects (/root/reference/Snowflake Worksheets/
+4. Common Schema.sql:5-23); Spark's native analogue for "teach the
+engine a new input kind" is the Python Data Source API — a DataSource
+subclass registered on the session and addressed as
+``spark.read.format("synthetic_rows")``. This module implements one
+end-to-end: schema declaration, option handling, and PARTITIONED reads
+(``partitions()`` returns one InputPartition per row-range, so a
+1000-executor cluster scans ranges in parallel exactly like any file
+source — the generator never funnels through the driver).
+
+Rows are a pure function of the row id (multiplicative-hash amount,
+modular bucket), so any engine can predict the full relation — which is
+what makes the source oracle-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth's multiplicative hash constant (2^32 / phi), also used by the
+#: deterministic samplers in plans/corpus_ops.py.
+_MULT = 2654435761
+_MOD = 4294967296
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SyntheticRowsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = max(1, int(options.get("n_parts", 8)))
+        self.n_buckets = max(1, int(options.get("n_buckets", 10)))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        nb = self.n_buckets
+        for i in range(partition.start, partition.end):
+            h = (i * _MULT) % _MOD
+            yield (i, h % nb, h % 100000)
+
+
+class SyntheticRowsDataSource(DataSource):
+    """``spark.read.format("synthetic_rows").option("n_rows", N)`` →
+    (id BIGINT, bucket INT, amount_cents BIGINT)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, amount_cents bigint"
+
+    def reader(self, schema):
+        return SyntheticRowsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the source on the session."""
+    spark.dataSource.register(SyntheticRowsDataSource)
