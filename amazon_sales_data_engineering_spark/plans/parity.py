@@ -764,3 +764,52 @@ def sql_cte_window_qualify(spark: SparkSession, sf_dir: str):
         WHERE rnk <= 3
         """
     )
+
+
+@register(
+    "pysource_partitioned_read",
+    oracle="""
+WITH g AS (
+  SELECT i AS id,
+         ((i * 2654435761) % 4294967296) % 10 AS bucket,
+         ((i * 2654435761) % 4294967296) % 100000 AS amount_cents
+  FROM range(0, 20000) t(i)
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(amount_cents) AS BIGINT) AS amount_total,
+       MIN(id) AS id_min, MAX(id) AS id_max
+FROM g GROUP BY 1
+""",
+    doc="Custom input connector through Spark 4's Python Data Source "
+    "API (sources/pysource.py): the engine-extension analogue of the "
+    "reference's declarative FILE FORMAT + stage objects (/root/"
+    "reference/Snowflake Worksheets/4. Common Schema.sql:5-23) — "
+    "where Snowflake teaches the warehouse a new input kind with DDL, "
+    "Spark registers a DataSource class and addresses it as "
+    "spark.read.format('synthetic_rows'). The source declares its "
+    "schema, parses reader options, and — the scale property — "
+    "returns one InputPartition per row-range from partitions(), so "
+    "executors generate ranges in parallel like any file source; "
+    "nothing funnels through the driver. Rows are a pure function of "
+    "the row id (multiplicative-hash bucket/amount), so the oracle "
+    "regenerates the full relation from range() and the per-bucket "
+    "rollup must match exactly.",
+    tags=("source", "connector", "pysource", "agg"),
+)
+def pysource_partitioned_read(spark: SparkSession, sf_dir: str):
+    from ..sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("n_rows", 20000)
+        .option("n_parts", 16)
+        .load()
+    )
+    return df.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount_cents").alias("amount_total"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+    )

@@ -19,7 +19,12 @@ what makes the source oracle-gateable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Knuth's multiplicative hash constant (2^32 / phi), also used by the
 #: deterministic samplers in plans/corpus_ops.py.
@@ -71,3 +76,56 @@ class SyntheticRowsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotently register the source on the session."""
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+class _StreamOffset(dict):
+    pass
+
+
+class SyntheticRowsStreamReader(DataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the same deterministic row
+    space: each micro-batch advances the row cursor by ``rows_per_batch``
+    until ``n_rows`` is exhausted. Offsets are plain dicts (the engine
+    journals them in the checkpoint log), so recovery resumes exactly —
+    the same contract a Kafka reader honors with (topic, partition,
+    offset) tuples."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = max(1, int(options.get("rows_per_batch", 100)))
+        self.n_buckets = max(1, int(options.get("n_buckets", 10)))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # One planning call per micro-batch: advance the cursor by one
+        # batch quantum — simulating an unbounded source where new data
+        # keeps arriving. NOTE: Trigger.AvailableNow snapshots
+        # latestOffset ONCE, so it drains exactly one quantum; drive
+        # multi-batch consumption with a processingTime trigger
+        # (tests/test_pysource.py) the way a live deployment would.
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.rows_per_batch, self.n_rows)
+        return {"pos": self._cur}
+
+    def partitions(self, start, end):
+        return [_RangePartition(int(start["pos"]), int(end["pos"]))]
+
+    def read(self, partition: _RangePartition):
+        nb = self.n_buckets
+        for i in range(partition.start, partition.end):
+            h = (i * _MULT) % _MOD
+            yield (i, h % nb, h % 100000)
+
+    def commit(self, end):
+        pass
+
+
+def _streamReader(self, schema):
+    return SyntheticRowsStreamReader(self.options)
+
+
+# attach (kept out of the class body so the batch-only story above reads
+# standalone; Spark looks the method up by name either way)
+SyntheticRowsDataSource.streamReader = _streamReader
