@@ -813,3 +813,85 @@ def pysource_partitioned_read(spark: SparkSession, sf_dir: str):
         F.min("id").alias("id_min"),
         F.max("id").alias("id_max"),
     )
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle="""
+WITH RECURSIVE walk(node, amount) AS (
+  SELECT CAST(l_partkey AS BIGINT), CAST(l_quantity AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT node // 10, amount FROM walk WHERE node > 0
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+       CAST(SUM(amount) AS BIGINT) AS subtree_qty
+FROM walk WHERE node < 1000
+GROUP BY 1
+""",
+    doc="Native recursive CTE (Spark 4 WITH RECURSIVE) — hierarchical "
+    "rollup over the implicit decimal category tree parent(p) = p DIV "
+    "10: every lineitem walks its ancestor chain to the root, and each "
+    "category node aggregates its whole subtree's quantity. The "
+    "recursion is row-bounded (each row contributes exactly one "
+    "ancestor path of depth <= 6 via UNION ALL — no transitive-closure "
+    "path explosion, which matters because Spark's recursive CTE does "
+    "not yet support UNION-dedup recursion; the operator-level BFS/SSSP "
+    "alternatives in operators/graph.py stay the right tool for "
+    "graphs). Engine executes the fixpoint loop itself — depth-bounded "
+    "scans, one per level — where the reference would hand the same "
+    "hierarchy walk to Snowflake's CONNECT BY / recursive CTE. Both "
+    "engines run structurally identical recursive SQL.",
+    tags=("sql", "recursive", "hierarchy", "agg"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, amount) AS (
+          SELECT CAST(l_partkey AS BIGINT), CAST(l_quantity AS BIGINT)
+          FROM v_lineitem_rec
+          UNION ALL
+          SELECT node DIV 10, amount FROM walk WHERE node > 0
+        )
+        SELECT node, COUNT(*) AS n_contrib, SUM(amount) AS subtree_qty
+        FROM walk WHERE node < 1000
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_parameterized_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    doc="Parameterized SQL with named arguments + the IDENTIFIER "
+    "clause: the table name and every predicate constant arrive as "
+    "BOUND PARAMETERS (spark.sql(..., args={...})), not string "
+    "interpolation — the injection-safe replacement for the "
+    "reference's f-string SQL assembly (/root/reference/step_3_load_"
+    "from_stage_to_source.py builds every statement by interpolation). "
+    "IDENTIFIER(:tbl) parameterizes the relation itself, which is the "
+    "session-variable idiom for multi-tenant / per-layer pipelines "
+    "(same query text against source/curated/consumption). The oracle "
+    "is the fully-literal equivalent; plans identically to "
+    "TakeOrderedAndProject.",
+    tags=("sql", "parameterized", "topk"),
+)
+def sql_parameterized_topk(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderpriority = :prio
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT :k
+        """,
+        args={"tbl": "v_orders_param", "prio": "1-URGENT", "k": 25},
+    )

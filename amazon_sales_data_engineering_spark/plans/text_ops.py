@@ -573,3 +573,79 @@ def phrase_pmi_top50(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "udtf_run_length",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), w AS (
+  SELECT doc_id, words[i] AS word, i
+  FROM s, UNNEST(range(1, len(words) + 1)) AS t(i)
+), f AS (
+  SELECT doc_id, word, i,
+         CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY i)
+                   IS DISTINCT FROM word
+              THEN 1 ELSE 0 END AS brk
+  FROM w
+), runs AS (
+  SELECT doc_id,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM f
+), r AS (
+  SELECT doc_id, run_id, COUNT(*) AS run_len FROM runs GROUP BY 1, 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST(SUM(run_len) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1
+""",
+    doc="Python UDTF surface (Spark 4 user-defined TABLE function, "
+    "LATERAL-joined): a run-length encoder over each document's token "
+    "stream — one input row fans out to one row per run, the "
+    "row-to-relation shape scalar UDFs cannot express. This gates the "
+    "third engine-extension surface next to the Python Data Source "
+    "(pysource_partitioned_read) and native VARIANT "
+    "(json_variant_native). Deliberate scope note: UDTFs execute "
+    "Python per row — the HOT text paths in this repo stay on in-row "
+    "built-ins (text_repetition_stats computes run stats with an "
+    "aggregate() fold); the UDTF is the right tool when the fan-out "
+    "logic genuinely needs Python (external tokenizers, parsers). The "
+    "oracle replays the RLE relationally: ordinal unnest + lag-break "
+    "islands + per-run counts must reconcile exactly, including "
+    "n_tokens = sum of run lengths.",
+    tags=("text", "udtf", "extension", "agg"),
+)
+def udtf_run_length(spark: SparkSession, sf_dir: str):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, token string, run_len int")
+    class RunLengthEncode:
+        def eval(self, text: str):
+            if text is None:
+                return
+            run_idx, prev, n = 0, None, 0
+            for word in text.split(" "):
+                if prev is None or word == prev:
+                    n += 1
+                else:
+                    yield (run_idx, prev, n)
+                    run_idx, n = run_idx + 1, 1
+                prev = word
+            if prev is not None:
+                yield (run_idx, prev, n)
+
+    spark.udtf.register("rle_udtf", RunLengthEncode)
+    t_cpu(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_rle")
+    return spark.sql(
+        """
+        SELECT d.doc_id, COUNT(*) AS n_runs,
+               CAST(MAX(r.run_len) AS BIGINT) AS max_run_len,
+               SUM(r.run_len) AS n_tokens
+        FROM v_docs_rle d, LATERAL rle_udtf(d.text) r
+        GROUP BY d.doc_id
+        """
+    )
