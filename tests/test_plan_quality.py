@@ -164,3 +164,60 @@ def test_record_linkage_never_cartesian(spark):
     plan = _plan(spark, "record_linkage_scores")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Weighted priority sampling must plan the smallest-k as
+    TakeOrderedAndProject (per-partition top-k + driver k-merge), never
+    a global sort, and must stay rand()-free."""
+    plan = _plan(spark, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    assert "rand" not in plan.lower()
+
+
+def test_compaction_plan_has_no_global_window(spark):
+    """The running total must come from the two-phase distributed scan:
+    bucket-partitioned windows only — a window over an EMPTY partition
+    spec (the single-partition cliff) may appear solely for the
+    bucket-offsets table, which is bounded by n_buckets, never the
+    inventory. Heuristic: every unpartitioned window in the plan must
+    sit over the tiny offsets aggregate (its input carries __btot)."""
+    plan = _plan(spark, "compaction_binpack_plan")
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n", 1)[0]
+        if "partitionBy=[]" in head or "PartitionBy: []" in head:
+            assert "__btot" in frag.split("Exchange", 1)[0] + head, (
+                "unpartitioned window over non-offset data:\n" + head
+            )
+
+
+def test_attribution_join_is_equi_not_nested_loop(spark):
+    """The purchase-touch pairing must hash/sort-merge on user_id with
+    the time window as a post-join filter — an inequality-only
+    BroadcastNestedLoopJoin would be quadratic per user block."""
+    plan = _plan(spark, "attribution_position_weighted")
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_mmr_greedy_is_materialized_and_bounded(spark):
+    """mmr_select returns an eagerly-checkpointed k-row result (the
+    whole greedy trace ran as ONE action inside the operator — callers
+    never replay the unioned argmax branches), so the visible plan is a
+    materialized scan and the output is exactly steps 1..k."""
+    df = REGISTRY["ann_mmr_select"].spark_fn(spark, SF_DIR)
+    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    steps = sorted(r.step for r in df.select("step").collect())
+    assert steps == [1, 2, 3, 4]
+
+
+def test_patch_plan_single_small_aggregate(spark):
+    """Everything after the two narrow mapInPandas stages stays in one
+    aggregation — exactly one exchange pair (partial/final agg), no
+    join, no sort."""
+    plan = _plan(spark, "multimodal_patch_plan")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
