@@ -559,3 +559,108 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(joined, "append")
     return out.filter(F.col("user_id") >= 0)
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), ranked AS (
+  SELECT user_id, event_type, sec, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_type AS last_type, sec AS last_sec,
+       event_id AS last_event_id
+FROM ranked WHERE rn = 1
+""",
+    doc="Streaming/batch equivalence #7 — the SINK side: the replay "
+    "runs through writeStream.foreachBatch, each micro-batch UPSERTING "
+    "its per-user latest event into a persistent state table "
+    "(last-writer-wins MERGE on the (sec, event_id) total order; the "
+    "table is parquet swapped atomically per batch — the dependency-"
+    "free stand-in for a Delta/Iceberg MERGE target). The gate reads "
+    "the FINAL table and compares against the batch per-user argmax. "
+    "Two properties carried by the structure: the upsert is an "
+    "idempotent merge (re-delivering any batch converges to the same "
+    "state — exactly-once effect from at-least-once delivery), and "
+    "the checkpoint's file ledger means a restart re-processes "
+    "nothing (the streaming form of the batch COPY ledger, SURVEY "
+    "§2.1 S8). Completes the streaming family: gates 1-6 prove the "
+    "transform operators, this one proves the load path a production "
+    "pipeline hangs off foreachBatch.",
+    tags=("streaming", "sink", "merge", "events"),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.ingest import incremental_append, stream_source
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state = os.path.join(tempfile.gettempdir(), f"asde_fbu_state_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"asde_fbu_ckpt_{tag}")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "sec", "event_id"),
+                    F.struct("sec", "event_id"),
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_type").alias("last_type"),
+                F.col("s.sec").alias("last_sec"),
+                F.col("s.event_id").alias("last_event_id"),
+            )
+        )
+        if os.path.exists(state):
+            cur = sess.read.parquet(state)
+            merged = (
+                cur.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("last_type", "last_sec", "last_event_id"),
+                        F.struct("last_sec", "last_event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id",
+                    F.col("s.last_type").alias("last_type"),
+                    F.col("s.last_sec").alias("last_sec"),
+                    F.col("s.last_event_id").alias("last_event_id"),
+                )
+            )
+        else:
+            merged = latest
+        tmp = state + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state):
+            os.rename(state, old)
+        os.rename(tmp, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    src = stream_source(
+        spark, _write_replay(spark, sf_dir), _REPLAY_SCHEMA,
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, upsert, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    _ = Window  # (imported for symmetry with the oracle's formulation)
+    return spark.read.parquet(state)
