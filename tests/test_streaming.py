@@ -374,3 +374,51 @@ def test_windowed_distinct_state_evicted(spark, stream_dir):
     # only the sentinel's open window may remain in state.
     assert dedup_ops[-1]["numRowsTotal"] <= 1, dedup_ops[-1]
     assert sum(op["numRowsRemoved"] for op in dedup_ops) >= 3
+
+
+def test_incremental_append_resumes_for_new_files_only(spark, tmp_path):
+    """Stop-and-resume WITH new data: run the checkpointed foreachBatch
+    load over the first files, stop, land a new file, restart the SAME
+    checkpoint — the resumed query must process ONLY the new file
+    (ledger semantics) and the sink must hold every event exactly once
+    (exactly-once effect across restarts)."""
+    d = tmp_path / "land"
+    os.makedirs(d)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(batch, stamp, name):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        for f in sorted(os.listdir(tmp_path / name)):
+            if f.endswith(".parquet"):
+                dst = d / f"{name}-{f}"
+                os.rename(tmp_path / name / f, dst)
+                os.utime(dst, (stamp, stamp))
+
+    now = time.time()
+    land(EVENTS[:3], now, "a")
+    land(EVENTS[3:], now + 1, "b")
+
+    seen_batches: list[int] = []
+
+    def write_batch(bdf, batch_id):
+        seen_batches.append(bdf.count())
+        bdf.write.mode("append").parquet(sink)
+
+    q = incremental_append(_source(spark, str(d)), write_batch, ckpt)
+    q.awaitTermination(120)
+    assert sum(seen_batches) == len(EVENTS)
+
+    late = [_mk(7, 2, "click", 90, 0.5), _mk(8, 1, "view", 95, 0.25)]
+    land(late, now + 2, "c")
+    seen_batches.clear()
+    q = incremental_append(_source(spark, str(d)), write_batch, ckpt)
+    q.awaitTermination(120)
+    # the resumed run saw exactly the late file's rows, nothing replayed
+    assert sum(seen_batches) == len(late)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == len(EVENTS) + len(late)
+    assert out.select("event_id").distinct().count() == len(EVENTS) + len(late)
