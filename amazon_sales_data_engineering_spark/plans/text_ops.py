@@ -649,3 +649,47 @@ def udtf_run_length(spark: SparkSession, sf_dir: str):
         GROUP BY d.doc_id
         """
     )
+
+
+@register(
+    "text_simpson_concentration",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w GROUP BY 1, 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * c) AS BIGINT) AS ssq
+FROM c GROUP BY 1
+""",
+    doc="Token-concentration (Simpson index) per document in EXACT "
+    "integers: n_distinct, n_tokens and the sum of squared token "
+    "counts — ssq/n_tokens^2 is the probability two random tokens "
+    "coincide, the repetition-concentration signal that complements "
+    "text_repetition_stats' run/top-share heuristics (a doc can pass "
+    "both run-length and top-word gates yet be pathologically "
+    "concentrated across MANY repeated types; Simpson catches that). "
+    "Emitting the integer numerators instead of the ratio keeps the "
+    "gate bit-exact and lets the caller pick the diversity transform "
+    "(Simpson, inverse-Simpson, Herfindahl) without re-scanning. "
+    "Shape: explode -> two map-side-combinable integer aggregates — "
+    "the canonical token-statistics shuffle, skew-free (keys are "
+    "(doc, token)).",
+    tags=("text", "corpus", "quality", "agg"),
+)
+def text_simpson_concentration(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
