@@ -38,6 +38,13 @@ SHOWCASE = [
     "orders_open_backlog",
     "embedding_pq_codes",
     "graph_bfs_layers",
+    "graph_sssp_weighted",
+    "compaction_binpack_plan",
+    "sample_weighted_priority",
+    "attribution_position_weighted",
+    "json_variant_native",
+    "sql_recursive_hierarchy",
+    "events_max_concurrency",
 ]
 
 
