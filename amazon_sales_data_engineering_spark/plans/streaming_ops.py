@@ -52,6 +52,7 @@ def _write_replay(
     spark: SparkSession, sf_dir: str, sentinel: bool = False,
     n_sentinels: int | None = None,
     sentinel_kinds: tuple[str, ...] = ("eos",),
+    owner: str = "",
 ) -> str:
     """Materialize the events table as three time-ordered parquet files
     (ascending mtimes) under /tmp and return the directory.
@@ -95,7 +96,10 @@ def _write_replay(
     tag = "" if (n_sent <= 1 and sentinel_kinds == ("eos",)) else (
         f"_s{n_sent}_{'_'.join(sentinel_kinds)}"
     )
-    base = _replay_dir(sf_dir) + tag
+    # per-gate ``owner`` tag: each gated query replays into its OWN
+    # directory, so a runner executing queries concurrently can never
+    # have one gate rewrite the files another is mid-stream on.
+    base = _replay_dir(sf_dir) + tag + (f"_{owner}" if owner else "")
     shutil.rmtree(base, ignore_errors=True)
     s = F.col("sec")
     slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
@@ -170,7 +174,7 @@ def streaming_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_source(
         spark,
-        _write_replay(spark, sf_dir),
+        _write_replay(spark, sf_dir, owner="dedup"),
         _REPLAY_SCHEMA,
         fmt="parquet",
         max_files_per_trigger=1,
@@ -217,7 +221,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_source(
         spark,
-        _write_replay(spark, sf_dir),
+        _write_replay(spark, sf_dir, owner="hourly"),
         _REPLAY_SCHEMA,
         fmt="parquet",
         max_files_per_trigger=1,
@@ -279,7 +283,7 @@ def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_source(
         spark,
-        _write_replay(spark, sf_dir, sentinel=True),
+        _write_replay(spark, sf_dir, sentinel=True, owner="sess"),
         _REPLAY_SCHEMA,
         fmt="parquet",
         max_files_per_trigger=1,
@@ -457,7 +461,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE file source self-joined: both sides share the micro-batch
     # boundaries, so neither can run ahead of the other's watermark.
     src = stream_source(
-        spark, _write_replay(spark, sf_dir), _REPLAY_SCHEMA,
+        spark, _write_replay(spark, sf_dir, owner="ssj"), _REPLAY_SCHEMA,
         fmt="parquet", max_files_per_trigger=1,
     )
 
@@ -528,7 +532,7 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _write_replay(
             spark, sf_dir, n_sentinels=2,
-            sentinel_kinds=("view", "purchase"),
+            sentinel_kinds=("view", "purchase"), owner="ssjo",
         ),
         _REPLAY_SCHEMA, fmt="parquet", max_files_per_trigger=1,
     )
@@ -654,7 +658,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(old, ignore_errors=True)
 
     src = stream_source(
-        spark, _write_replay(spark, sf_dir), _REPLAY_SCHEMA,
+        spark, _write_replay(spark, sf_dir, owner="fbu"), _REPLAY_SCHEMA,
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, upsert, ckpt)
