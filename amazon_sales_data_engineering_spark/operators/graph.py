@@ -592,3 +592,81 @@ def sssp_rounds(
         to_release = [dist] if frontier is dist else [dist, frontier]
         dist, frontier = new_dist, improved
     return dist
+
+
+def triangle_counts_per_node(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over the undirected graph —
+    (node, deg, n_tri): together they give the local clustering
+    coefficient 2*n_tri / (deg*(deg-1)), the link-analysis feature
+    behind community cores and spam-graph detection. Integer outputs.
+
+    Same degree-oriented in-row intersection as ``triangle_count``
+    (wedge work bounded O(|E|^1.5) under any hub skew, intersections in
+    codegen); the difference is attribution: each oriented edge (a, h)
+    credits |N+(a) ∩ N+(h)| triangles to BOTH endpoints and one to each
+    closing node c — an explode of the (bounded) intersection array —
+    so every triangle is counted exactly once per member node."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    with_deg = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("h"),
+    )
+    adj = oriented.groupBy("a").agg(F.collect_list("h").alias("nbrs"))
+    closed = (
+        oriented.join(adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")), "a")
+        .join(
+            adj.select(F.col("a").alias("h"), F.col("nbrs").alias("nbrs_h")),
+            "h",
+        )
+        .select("a", "h", F.array_intersect("nbrs_a", "nbrs_h").alias("common"))
+        .filter(F.size("common") > 0)
+        .persist()
+    )
+    endpoint_credit = closed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.size("common").alias("c")),
+                F.struct(F.col("h").alias("node"), F.size("common").alias("c")),
+            )
+        ).alias("s")
+    ).select(F.col("s.node").alias("node"), F.col("s.c").alias("c"))
+    closer_credit = closed.select(
+        F.explode("common").alias("node"), F.lit(1).alias("c")
+    )
+    n_tri = (
+        endpoint_credit.unionByName(closer_credit)
+        .groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("n_tri"))
+    )
+    out = (
+        deg.join(n_tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("bigint")).alias("n_tri"),
+        )
+        .filter(F.col("deg") >= 2)
+    )
+    return out

@@ -1393,3 +1393,63 @@ def json_variant_native(spark: SparkSession, sf_dir: str):
             F.min("sch").alias("nested_schema"),
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), credit AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), nt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM credit GROUP BY 1
+)
+SELECT d.node, d.deg, COALESCE(nt.n_tri, 0) AS n_tri
+FROM deg d LEFT JOIN nt ON nt.node = d.node
+WHERE d.deg >= 2
+""",
+    doc="Per-node triangle participation + degree — the integer "
+    "numerators of the LOCAL CLUSTERING COEFFICIENT 2*n_tri/"
+    "(deg*(deg-1)), the node-level cohesion feature global triangle "
+    "counting can't give (a hub with many triangles may still be a "
+    "sparse star; a small tight clique maxes the coefficient). Same "
+    "degree-oriented in-row intersection as graph_triangle_count "
+    "(operators.graph.triangle_counts_per_node) with per-member "
+    "attribution: each closing intersection credits both oriented "
+    "endpoints by its size and each closer once, so every triangle "
+    "counts exactly once per member. The oracle re-derives the credits "
+    "from naive id-oriented triangle enumeration — a different plan "
+    "that must agree node-by-node.",
+    tags=("graph", "join", "agg", "ml"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import triangle_counts_per_node
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts_per_node(edges)
