@@ -1307,3 +1307,108 @@ def ann_mmr_select(spark: SparkSession, sf_dir: str):
     v = t_cpu(spark, sf_dir, "embeddings")
     probe = v.select(F.min("vec_id").alias("vec_id"))
     return mmr_select(v, probe, k=4, n_candidates=40, lam10=7)
+
+
+@register(
+    "ann_rrf_fusion",
+    oracle=f"""
+WITH v AS ({_V}),
+p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+ex_scored AS (
+  SELECT probe_id, v.vec_id AS neighbor_id, {_COS} AS cos
+  FROM p, v WHERE v.vec_id <> probe_id
+),
+ex AS (
+  SELECT probe_id, neighbor_id, rn AS r1 FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM ex_scored
+  ) WHERE rn <= 10
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 127.0 /
+             (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)) AS q8
+  FROM (
+    SELECT vec_id, e,
+           list_reduce(list_transform(e, x -> abs(x)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+    FROM v
+  )
+),
+qp AS (SELECT vec_id AS probe_id, q8 AS pq FROM q WHERE vec_id % 100 = 0),
+qt_scored AS (
+  SELECT probe_id, q.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(pq) + 1),
+                                      i -> pq[i] * q.q8[i])) AS BIGINT)
+           AS idot
+  FROM qp, q WHERE q.vec_id <> probe_id
+),
+qt AS (
+  SELECT probe_id, neighbor_id, rn AS r2 FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY idot DESC, neighbor_id ASC) AS rn
+    FROM qt_scored
+  ) WHERE rn <= 10
+),
+fused AS (
+  SELECT COALESCE(ex.probe_id, qt.probe_id) AS probe_id,
+         COALESCE(ex.neighbor_id, qt.neighbor_id) AS neighbor_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + ex.r1), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (60 + qt.r2), CAST(0 AS DOUBLE))
+           AS score
+  FROM ex FULL JOIN qt
+    ON ex.probe_id = qt.probe_id AND ex.neighbor_id = qt.neighbor_id
+)
+SELECT probe_id, neighbor_id, CAST(rn AS INT) AS fused_rank, score FROM (
+  SELECT probe_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 5
+""",
+    doc="Reciprocal-rank fusion of two retrieval stages — exact float "
+    "cosine top-10 and int8 quantized integer-dot top-10 — into one "
+    "top-5 per probe: score = sum over lists of 1/(60 + rank), the "
+    "standard RRF that rewards agreement between rankers without "
+    "comparing their incommensurable scores (hybrid-retrieval's "
+    "default combiner). Determinism: both input RANKINGS are already "
+    "gate-proven deterministic, ranks are integers, and the fused "
+    "score is two correctly-rounded divisions + one add of identical "
+    "operands on both engines — bit-equal doubles, ties broken by id. "
+    "Shape: the two rankers' per-probe top-10s (each a bounded "
+    "WindowGroupLimit output) FULL-join on (probe, neighbor) — "
+    "hundreds of rows per probe, never corpus-sized.",
+    tags=("similarity", "rerank", "fusion", "topk"),
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk, quantized_topk
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") % 100 == 0)
+    ex = cosine_topk(v, probes, id_col="vec_id", vec_col="embedding", k=10).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("r1")
+    )
+    qt = quantized_topk(v, probes, k=10).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("r2")
+    )
+    fused = ex.join(qt, ["probe_id", "neighbor_id"], "full").select(
+        "probe_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 5)
+        .select("probe_id", "neighbor_id", F.col("fused_rank").cast("int"), "score")
+    )
