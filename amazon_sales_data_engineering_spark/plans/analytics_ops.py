@@ -1453,3 +1453,221 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return triangle_counts_per_node(edges)
+
+
+#: Bloom layout: 66 words x 62 usable bits = 4092 bits, 3 multiplicative
+#: hashes. 62-bit masks keep 1 << pos inside signed-64 range on BOTH
+#: engines (bit 63 would overflow DuckDB's signed shift).
+_BLOOM_BITS = 4092
+_BLOOM_HASHES = (2654435761, 2246822519, 3266489917)
+
+
+def _bloom_bit_sql(key: str, a: int) -> str:
+    return f"((({key} % 2147483647) * {a}) % 2147483647) % {_BLOOM_BITS}"
+
+
+@register(
+    "bloom_filter_semijoin",
+    oracle=f"""
+WITH members AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+), bits AS (
+  {' UNION ALL '.join(
+      f"SELECT ({_bloom_bit_sql('k', a)}) AS bit FROM members"
+      for a in _BLOOM_HASHES
+  )}
+), words AS (
+  SELECT bit // 62 AS word, bit_or(1::BIGINT << (bit % 62)) AS mask
+  FROM bits GROUP BY 1
+), probes AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probe_bits AS (
+  {' UNION ALL '.join(
+      f"SELECT k, ({_bloom_bit_sql('k', a)}) AS bit FROM probes"
+      for a in _BLOOM_HASHES
+  )}
+), checked AS (
+  SELECT pb.k,
+         CASE WHEN (w.mask & (1::BIGINT << (pb.bit % 62))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe_bits pb LEFT JOIN words w ON w.word = pb.bit // 62
+), verdicts AS (
+  SELECT k, CAST(MIN(hit) AS BIGINT) AS passes FROM checked GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(v.passes) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_members,
+       CAST(SUM(CASE WHEN v.passes = 1 AND m.k IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM verdicts v LEFT JOIN members m ON m.k = v.k
+""",
+    doc="Distributed Bloom-filter semi-join — the mechanism behind "
+    "runtime row-group filters and shuffle-pruning at 100 TB: the "
+    "BUILDING-segment customer keys are folded into a 4092-bit filter "
+    "(66 x 62-bit words; per-key work is a 3-row explode, the filter "
+    "build is one 66-group BIT_OR aggregate — map-side combinable, "
+    "broadcastable at any build-side cardinality), then every distinct "
+    "orders customer probes it (broadcast join against the 66-word "
+    "table, MIN-of-hits verdict) and the query reports the measured "
+    "false-positive count against exact membership. Everything is "
+    "integer bit arithmetic on deterministic multiplicative hashes, so "
+    "— unlike engine-internal bloom sketches — the whole structure is "
+    "oracle-exact: DuckDB rebuilds the identical filter bit-for-bit. "
+    "Complements dynamic_filter_join (which gates Spark's own runtime "
+    "IN-pruning) by making the filter itself a first-class, portable "
+    "operator with a measured FP rate.",
+    tags=("join", "bloom", "sketch", "runtime-filter"),
+)
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str):
+    members = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def bloom_bit(a: int):
+        return (
+            F.pmod(F.pmod(F.col("k"), F.lit(2147483647)) * F.lit(a),
+                   F.lit(2147483647))
+            % F.lit(_BLOOM_BITS)
+        )
+
+    def explode_bits(df):
+        return df.select(
+            "k", F.explode(F.array(*[bloom_bit(a) for a in _BLOOM_HASHES]))
+            .alias("bit")
+        )
+
+    words = (
+        explode_bits(members)
+        .groupBy(F.expr("bit DIV 62").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+            ).alias("mask")
+        )
+    )
+    probes = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    checked = (
+        explode_bits(probes)
+        .join(F.broadcast(words), F.expr("bit DIV 62") == F.col("word"), "left")
+        .select(
+            "k",
+            F.when(
+                F.expr(
+                    "(mask & shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(bit % 62 AS INT))) <> 0"
+                ), 1
+            ).otherwise(0).alias("hit"),
+        )
+    )
+    verdicts = checked.groupBy("k").agg(
+        F.min("hit").cast("bigint").alias("passes")
+    )
+    joined = verdicts.join(
+        members.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"), "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("passes").alias("n_pass"),
+        F.sum(F.when(F.col("mk").isNotNull(), 1).otherwise(0)).cast("bigint")
+        .alias("n_true_members"),
+        F.sum(
+            F.when((F.col("passes") == 1) & F.col("mk").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_false_positives"),
+    )
+
+
+_CMS_W = 1024
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH keys AS (
+  SELECT o_custkey AS k FROM orders
+), counters AS (
+  {' UNION ALL '.join(
+      f"SELECT {d} AS d, ({_bloom_bit_sql('k', a)}) % {_CMS_W} AS idx, "
+      f"CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY 2"
+      for d, a in enumerate(_BLOOM_HASHES)
+  )}
+), merged AS (
+  SELECT d, idx, CAST(SUM(c) AS BIGINT) AS c FROM counters GROUP BY 1, 2
+), exact AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keys GROUP BY 1
+), top AS (
+  SELECT k, true_cnt FROM exact
+  ORDER BY true_cnt DESC, k ASC LIMIT 20
+), probe AS (
+  {' UNION ALL '.join(
+      f"SELECT k, true_cnt, {d} AS d, ({_bloom_bit_sql('k', a)}) % {_CMS_W} "
+      f"AS idx FROM top"
+      for d, a in enumerate(_BLOOM_HASHES)
+  )}
+), est AS (
+  SELECT p.k, p.true_cnt, CAST(MIN(m.c) AS BIGINT) AS cms_est
+  FROM probe p JOIN merged m ON m.d = p.d AND m.idx = p.idx
+  GROUP BY 1, 2
+)
+SELECT k AS custkey, true_cnt, cms_est,
+       cms_est - true_cnt AS overestimate
+FROM est
+""",
+    doc="Count-min sketch frequency estimation, oracle-EXACT: order "
+    "custkeys stream into a depth-3 x width-1024 counter grid (per-"
+    "row work is a 3-row explode; the sketch build is ONE 3072-group "
+    "integer aggregate — map-side combinable, mergeable across "
+    "partitions/days by simple addition, fixed 24 KB state at ANY "
+    "stream size, which is the whole point at 100 TB), then the 20 "
+    "exact-heaviest keys probe it and the query reports estimate vs "
+    "truth — materializing CMS's one-sided guarantee (est >= true; "
+    "overflow only from hash collisions) as auditable integers. "
+    "Deterministic multiplicative hashes make the sketch portable: "
+    "DuckDB rebuilds the identical grid, unlike engine-internal "
+    "sketches (approx_distinct_sketch stays rows-only for exactly "
+    "that reason). Third member of the portable-sketch family with "
+    "the Bloom semi-join and the MinHash/SimHash signatures.",
+    tags=("agg", "sketch", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
+    keys = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def cms_cells(df):
+        cells = [
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.pmod(
+                        F.pmod(F.col("k"), F.lit(2147483647)) * F.lit(a),
+                        F.lit(2147483647),
+                    )
+                    % F.lit(_BLOOM_BITS) % F.lit(_CMS_W)
+                ).alias("idx"),
+            )
+            for d, a in enumerate(_BLOOM_HASHES)
+        ]
+        return df.select("*", F.explode(F.array(*cells)).alias("cell")).select(
+            *df.columns, F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx")
+        )
+
+    merged = cms_cells(keys).groupBy("d", "idx").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = exact.orderBy(F.col("true_cnt").desc(), F.col("k")).limit(20)
+    probed = cms_cells(top).join(F.broadcast(merged), ["d", "idx"])
+    return (
+        probed.groupBy("k", "true_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(
+            F.col("k").alias("custkey"),
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
