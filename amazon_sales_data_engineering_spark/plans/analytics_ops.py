@@ -1671,3 +1671,120 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
             (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "hll_portable_distinct",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id AS k FROM events
+), hx AS (
+  SELECT event_type, md5(CAST(k AS VARCHAR)) AS h FROM u
+), hashed AS (
+  SELECT event_type,
+         ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS bucket,
+         CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 17592186044416 + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 1099511627776 + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 68719476736 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 4294967296 + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) * 1 AS BIGINT) AS v
+  FROM hx
+), ranked AS (
+  SELECT event_type, bucket,
+         LEAST(CASE WHEN v = 0 THEN 49
+                    ELSE 49 - length(bin(CAST(v AS BIGINT))) END, 40) AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS reg
+  FROM ranked GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.bucket, COALESCE(r.reg, 0) AS reg
+  FROM (SELECT DISTINCT event_type FROM u) t
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+  LEFT JOIN regs r ON r.event_type = t.event_type AND r.bucket = g.bucket
+), withmax AS (
+  SELECT event_type, reg,
+         MAX(reg) OVER (PARTITION BY event_type) AS rmax
+  FROM grid
+), summed AS (
+  SELECT event_type, CAST(MAX(rmax) AS BIGINT) AS r_max,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(rmax - reg AS INT)) AS BIGINT)
+           AS s
+  FROM withmax GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM u GROUP BY 1
+)
+SELECT e.event_type, e.n_exact, s.r_max, s.s,
+       CAST((709 * 4096 * (CAST(1 AS BIGINT) << CAST(s.r_max AS INT)))
+            // (1000 * s.s) AS BIGINT) AS hll_est
+FROM exact e JOIN summed s ON s.event_type = e.event_type
+""",
+    doc="Portable HyperLogLog, oracle-EXACT: per event type, distinct "
+    "users stream into 64 registers (bucket = two md5 hex chars; "
+    "rank = leading-zero rank of a 48-bit md5 slice via "
+    "length(bin(v)) — exact integer, no log2 float near powers of "
+    "two; rank capped at 40 so the 2^r_max fold stays in int64), and "
+    "the raw HLL estimate alpha*m^2/sum(2^-reg) is evaluated entirely "
+    "in integers: sum(2^(r_max-reg)) over the full 64-bucket grid "
+    "(empty registers count as 0 — they contribute 2^r_max) and a "
+    "single truncating division with alpha_64 = 709/1000. The sketch "
+    "is what 100 TB cardinality estimation actually ships: fixed "
+    "64-register state per group, map-side combinable (register MAX "
+    "merges), mergeable across days. Emitting (n_exact, registers "
+    "fold, estimate) makes the error auditable row-by-row; the "
+    "deterministic hashes make the whole structure engine-portable — "
+    "the fourth oracle-exact sketch next to Bloom, count-min, and "
+    "MinHash (Spark's own HLL++ stays rows-only in "
+    "approx_distinct_sketch because ITS registers aren't portable).",
+    tags=("agg", "sketch", "approx", "distinct"),
+)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    u = (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.col("user_id").alias("k"))
+        .distinct()
+    )
+
+    hashed = u.select(
+        "event_type", F.md5(F.col("k").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % 64)
+        .alias("bucket"),
+        F.conv(F.substring("h", 3, 12), 16, 10).cast("bigint").alias("v"),
+    )
+    rank = F.least(
+        F.when(F.col("v") == 0, F.lit(49)).otherwise(
+            F.lit(49) - F.length(F.bin(F.col("v").cast("bigint")))
+        ),
+        F.lit(40),
+    )
+    regs = (
+        hashed.select("event_type", "bucket", rank.alias("rank"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("reg"))
+    )
+    grid = (
+        u.select("event_type").distinct()
+        .crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
+        .join(regs, ["event_type", "bucket"], "left")
+        .select("event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    wmax = Window.partitionBy("event_type")
+    summed = (
+        grid.withColumn("rmax", F.max("reg").over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("rmax").cast("bigint").alias("r_max"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rmax - reg AS INT))")
+            ).cast("bigint").alias("s"),
+        )
+    )
+    exact = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.expr(
+        "(709 * 4096 * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)))"
+        " DIV (1000 * s)"
+    )
+    return exact.join(summed, "event_type").select(
+        "event_type", "n_exact", "r_max", "s", est.cast("bigint").alias("hll_est")
+    )
