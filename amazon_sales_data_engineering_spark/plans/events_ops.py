@@ -757,3 +757,82 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str):
         .agg(F.min("t").alias("at_sec"))
     )
     return n_sessions.crossJoin(mx).crossJoin(at)
+
+
+@register(
+    "events_clamped_balance",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS BIGINT)
+              WHEN event_type = 'error' THEN -CAST(floor(value) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS delta
+  FROM events
+), seqs AS (
+  SELECT user_id,
+         list(delta ORDER BY sec, event_id) AS deltas
+  FROM e GROUP BY 1
+)
+SELECT user_id,
+       CAST(len(deltas) AS BIGINT) AS n_events,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+                        (acc, x) -> greatest(acc + x, 0)) AS BIGINT)
+         AS final_balance,
+       CAST(list_sum(deltas) AS BIGINT) AS naive_sum
+FROM seqs
+""",
+    doc="Clamped running balance per user — credits (purchases) minus "
+    "debits (errors) where the balance can never go below zero: the "
+    "canonical NON-ASSOCIATIVE scan (inventory with stockouts, "
+    "prepaid credit, rate-limiter tokens). A plain cumsum/window "
+    "CANNOT express it — clamping at every step changes history — so "
+    "the engine collects each key's deltas in event order and folds "
+    "them IN-ROW with aggregate() (max(acc + x, 0) at every step, "
+    "integer-exact); emitting the naive unclamped sum beside it makes "
+    "the gate prove the clamp actually bit (they differ wherever a "
+    "user ever hit zero). Scale shape: one groupBy shuffle, then the "
+    "sequential dependency runs inside codegen per key — per-key "
+    "sequences are the bounded dimension (a user's events, not the "
+    "corpus); for million-event keys the same fold generalizes to the "
+    "associative (clamp-compose) segmented scan, documented here as "
+    "the scale-out path. Oracle: DuckDB replays the identical ordered "
+    "fold with list_reduce.",
+    tags=("events", "window", "scan", "stateful"),
+)
+def events_clamped_balance(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value")).cast("bigint"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.floor(F.col("value")).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("delta"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sec", "event_id", "delta"))
+        ).alias("ordered")
+    )
+    deltas = F.transform(F.col("ordered"), lambda s: s.getField("delta"))
+    fold = F.aggregate(
+        deltas,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.greatest(acc + x, F.lit(0).cast("bigint")),
+    )
+    return seqs.select(
+        "user_id",
+        F.size("ordered").cast("bigint").alias("n_events"),
+        fold.alias("final_balance"),
+        F.aggregate(
+            deltas, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("naive_sum"),
+    )
