@@ -836,3 +836,95 @@ def events_clamped_balance(spark: SparkSession, sf_dir: str):
             deltas, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("naive_sum"),
     )
+
+
+@register(
+    "events_common_paths",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), g AS (
+  SELECT user_id, event_type, sec, event_id,
+         lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_sec
+  FROM e
+), flagged AS (
+  SELECT user_id, event_type, sec, event_id,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), sess AS (
+  SELECT user_id, event_type, sec, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+), seqs AS (
+  SELECT user_id, session_idx,
+         list(event_type ORDER BY sec, event_id) AS path
+  FROM sess GROUP BY 1, 2
+), prefixes AS (
+  SELECT array_to_string(path[1:2], '>') AS path, 2 AS path_len
+  FROM seqs WHERE len(path) >= 2
+  UNION ALL
+  SELECT array_to_string(path[1:3], '>') AS path, 3 AS path_len
+  FROM seqs WHERE len(path) >= 3
+)
+SELECT path, CAST(path_len AS INT) AS path_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM prefixes GROUP BY 1, 2
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+""",
+    doc="Common session-path mining: each 30-minute-gap session's "
+    "ordered event-type sequence contributes its length-2 and "
+    "length-3 PREFIXES (how journeys start — the navigation-analysis "
+    "complement of event_transition_matrix's one-step Markov view), "
+    "and the top-20 prefixes by session count come back totally "
+    "ordered. Per-session sequences are built with the ordered "
+    "collect + in-row slice/join idiom (bounded by session length, "
+    "never corpus-sized); the global top-20 is "
+    "TakeOrderedAndProject. All counts integer; (sec, event_id) "
+    "totally orders every sequence on both engines.",
+    tags=("events", "sessionize", "path", "topk"),
+)
+def events_common_paths(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    is_new = F.when(
+        F.lag("sec").over(w).isNull()
+        | (F.col("sec") - F.lag("sec").over(w) >= 1800),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_idx", F.sum("is_new").over(cum)
+    )
+    seqs = sess.groupBy("user_id", "session_idx").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sec", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("path")
+    )
+    prefixes = None
+    for plen in (2, 3):
+        p = seqs.filter(F.size("path") >= plen).select(
+            F.concat_ws(">", F.slice("path", 1, plen)).alias("path"),
+            F.lit(plen).cast("int").alias("path_len"),
+        )
+        prefixes = p if prefixes is None else prefixes.unionByName(p)
+    return (
+        prefixes.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
