@@ -239,3 +239,48 @@ def dynamic_filter_join(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT nationkey, mktsegment, n,
+       n < 5 AS violates_k5,
+       CASE WHEN n < 5 THEN n ELSE CAST(0 AS BIGINT) END AS n_suppressed
+FROM cells
+""",
+    doc="k-anonymity audit over the (nationkey, mktsegment) quasi-"
+    "identifier: every equivalence class with fewer than k=5 members "
+    "is flagged (its rows are re-identifiable by the combination "
+    "alone) and its suppression cost counted — the release-readiness "
+    "check that sits next to text_scrub_pii (column-level redaction) "
+    "and delete_cascade_audit (row-level erasure) in the compliance "
+    "family: scrubbing handles WHAT a row says, k-anonymity handles "
+    "WHO a row's combination of innocuous attributes points at. One "
+    "map-side-combinable aggregate over the quasi-identifier — the "
+    "same audit runs unchanged on a 100 TB table; generalization "
+    "ladders (coarsen attributes until every class passes) iterate "
+    "exactly this query.",
+    tags=("quality", "privacy", "compliance", "agg"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str):
+    cells = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "nationkey", "mktsegment", "n",
+        (F.col("n") < 5).alias("violates_k5"),
+        F.when(F.col("n") < 5, F.col("n"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_suppressed"),
+    )
