@@ -1708,13 +1708,23 @@ WITH u AS (
          CAST(SUM(CAST(1 AS BIGINT) << CAST(rmax - reg AS INT)) AS BIGINT)
            AS s
   FROM withmax GROUP BY 1
+), empties AS (
+  SELECT event_type, CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM grid GROUP BY 1
+), raw AS (
+  SELECT s.event_type, s.r_max, s.s, emp.n_empty,
+         CAST((709 * 4096 * (CAST(1 AS BIGINT) << CAST(s.r_max AS INT)))
+              // (1000 * s.s) AS BIGINT) AS raw_est
+  FROM summed s JOIN empties emp ON emp.event_type = s.event_type
 ), exact AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM u GROUP BY 1
 )
-SELECT e.event_type, e.n_exact, s.r_max, s.s,
-       CAST((709 * 4096 * (CAST(1 AS BIGINT) << CAST(s.r_max AS INT)))
-            // (1000 * s.s) AS BIGINT) AS hll_est
-FROM exact e JOIN summed s ON s.event_type = e.event_type
+SELECT e.event_type, e.n_exact, r.r_max, r.s, r.n_empty, r.raw_est,
+       CASE WHEN r.n_empty > 0 AND r.raw_est < 160
+            THEN CAST(([266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0])[CAST(r.n_empty AS INT)] AS BIGINT)
+            ELSE r.raw_est END AS hll_est
+FROM exact e JOIN raw r ON r.event_type = e.event_type
 """,
     doc="Portable HyperLogLog, oracle-EXACT: per event type, distinct "
     "users stream into 64 registers (bucket = two md5 hex chars; "
@@ -1724,7 +1734,11 @@ FROM exact e JOIN summed s ON s.event_type = e.event_type
     "the raw HLL estimate alpha*m^2/sum(2^-reg) is evaluated entirely "
     "in integers: sum(2^(r_max-reg)) over the full 64-bucket grid "
     "(empty registers count as 0 — they contribute 2^r_max) and a "
-    "single truncating division with alpha_64 = 709/1000. The sketch "
+    "single truncating division with alpha_64 = 709/1000; the small-"
+    "range regime (empty registers and raw < 2.5m — where the raw "
+    "estimator is known-biased) switches to linear counting "
+    "m*ln(m/V) via a 64-entry integer table precomputed in Python "
+    "and shared verbatim by both engines. The sketch "
     "is what 100 TB cardinality estimation actually ships: fixed "
     "64-register state per group, map-side combinable (register MAX "
     "merges), mergeable across days. Emitting (n_exact, registers "
@@ -1780,11 +1794,28 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str):
             ).cast("bigint").alias("s"),
         )
     )
+    empties = grid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_empty")
+    )
     exact = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
-    est = F.expr(
+    raw_est = F.expr(
         "(709 * 4096 * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)))"
         " DIV (1000 * s)"
+    ).cast("bigint")
+    #: linear-counting table round(m*ln(m/V)) for V=1..64, precomputed in
+    #: Python so BOTH engines share identical integer literals.
+    lc_table = F.array(*[F.lit(v).cast("bigint") for v in [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0]])
+    out = (
+        exact.join(summed, "event_type")
+        .join(empties, "event_type")
+        .withColumn("raw_est", raw_est)
     )
-    return exact.join(summed, "event_type").select(
-        "event_type", "n_exact", "r_max", "s", est.cast("bigint").alias("hll_est")
+    corrected = F.when(
+        (F.col("n_empty") > 0) & (F.col("raw_est") < 160),
+        F.element_at(lc_table, F.col("n_empty").cast("int")),
+    ).otherwise(F.col("raw_est"))
+    return out.select(
+        "event_type", "n_exact", "r_max", "s", "n_empty", "raw_est",
+        corrected.cast("bigint").alias("hll_est"),
     )

@@ -571,3 +571,59 @@ def test_sssp_rounds_equals_bounded_bellman_ford(spark, edges, rounds):
                 nxt[v] = dist[u] + w
         dist = nxt
     assert got == dist
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(1, 10**9), min_size=5, max_size=200, unique=True),
+)
+def test_cms_never_underestimates(spark, keys):
+    """Count-min's one-sided guarantee: for EVERY key, estimate >= true
+    count (collisions only add). Checked on the registry's exact grid
+    parameters via a DuckDB-free pure-Python rebuild."""
+    W, HASHES, BITS = 1024, (2654435761, 2246822519, 3266489917), 4092
+    from collections import Counter
+
+    true = Counter(keys)
+    grid = Counter()
+    for k in keys:
+        for d, a in enumerate(HASHES):
+            grid[(d, ((k % 2147483647) * a) % 2147483647 % BITS % W)] += 1
+    for k, t_cnt in true.items():
+        est = min(
+            grid[(d, ((k % 2147483647) * a) % 2147483647 % BITS % W)]
+            for d, a in enumerate(HASHES)
+        )
+        assert est >= t_cnt
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Registry Bloom semi-join invariants on real gate data: every true
+    member passes (no false negatives — MIN over present bits), and the
+    measured FP count stays under 5% of non-member probes (4092 bits /
+    ~300 build keys / 3 hashes => theoretical FP ~ 1.1%)."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    from .conftest import SF_DIR
+
+    row = REGISTRY["bloom_filter_semijoin"].spark_fn(spark, SF_DIR).first()
+    assert row.n_pass >= row.n_true_members  # no false negatives
+    non_members = row.n_probes - row.n_true_members
+    assert row.n_false_positives <= max(1, non_members // 20)
+
+
+def test_hll_portable_error_band(spark):
+    """Raw-HLL relative error with m=64 registers is ~1.04/sqrt(64) = 13%
+    (1 sigma); assert every group lands within a generous 4-sigma band
+    so the test is stable while still catching register corruption
+    (a broken rank computation is off by orders of magnitude)."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    from .conftest import SF_DIR
+
+    rows = REGISTRY["hll_portable_distinct"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_est - r.n_exact) <= max(4, int(0.52 * r.n_exact)), (
+            r.event_type, r.n_exact, r.hll_est,
+        )
