@@ -895,3 +895,73 @@ def sql_parameterized_topk(spark: SparkSession, sf_dir: str):
         """,
         args={"tbl": "v_orders_param", "prio": "1-URGENT", "k": 25},
     )
+
+
+@register(
+    "null_semantics_battery",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS k,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_custkey % 5 END AS grp
+  FROM customer
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(seg) AS BIGINT) AS n_seg_nonnull,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct_seg,
+       CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_seg,
+       CAST(SUM(CASE WHEN grp NOT IN (1, NULL) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_notin_with_null,
+       CAST(SUM(CASE WHEN grp IN (1, NULL) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_with_null,
+       CAST(SUM(CASE WHEN grp = grp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_eq,
+       CAST(SUM(CASE WHEN grp IS NOT DISTINCT FROM grp THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_self_nullsafe,
+       CAST(SUM(COALESCE(grp, -1)) AS BIGINT) AS grp_sum_coalesced,
+       CAST(MAX(CASE WHEN seg IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+         AS max_ignores_null
+FROM c
+""",
+    doc="Three-valued-logic parity battery in ONE aggregate row: the "
+    "NULL behaviors that silently differ between engines-in-spirit "
+    "and corrupt migrated pipelines — COUNT(col) vs COUNT(*), "
+    "COUNT(DISTINCT) excluding NULLs entirely, `x NOT IN (.., NULL)` being "
+    "NEVER true (the classic anti-join rewrite bug: UNKNOWN, not "
+    "FALSE, so the count is exactly 0), `x IN (.., NULL)` true only "
+    "on a positive match, NULL = NULL yielding UNKNOWN while IS NOT "
+    "DISTINCT FROM yields TRUE, aggregate NULL-skipping, and COALESCE "
+    "defaults. Every column is an integer count over derived nullable "
+    "columns (NULLIF + a modular NULL pattern), so the single output "
+    "row pins the full 3VL truth table; a wrong engine default on any "
+    "rule flips a count and fails the hash. Complements "
+    "nullsafe_join_keys (join-key <=>) with the expression-level "
+    "semantics.",
+    tags=("semantics", "null", "parity", "agg"),
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c_custkey") % 5)
+        .alias("grp"),
+    )
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg").alias("n_seg_nonnull"),
+        F.count_distinct("seg").alias("n_distinct_seg"),
+        one_if(F.col("seg").isNull()).alias("n_null_seg"),
+        one_if(F.expr("grp NOT IN (1, NULL)")).alias("n_notin_with_null"),
+        one_if(F.expr("grp IN (1, NULL)")).alias("n_in_with_null"),
+        one_if(F.col("grp") == F.col("grp")).alias("n_self_eq"),
+        one_if(F.expr("grp IS NOT DISTINCT FROM grp")).alias("n_self_nullsafe"),
+        F.sum(F.coalesce(F.col("grp"), F.lit(-1))).cast("bigint")
+        .alias("grp_sum_coalesced"),
+        F.max(F.when(F.col("seg").isNull(), F.lit(None)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("max_ignores_null"),
+    )
