@@ -1673,6 +1673,83 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
     )
 
 
+def _hll_regs(u):
+    """(event_type, bucket, reg) register table from distinct keys ``u``
+    (event_type, k) — the mergeable sketch state: registers from two
+    disjoint key sets combine by per-bucket MAX."""
+    hashed = u.select(
+        "event_type", F.md5(F.col("k").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % 64)
+        .alias("bucket"),
+        F.conv(F.substring("h", 3, 12), 16, 10).cast("bigint").alias("v"),
+    )
+    rank = F.least(
+        F.when(F.col("v") == 0, F.lit(49)).otherwise(
+            F.lit(49) - F.length(F.bin(F.col("v").cast("bigint")))
+        ),
+        F.lit(40),
+    )
+    return (
+        hashed.select("event_type", "bucket", rank.alias("rank"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("reg"))
+    )
+
+
+#: linear-counting table round(m*ln(m/V)) for V=1..64, precomputed in
+#: Python so BOTH engines share identical integer literals.
+_HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107,
+           102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55,
+           53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27,
+           25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6,
+           5, 4, 3, 2, 1, 0]
+
+
+def _hll_estimate(spark, types_df, regs):
+    """Fold a register table into (event_type, r_max, s, n_empty,
+    raw_est, hll_est) — raw alpha*m^2 estimator with the linear-counting
+    small-range switch, all integer arithmetic."""
+    from pyspark.sql import Window
+
+    grid = (
+        types_df
+        .crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
+        .join(regs, ["event_type", "bucket"], "left")
+        .select("event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    wmax = Window.partitionBy("event_type")
+    summed = (
+        grid.withColumn("rmax", F.max("reg").over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("rmax").cast("bigint").alias("r_max"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rmax - reg AS INT))")
+            ).cast("bigint").alias("s"),
+        )
+    )
+    empties = grid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_empty")
+    )
+    raw_est = F.expr(
+        "(709 * 4096 * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)))"
+        " DIV (1000 * s)"
+    ).cast("bigint")
+    lc_table = F.array(*[F.lit(v).cast("bigint") for v in _HLL_LC])
+    out = summed.join(empties, "event_type").withColumn("raw_est", raw_est)
+    corrected = F.when(
+        (F.col("n_empty") > 0) & (F.col("raw_est") < 160),
+        F.element_at(lc_table, F.col("n_empty").cast("int")),
+    ).otherwise(F.col("raw_est"))
+    return out.select(
+        "event_type", "r_max", "s", "n_empty", "raw_est",
+        corrected.cast("bigint").alias("hll_est"),
+    )
+
+
 @register(
     "hll_portable_distinct",
     oracle="""
@@ -1750,72 +1827,125 @@ FROM exact e JOIN raw r ON r.event_type = e.event_type
     tags=("agg", "sketch", "approx", "distinct"),
 )
 def hll_portable_distinct(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
-
     u = (
         t(spark, sf_dir, "events")
         .select("event_type", F.col("user_id").alias("k"))
         .distinct()
     )
+    est = _hll_estimate(spark, u.select("event_type").distinct(), _hll_regs(u))
+    exact = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "r_max", "s", "n_empty", "raw_est", "hll_est"
+    )
 
-    hashed = u.select(
-        "event_type", F.md5(F.col("k").cast("string")).alias("h")
-    ).select(
-        "event_type",
-        (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % 64)
-        .alias("bucket"),
-        F.conv(F.substring("h", 3, 12), 16, 10).cast("bigint").alias("v"),
+
+@register(
+    "sketch_merge_equivalence",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id AS k FROM events
+), hx AS (
+  SELECT event_type, md5(CAST(k AS VARCHAR)) AS h FROM u
+), hashed AS (
+  SELECT event_type,
+         ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS bucket,
+         CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 17592186044416 + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 1099511627776 + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 68719476736 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 4294967296 + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) AS BIGINT) AS v
+  FROM hx
+), ranked AS (
+  SELECT event_type, bucket,
+         LEAST(CASE WHEN v = 0 THEN 49
+                    ELSE 49 - length(bin(CAST(v AS BIGINT))) END, 40) AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS reg
+  FROM ranked GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.bucket, COALESCE(r.reg, 0) AS reg
+  FROM (SELECT DISTINCT event_type FROM u) t
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+  LEFT JOIN regs r ON r.event_type = t.event_type AND r.bucket = g.bucket
+), withmax AS (
+  SELECT event_type, reg,
+         MAX(reg) OVER (PARTITION BY event_type) AS rmax
+  FROM grid
+), summed AS (
+  SELECT event_type, CAST(MAX(rmax) AS BIGINT) AS r_max,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(rmax - reg AS INT)) AS BIGINT)
+           AS s
+  FROM withmax GROUP BY 1
+), empties AS (
+  SELECT event_type, CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM grid GROUP BY 1
+), raw AS (
+  SELECT s.event_type, emp.n_empty,
+         CAST((709 * 4096 * (CAST(1 AS BIGINT) << CAST(s.r_max AS INT)))
+              // (1000 * s.s) AS BIGINT) AS raw_est
+  FROM summed s JOIN empties emp ON emp.event_type = s.event_type
+), est AS (
+  SELECT event_type,
+         CASE WHEN n_empty > 0 AND raw_est < 160
+              THEN CAST(([266, 222, 196, 177, 163, 151, 142, 133, 126, 119,
+                          113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68,
+                          65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39,
+                          37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18,
+                          17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1,
+                          0])[CAST(n_empty AS INT)] AS BIGINT)
+              ELSE raw_est END AS hll_est
+  FROM raw
+)
+SELECT e.event_type, x.n_exact, e.hll_est AS est_merged,
+       e.hll_est AS est_direct, TRUE AS merge_equals_direct
+FROM est e JOIN (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM u GROUP BY 1
+) x ON x.event_type = e.event_type
+""",
+    doc="Mergeability proof for the portable HLL — the property that "
+    "makes sketches shippable at 100 TB (build per day/partition, "
+    "MAX-merge registers, never rescan history): the key space is "
+    "split into two disjoint halves (k % 2), registers are built "
+    "INDEPENDENTLY per half, max-merged, and estimated; the same "
+    "estimator also runs directly on the full key set. The gate "
+    "output asserts est_merged == est_direct per group (the oracle "
+    "computes only the direct path and hardcodes equality TRUE + the "
+    "merged column mirroring it — if Spark's merge path diverged "
+    "from its direct path, both the boolean and the est_merged "
+    "column would break the hash). Register MAX over disjoint sets "
+    "commutes exactly, so this is a structural identity, not an "
+    "approximation claim; the companion rollup_incremental_merge "
+    "proves the same algebra for decimal partial aggregates.",
+    tags=("agg", "sketch", "incremental", "merge"),
+)
+def sketch_merge_equivalence(spark: SparkSession, sf_dir: str):
+    u = (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.col("user_id").alias("k"))
+        .distinct()
     )
-    rank = F.least(
-        F.when(F.col("v") == 0, F.lit(49)).otherwise(
-            F.lit(49) - F.length(F.bin(F.col("v").cast("bigint")))
-        ),
-        F.lit(40),
-    )
-    regs = (
-        hashed.select("event_type", "bucket", rank.alias("rank"))
+    types = u.select("event_type").distinct()
+    half_a = u.filter(F.col("k") % 2 == 0)
+    half_b = u.filter(F.col("k") % 2 == 1)
+    merged_regs = (
+        _hll_regs(half_a)
+        .unionByName(_hll_regs(half_b))
         .groupBy("event_type", "bucket")
-        .agg(F.max("rank").cast("bigint").alias("reg"))
+        .agg(F.max("reg").alias("reg"))
     )
-    grid = (
-        u.select("event_type").distinct()
-        .crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
-        .join(regs, ["event_type", "bucket"], "left")
-        .select("event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    est_m = _hll_estimate(spark, types, merged_regs).select(
+        "event_type", F.col("hll_est").alias("est_merged")
     )
-    wmax = Window.partitionBy("event_type")
-    summed = (
-        grid.withColumn("rmax", F.max("reg").over(wmax))
-        .groupBy("event_type")
-        .agg(
-            F.max("rmax").cast("bigint").alias("r_max"),
-            F.sum(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rmax - reg AS INT))")
-            ).cast("bigint").alias("s"),
-        )
-    )
-    empties = grid.groupBy("event_type").agg(
-        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("bigint")
-        .alias("n_empty")
+    est_d = _hll_estimate(spark, types, _hll_regs(u)).select(
+        "event_type", F.col("hll_est").alias("est_direct")
     )
     exact = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
-    raw_est = F.expr(
-        "(709 * 4096 * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)))"
-        " DIV (1000 * s)"
-    ).cast("bigint")
-    #: linear-counting table round(m*ln(m/V)) for V=1..64, precomputed in
-    #: Python so BOTH engines share identical integer literals.
-    lc_table = F.array(*[F.lit(v).cast("bigint") for v in [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0]])
-    out = (
-        exact.join(summed, "event_type")
-        .join(empties, "event_type")
-        .withColumn("raw_est", raw_est)
-    )
-    corrected = F.when(
-        (F.col("n_empty") > 0) & (F.col("raw_est") < 160),
-        F.element_at(lc_table, F.col("n_empty").cast("int")),
-    ).otherwise(F.col("raw_est"))
-    return out.select(
-        "event_type", "n_exact", "r_max", "s", "n_empty", "raw_est",
-        corrected.cast("bigint").alias("hll_est"),
+    return (
+        exact.join(est_m, "event_type")
+        .join(est_d, "event_type")
+        .select(
+            "event_type", "n_exact", "est_merged", "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "merge_equals_direct"
+            ),
+        )
     )
