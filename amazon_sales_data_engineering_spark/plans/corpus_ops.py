@@ -605,3 +605,62 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str):
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "corpus_stride_interleave",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS rnk
+  FROM documents
+), sized AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY 1
+), prioritized AS (
+  SELECT r.doc_id, r.source, r.rnk,
+         (r.rnk * 1000000) // s.n_src AS priority
+  FROM ranked r JOIN sized s ON s.source = r.source
+)
+SELECT doc_id, source, rnk AS rank_in_source,
+       CAST(priority AS BIGINT) AS priority
+FROM prioritized
+ORDER BY priority, source, rnk
+LIMIT 60
+""",
+    doc="Stride-scheduled corpus interleaving — the deterministic "
+    "fair-queuing order a training loader consumes a multi-source mix "
+    "in: each source's k-th document gets priority k/|source| (scaled "
+    "to integers, k * 1e6 DIV n_src), so merging by priority emits "
+    "sources proportionally to their size at EVERY prefix — no "
+    "source starves early, no source floods the warmup epochs, and "
+    "unlike shuffle-based mixing the order is seedless and identical "
+    "on every rerun/resume. corpus_mix_apply decides HOW MUCH of "
+    "each source to take; this decides WHEN each survivor is seen. "
+    "All-integer priorities with a (source, rank) tiebreak make the "
+    "order total; the emitted prefix plans as TakeOrderedAndProject.",
+    tags=("corpus", "sampling", "composition", "topk"),
+)
+def corpus_stride_interleave(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = d.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("bigint"),
+    )
+    sized = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    prioritized = ranked.join(sized, "source").select(
+        "doc_id", "source", "rnk",
+        F.expr("(rnk * 1000000) DIV n_src").cast("bigint").alias("priority"),
+    )
+    return (
+        prioritized.orderBy("priority", "source", "rnk")
+        .limit(60)
+        .select(
+            "doc_id", "source", F.col("rnk").alias("rank_in_source"),
+            "priority",
+        )
+    )
