@@ -664,3 +664,84 @@ def corpus_stride_interleave(spark: SparkSession, sf_dir: str):
             "priority",
         )
     )
+
+
+@register(
+    "ctfidf_label_terms",
+    oracle=f"""
+WITH joined AS (
+  SELECT e.label, d.text
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT label, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM joined WHERE length({_NORM_SQL}) > 0
+), ctf AS (
+  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), csize AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l FROM toks GROUP BY 1
+), cdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels FROM ctf
+)
+SELECT label, term, CAST(rn AS INT) AS rank, score
+FROM (
+  SELECT ctf.label, ctf.term,
+         CAST(ctf.tf * n.n_labels AS DOUBLE) / (cdf.df * csize.n_l) AS score,
+         row_number() OVER (
+           PARTITION BY ctf.label
+           ORDER BY CAST(ctf.tf * n.n_labels AS DOUBLE)
+                    / (cdf.df * csize.n_l) DESC,
+                    ctf.term ASC
+         ) AS rn
+  FROM ctf
+  JOIN cdf ON cdf.term = ctf.term
+  JOIN csize ON csize.label = ctf.label, n
+)
+WHERE rn <= 5
+""",
+    doc="c-TF-IDF cluster labeling (the BERTopic topic-naming step): "
+    "documents joined to their embedding CLUSTER label, token counts "
+    "aggregated per CLASS instead of per document, and each class "
+    "ranked by class-tf x inverse-class-frequency, length-normalized "
+    "by class token mass — the top-5 terms ARE the human-readable "
+    "name of each embedding cluster, closing the loop between the "
+    "similarity family (which finds clusters) and the text family "
+    "(which describes them). Score = (tf*n_labels)/(df*n_l) as ONE "
+    "integer multiply pair + ONE IEEE division (the log-free idiom "
+    "of tfidf_top_terms — rank-equivalent and bit-stable; libm log "
+    "would flip near-ties across engines). Class aggregates are "
+    "map-side combinable; the class-df table is broadcast; ranking "
+    "partitions by label.",
+    tags=("corpus", "text", "tfidf", "embedding", "ml"),
+)
+def ctfidf_label_terms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t_cpu(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    norm = _NORM_SPARK(F.col("text"))
+    toks = (
+        d.join(e, "doc_id")
+        .select("label", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("label", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    ctf = toks.groupBy("label", "term").agg(F.count(F.lit(1)).alias("tf"))
+    csize = toks.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = ctf.agg(F.count_distinct("label").alias("n_labels"))
+    score = (F.col("tf") * F.col("n_labels")).cast("double") / (
+        F.col("df") * F.col("n_l")
+    )
+    w = Window.partitionBy("label").orderBy(score.desc(), F.col("term").asc())
+    return (
+        ctf.join(F.broadcast(cdf), "term")
+        .join(F.broadcast(csize), "label")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "term", "rank", score.alias("score"))
+    )
