@@ -1518,6 +1518,7 @@ FROM verdicts v LEFT JOIN members m ON m.k = v.k
     "IN-pruning) by making the filter itself a first-class, portable "
     "operator with a measured FP rate.",
     tags=("join", "bloom", "sketch", "runtime-filter"),
+    bench=True,
 )
 def bloom_filter_semijoin(spark: SparkSession, sf_dir: str):
     members = (
@@ -1633,6 +1634,7 @@ FROM est
     "that reason). Third member of the portable-sketch family with "
     "the Bloom semi-join and the MinHash/SimHash signatures.",
     tags=("agg", "sketch", "heavy-hitters"),
+    bench=True,
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
     keys = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
@@ -1825,6 +1827,7 @@ FROM exact e JOIN raw r ON r.event_type = e.event_type
     "MinHash (Spark's own HLL++ stays rows-only in "
     "approx_distinct_sketch because ITS registers aren't portable).",
     tags=("agg", "sketch", "approx", "distinct"),
+    bench=True,
 )
 def hll_portable_distinct(spark: SparkSession, sf_dir: str):
     u = (

@@ -221,3 +221,24 @@ def test_patch_plan_single_small_aggregate(spark):
     plan = _plan(spark, "multimodal_patch_plan")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_bloom_words_broadcast_to_probes(spark):
+    """The 66-word filter table must broadcast onto the probe side —
+    a shuffled join would defeat the point of a Bloom filter."""
+    plan = _plan(spark, "bloom_filter_semijoin")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stride_interleave_take_ordered(spark):
+    """The emitted interleave prefix must plan as TakeOrderedAndProject,
+    never a global sort of the whole corpus."""
+    plan = _plan(spark, "corpus_stride_interleave")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_no_cartesian(spark):
+    """RRF fuses two bounded per-probe top-10 tables; nothing in the
+    plan may degenerate to a cartesian/nested-loop product."""
+    plan = _plan(spark, "ann_rrf_fusion")
+    assert "CartesianProduct" not in plan
