@@ -928,3 +928,76 @@ def events_common_paths(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS total
+  FROM daily
+), dev AS (
+  SELECT d.day, d.c, t.n_days, t.total,
+         d.c * t.n_days - t.total AS dev
+  FROM daily d, tot t
+), cusum AS (
+  SELECT day, c, n_days, total,
+         CAST(SUM(dev) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM dev
+)
+SELECT n_days, total, day AS change_day, cum AS cusum_at_change
+FROM cusum
+ORDER BY abs(cum) DESC, day ASC
+LIMIT 1
+""",
+    doc="CUSUM change-point detection on the daily event-rate series, "
+    "in EXACT integers: deviations are cross-multiplied (c*n - total "
+    "instead of c - mean, clearing the rational mean), their running "
+    "sum is the classic CUSUM statistic, and the day maximizing |S_k| "
+    "is the maximum-likelihood single change point for a level shift "
+    "— the monitoring primitive behind 'when did ingestion break'. "
+    "The running sum is the fourth consumer of operators.prefixsum."
+    "distributed_cumsum (after Pareto, backlog, concurrency): the "
+    "series is day-grained here but the same two-phase scan handles a "
+    "per-second series at any history length. The argmax row comes "
+    "back via TakeOrderedAndProject with a (|S|, day) total order; "
+    "everything integer, so the oracle's window formulation must "
+    "agree bit-for-bit.",
+    tags=("events", "stats", "prefixsum", "monitoring"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) DIV 86400"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "c", "n_days", "total",
+        (F.col("c") * F.col("n_days") - F.col("total")).alias("dev"),
+    )
+    cusum = distributed_cumsum(
+        dev, order_col="day", value_col="dev", tiebreak=[], out_col="cum"
+    ).select(
+        "n_days", "total", F.col("day").alias("change_day"),
+        F.col("cum").cast("bigint").alias("cusum_at_change"),
+    )
+    return cusum.orderBy(
+        F.abs(F.col("cusum_at_change")).desc(), F.col("change_day")
+    ).limit(1)
