@@ -289,3 +289,86 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str):
         .otherwise(F.lit(0).cast("bigint"))
         .alias("n_suppressed"),
     )
+
+
+@register(
+    "partition_backfill_plan",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+), spine AS (
+  SELECT CAST(unnest(range(CAST(lo AS DATE), CAST(hi AS DATE) + 1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT s.day, COALESCE(d.c, 0) AS c
+  FROM spine s LEFT JOIN daily d ON d.day = s.day
+), trail7 AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS t7,
+         CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS w
+  FROM grid
+)
+SELECT day, c, t7, w,
+       CASE WHEN c = 0 THEN 'missing'
+            WHEN w = 7 AND c * w * 2 < t7 THEN 'anomalous_low'
+            ELSE 'ok' END AS verdict
+FROM trail7
+WHERE c = 0 OR (w = 7 AND c * w * 2 < t7)
+""",
+    doc="Partition backfill planner — the data-ops audit that turns a "
+    "gap into a work list: a complete day spine (date_dim_spine's "
+    "distributed sequence idiom) left-joins the per-day partition row "
+    "counts, and every day that is MISSING (zero rows — a failed "
+    "load) or ANOMALOUSLY LOW (count under half the trailing-7-day "
+    "mean, compared by integer cross-multiplication c*w*2 < sum7 — "
+    "no float division) is emitted with its evidence. The trailing "
+    "window is a bounded ROWS frame over the day-grained spine "
+    "(thousands of rows at any corpus size — the series, not the "
+    "data, is the window's domain), so the plan is spine-sized "
+    "regardless of table size; the heavy side is one "
+    "map-side-combinable count per partition, which is exactly the "
+    "metadata a lakehouse manifest already holds.",
+    tags=("quality", "monitoring", "datespine", "window"),
+)
+def partition_backfill_plan(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("day"))
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    grid = spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    trailing = grid.select(
+        "day", "c",
+        F.sum("c").over(w7).cast("bigint").alias("t7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("w"),
+    )
+    verdict = (
+        F.when(F.col("c") == 0, F.lit("missing"))
+        .when(
+            (F.col("w") == 7) & (F.col("c") * F.col("w") * 2 < F.col("t7")),
+            F.lit("anomalous_low"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        trailing.withColumn("verdict", verdict)
+        .filter(
+            (F.col("c") == 0)
+            | ((F.col("w") == 7) & (F.col("c") * F.col("w") * 2 < F.col("t7")))
+        )
+        .select("day", "c", "t7", "w", "verdict")
+    )
