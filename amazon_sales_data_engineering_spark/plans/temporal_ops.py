@@ -613,3 +613,87 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("credit_milli").cast("bigint").alias("credit_milli_total"),
     )
+
+
+@register(
+    "bitemporal_asof_audit",
+    oracle="""
+WITH versions AS (
+  -- valid-time v1 for every customer, recorded at tx day 0
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         DATE '1994-01-01' AS valid_from,
+         DATE '1995-01-01' AS tx_from
+  FROM customer
+  UNION ALL
+  -- every 3rd customer moves segment, effective RETROACTIVELY from
+  -- 1994-07-01 but only RECORDED on 1996-01-01 (a late correction)
+  SELECT c_custkey, 'MOVED', DATE '1994-07-01', DATE '1996-01-01'
+  FROM customer WHERE c_custkey % 3 = 0
+), pick AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_orderdate AS DATE) AS od, v.segment, v.tx_from,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY v.valid_from DESC, v.tx_from DESC
+         ) AS rn
+  FROM orders o JOIN versions v
+    ON v.custkey = o.o_custkey
+   AND v.valid_from <= CAST(o.o_orderdate AS DATE)
+   AND v.tx_from <= DATE '1995-06-01'   -- what the DB knew on audit day
+)
+SELECT o_orderkey, o_custkey, od, segment AS segment_as_known
+FROM pick WHERE rn = 1
+""",
+    doc="BITEMPORAL as-of audit — the reproducibility primitive "
+    "pit_join_scd2 can't express: pick the dimension version that was "
+    "(a) effective AT THE ORDER'S OWN DATE (valid time) and (b) KNOWN "
+    "to the warehouse on the audit date (transaction time), so the "
+    "query reproduces what any past report actually said even after "
+    "retroactive corrections land. The synthetic history plants "
+    "exactly that trap: a segment change effective 1994-07-01 but "
+    "recorded 1996-01-01 — an audit as-of 1995-06-01 must IGNORE it "
+    "(the correction wasn't known yet) although it is valid-time "
+    "applicable; dropping the tx filter silently rewrites history. "
+    "Engine shape: the tx filter prunes versions BEFORE the per-order "
+    "latest-version rank (one window over order-keyed joins, "
+    "dimension side broadcastable); both axes are plain date "
+    "comparisons — timezone-proof.",
+    tags=("temporal", "asof", "scd2", "bitemporal", "audit"),
+)
+def bitemporal_asof_audit(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-01-01").cast("date").alias("tx_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("MOVED").alias("segment"),
+        F.lit("1994-07-01").cast("date").alias("valid_from"),
+        F.lit("1996-01-01").cast("date").alias("tx_from"),
+    )
+    versions = v1.unionByName(v2)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    joined = o.join(
+        versions,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("od"))
+        & (F.col("tx_from") <= F.lit("1995-06-01").cast("date")),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("tx_from").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "o_custkey", "od",
+            F.col("segment").alias("segment_as_known"),
+        )
+    )
