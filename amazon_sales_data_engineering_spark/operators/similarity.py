@@ -555,3 +555,68 @@ def mmr_select(
     cand.unpersist()
     sims.unpersist()
     return out
+
+
+def multiprobe_lsh_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each probe searches its own bucket AND
+    the ``bits`` buckets at Hamming distance 1 (one sign flipped) — the
+    classic recall lever that multiplies candidates ~(bits+1)x WITHOUT
+    more hash tables or index memory (Lv et al.'s multi-probe insight:
+    near misses land in adjacent buckets, so perturbing the query key is
+    cheaper than widening the index). Probe-side fanout only: the
+    corpus is still bucketed once; the probe table explodes to bits+1
+    keys and broadcasts. Output: (probe_id, neighbor_id, rank) — exact
+    cosine over the widened candidate set, deduped (a candidate can
+    match via at most one bucket since buckets partition the corpus).
+    """
+    flips = F.array(
+        F.lit(-1), *[F.lit(i) for i in range(bits)]
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            sign_bucket(F.col(vec_col), bits).alias("b0"),
+        )
+        .select(
+            "probe_id", "probe_vec", "b0", F.explode(flips).alias("flip")
+        )
+        .select(
+            "probe_id",
+            "probe_vec",
+            F.when(F.col("flip") < 0, F.col("b0"))
+            .otherwise(F.expr("b0 ^ shiftleft(1, flip)"))
+            .alias("bucket"),
+        )
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+    )
