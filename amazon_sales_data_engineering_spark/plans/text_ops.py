@@ -693,3 +693,73 @@ def text_simpson_concentration(spark: SparkSession, sf_dir: str):
         F.sum("c").alias("n_tokens"),
         F.sum(F.col("c") * F.col("c")).alias("ssq"),
     )
+
+
+@register(
+    "search_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), q AS (
+  SELECT unnest(['table', 'hash', 'merge']) AS term
+), weighted AS (
+  SELECT q.term, CAST(1000000 // df.df AS BIGINT) AS w
+  FROM q JOIN df ON df.term = q.term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf * w.w) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN weighted w ON w.term = tf.term
+  GROUP BY 1
+)
+SELECT doc_id, score, n_terms_hit
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="Inverted-index keyword retrieval — the search-engine shape: a "
+    "3-term query joins the (term -> doc, tf) posting table through "
+    "per-term integer IDF weights (1e6 DIV df — truncated inverse "
+    "document frequency; an integer PER-TERM weight makes the "
+    "per-doc score an exact integer SUM, order-independent where "
+    "float idf summation would depend on aggregation order), and the "
+    "top-10 documents come back by (score, id). Scale shape: the "
+    "postings build is the same two map-side-combinable aggregates "
+    "as TF-IDF; the 3-row weighted query-term table broadcasts onto "
+    "the postings (never the reverse), so per-query work is "
+    "proportional to the query terms' posting lists — the property "
+    "that makes inverted search sublinear; the global top-10 is "
+    "TakeOrderedAndProject. n_terms_hit doubles as an AND/OR "
+    "semantics hook (filter = 3 gives conjunctive retrieval).",
+    tags=("text", "search", "inverted-index", "topk"),
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [("table",), ("hash",), ("merge",)], "term string"
+    )
+    weighted = q.join(df_, "term").select(
+        "term", F.expr("1000000 DIV df").cast("bigint").alias("w")
+    )
+    scored = (
+        tf.join(F.broadcast(weighted), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
