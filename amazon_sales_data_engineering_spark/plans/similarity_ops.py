@@ -1571,3 +1571,119 @@ def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str):
             .alias("recall_multi_permille"),
         )
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH norm_docs AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+  FROM norm_docs WHERE length(norm) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), weighted AS (
+  SELECT q.term, CAST(1000000 // df.df AS BIGINT) AS w
+  FROM (SELECT unnest(['table', 'hash', 'merge']) AS term) q
+  JOIN df ON df.term = q.term
+), sparse AS (
+  SELECT doc_id, rn AS r_sparse FROM (
+    SELECT tf.doc_id,
+           row_number() OVER (
+             ORDER BY SUM(tf.tf * w.w) DESC, tf.doc_id ASC) AS rn
+    FROM tf JOIN weighted w ON w.term = tf.term
+    GROUP BY tf.doc_id
+  ) WHERE rn <= 10
+), v AS ({_V}),
+qv AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id, rn AS r_dense FROM (
+    SELECT v.vec_id,
+           row_number() OVER (ORDER BY {_COS} DESC, v.vec_id ASC) AS rn
+    FROM v, qv WHERE v.vec_id <> 0
+  ) WHERE rn <= 10
+), fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sparse), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (60 + d.r_dense), CAST(0 AS DOUBLE))
+           AS score
+  FROM sparse s FULL JOIN dense d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, CAST(rn AS INT) AS fused_rank, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 10
+""",
+    doc="Hybrid retrieval, the RAG-stack capstone: a SPARSE keyword "
+    "ranking (the integer-IDF inverted index of "
+    "search_inverted_index) and a DENSE query-by-example ranking "
+    "(exact cosine to document 0's embedding — embeddings and "
+    "documents share ids 1:1) fuse by reciprocal rank, the combiner "
+    "production hybrid search ships because sparse and dense scores "
+    "are incommensurable but RANKS are not. Both input rankings are "
+    "integer-deterministic (exact integer keyword scores; id-broken "
+    "cosine ties), the fused score is two correctly-rounded "
+    "divisions + one add — bit-equal across engines. Keyword recall "
+    "catches lexical matches embeddings miss; the exemplar catches "
+    "paraphrases keywords miss; the global top-10s are "
+    "TakeOrderedAndProject / bounded windows throughout.",
+    tags=("similarity", "search", "fusion", "rerank", "topk"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from ..functions.text import normalized_text
+    from ..operators.similarity import cosine_topk
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [("table",), ("hash",), ("merge",)], "term string"
+    )
+    weighted = q.join(df_, "term").select(
+        "term", F.expr("1000000 DIV df").cast("bigint").alias("w")
+    )
+    sparse = (
+        tf.join(F.broadcast(weighted), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), F.col("doc_id")))
+            .alias("r_sparse"),
+        )
+    )
+    v = t_cpu(spark, sf_dir, "embeddings")
+    probe = v.filter(F.col("vec_id") == 0)
+    dense = cosine_topk(
+        v, probe, id_col="vec_id", vec_col="embedding", k=10
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    fused = sparse.join(dense, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select("doc_id", "fused_rank", "score")
+    )
