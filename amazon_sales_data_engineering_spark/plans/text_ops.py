@@ -763,3 +763,118 @@ def search_inverted_index(spark: SparkSession, sf_dir: str):
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+
+
+@register(
+    "search_query_expansion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+seed AS (SELECT unnest(['table', 'hash', 'merge']) AS term),
+w1 AS (
+  SELECT seed.term, CAST(1000000 // df.df AS BIGINT) AS w
+  FROM seed JOIN df ON df.term = seed.term
+), round1 AS (
+  SELECT tf.doc_id FROM tf JOIN w1 ON w1.term = tf.term
+  GROUP BY tf.doc_id
+  ORDER BY SUM(tf.tf * w1.w) DESC, tf.doc_id ASC LIMIT 3
+), fb_tf AS (
+  SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS total_tf
+  FROM tf JOIN round1 USING (doc_id)
+  WHERE tf.term NOT IN (SELECT term FROM seed)
+  GROUP BY 1
+), expansion AS (
+  SELECT term FROM (
+    SELECT fb_tf.term,
+           CAST(fb_tf.total_tf * n.n_docs AS DOUBLE) / df.df AS sc
+    FROM fb_tf JOIN df ON df.term = fb_tf.term, n
+  ) ORDER BY sc DESC, term ASC LIMIT 2
+), full_q AS (
+  SELECT term FROM seed UNION SELECT term FROM expansion
+), w2 AS (
+  SELECT full_q.term, CAST(1000000 // df.df AS BIGINT) AS w
+  FROM full_q JOIN df ON df.term = full_q.term
+)
+SELECT doc_id, score, n_terms_hit FROM (
+  SELECT tf.doc_id, CAST(SUM(tf.tf * w2.w) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN w2 ON w2.term = tf.term
+  GROUP BY 1
+) ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    doc="Pseudo-relevance-feedback query expansion (Rocchio's loop, "
+    "deterministic): the seed query retrieves its top-3 documents, "
+    "their 2 strongest non-seed terms (feedback tf AGGREGATED to an "
+    "integer before the single idf division — summing per-doc float "
+    "scores would be order-dependent) join the query, and the "
+    "expanded 5-term query re-retrieves — the zero-model recall "
+    "booster between plain keyword search and dense retrieval. Every "
+    "ranking in the chain is integer-scored or single-division with "
+    "id/term tiebreaks, so the full two-round trace is "
+    "engine-reproducible; each round's cost stays proportional to "
+    "the (broadcast) query's posting lists.",
+    tags=("text", "search", "inverted-index", "feedback", "topk"),
+)
+def search_query_expansion(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    seed = spark.createDataFrame(
+        [("table",), ("hash",), ("merge",)], "term string"
+    )
+    w1 = seed.join(df_, "term").select(
+        "term", F.expr("1000000 DIV df").cast("bigint").alias("w")
+    )
+    round1 = (
+        tf.join(F.broadcast(w1), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(3)
+        .select("doc_id")
+    )
+    fb_tf = (
+        tf.join(F.broadcast(round1), "doc_id")
+        .join(seed, "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("total_tf"))
+    )
+    expansion = (
+        fb_tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            ((F.col("total_tf") * F.col("n_docs")).cast("double") / F.col("df"))
+            .alias("sc"),
+        )
+        .orderBy(F.col("sc").desc(), F.col("term"))
+        .limit(2)
+        .select("term")
+    )
+    full_q = seed.unionByName(expansion).distinct()
+    w2 = full_q.join(df_, "term").select(
+        "term", F.expr("1000000 DIV df").cast("bigint").alias("w")
+    )
+    return (
+        tf.join(F.broadcast(w2), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
