@@ -242,3 +242,13 @@ def test_rrf_no_cartesian(spark):
     plan may degenerate to a cartesian/nested-loop product."""
     plan = _plan(spark, "ann_rrf_fusion")
     assert "CartesianProduct" not in plan
+
+
+def test_search_broadcasts_query_terms(spark):
+    """Inverted-index retrieval must broadcast the (tiny) weighted
+    query-term table onto the postings — shuffling postings by term for
+    a 3-term query would be the anti-pattern; the global top-10 must be
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "search_inverted_index")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
