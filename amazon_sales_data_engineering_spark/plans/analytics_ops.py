@@ -1952,3 +1952,86 @@ def sketch_merge_equivalence(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "score_auc_exact",
+    oracle="""
+WITH labeled AS (
+  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), grouped AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM labeled GROUP BY 1
+), cum AS (
+  SELECT score, c, p,
+         CAST(SUM(c) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c
+  FROM grouped
+), terms AS (
+  SELECT SUM(p * (2 * (cum_c - c) + c + 1)) AS rank2_sum FROM cum
+), totals AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c - p) AS BIGINT) AS n_neg
+  FROM grouped
+)
+SELECT t.n_pos, t.n_neg,
+       CAST(terms.rank2_sum - t.n_pos * (t.n_pos + 1) AS BIGINT) AS u2,
+       CAST((terms.rank2_sum - t.n_pos * (t.n_pos + 1)) * 1000
+            // (2 * t.n_pos * t.n_neg) AS BIGINT) AS auc_milli
+FROM terms, totals t
+""",
+    doc="EXACT AUC (Mann-Whitney rank-sum) of a score as a classifier — "
+    "here n_chars predicting lang='en' — entirely in integers: ties "
+    "get average ranks kept integral by working at 2x scale "
+    "(2*avg_rank = 2*start + count + 1 per tied-score group), U2 = "
+    "sum of doubled positive ranks minus n_pos(n_pos+1), and AUC = "
+    "U2 / (2*n_pos*n_neg) emitted as truncated permille next to its "
+    "exact numerator/denominator pieces. This is THE threshold-free "
+    "quality-classifier evaluation (is this heuristic worth gating "
+    "on?) and the usual float implementation is partition-order "
+    "dependent; rank sums over tied-score GROUPS make it a pure "
+    "integer aggregate. The global rank offsets are a running count "
+    "over score groups — the fifth consumer of operators.prefixsum."
+    "distributed_cumsum, so the score domain can be billions of "
+    "distinct values without a single-partition window.",
+    tags=("agg", "stats", "ml", "eval", "prefixsum"),
+)
+def score_auc_exact(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    labeled = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    grouped = labeled.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").cast("bigint").alias("p")
+    )
+    cum = distributed_cumsum(
+        grouped, order_col="score", value_col="c", tiebreak=[], out_col="cum_c"
+    ).select(
+        "score", "c", "p", F.col("cum_c").cast("bigint").alias("cum_c")
+    )
+    terms = cum.agg(
+        F.sum(
+            F.col("p") * (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1)
+        ).cast("bigint").alias("rank2_sum")
+    )
+    totals = grouped.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("bigint").alias("n_neg"),
+    )
+    return (
+        terms.crossJoin(totals)
+        .select(
+            "n_pos", "n_neg",
+            (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .cast("bigint").alias("u2"),
+            F.expr(
+                "(rank2_sum - n_pos * (n_pos + 1)) * 1000"
+                " DIV (2 * n_pos * n_neg)"
+            ).cast("bigint").alias("auc_milli"),
+        )
+    )
