@@ -1001,3 +1001,67 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str):
     return cusum.orderBy(
         F.abs(F.col("cusum_at_change")).desc(), F.col("change_day")
     ).limit(1)
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT MAX(day) AS max_day FROM daily
+), weighted AS (
+  SELECT d.user_id,
+         d.c * (CAST(1 AS BIGINT) <<
+                CAST(40 - LEAST((mx.max_day - d.day) // 7, 40) AS INT))
+           AS w
+  FROM daily d, mx
+)
+SELECT user_id, CAST(SUM(w) AS BIGINT) AS decayed_score_2p40
+FROM weighted GROUP BY 1
+ORDER BY decayed_score_2p40 DESC, user_id ASC
+LIMIT 20
+""",
+    doc="Recency-weighted engagement with EXACT exponential decay: "
+    "half-life = one week, so a day-count c aged k weeks contributes "
+    "c * 2^-k — represented exactly as c * 2^(40-k) fixed-point "
+    "integers (ages capped at 40 half-lives ~ zero weight), summed "
+    "with a plain integer aggregate. The standard float-decay "
+    "implementation (sum of c*exp(-lambda*age)) is partition-order "
+    "dependent AND engine-divergent in libm; powers of two make the "
+    "decay exact, associative, and map-side combinable — the shape a "
+    "100 TB engagement pipeline can actually re-run reproducibly. "
+    "Top-20 users via TakeOrderedAndProject; the global max-day is "
+    "one broadcast scalar.",
+    tags=("events", "temporal", "agg", "decay"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str):
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) DIV 86400"
+            ).alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    weighted = daily.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "c * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(40 - LEAST((max_day - day) DIV 7, 40) AS INT))"
+        ).alias("w"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.sum("w").cast("bigint").alias("decayed_score_2p40"))
+        .orderBy(F.col("decayed_score_2p40").desc(), F.col("user_id"))
+        .limit(20)
+    )
