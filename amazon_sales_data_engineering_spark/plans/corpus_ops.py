@@ -745,3 +745,71 @@ def ctfidf_label_terms(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 5)
         .select("label", "term", "rank", score.alias("score"))
     )
+
+
+@register(
+    "target_encode_oof",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         ((c.c_custkey % 2147483647) * 2654435761) % 2147483647 % 4 AS fold,
+         CAST(o.o_totalprice AS DECIMAL(18,6)) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), per_fold AS (
+  SELECT segment, fold, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(y) AS s
+  FROM base GROUP BY 1, 2
+), per_seg AS (
+  SELECT segment, CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot
+  FROM per_fold GROUP BY 1
+)
+SELECT f.segment, CAST(f.fold AS INT) AS fold, f.n,
+       CAST(CAST(p.s_tot - f.s AS DOUBLE) / (p.n_tot - f.n) AS DOUBLE)
+         AS oof_encoding
+FROM per_fold f JOIN per_seg p ON p.segment = f.segment
+""",
+    doc="Out-of-fold target encoding — the leakage-safe categorical "
+    "encoder: each (segment, fold) cell is encoded with the target "
+    "mean computed over the OTHER folds only ((total - fold) sums), "
+    "so no row's own label leaks into its feature — the difference "
+    "between a valid encoder and a train-only mirage. Folds are the "
+    "deterministic multiplicative customer hash (retry/rerun-stable, "
+    "same fold assignment as the CV-folds family). Numerics: sums "
+    "are exact decimals (order-independent), the subtraction is "
+    "exact, and the single decimal->double division is correctly "
+    "rounded on both engines — the one-division idiom that keeps "
+    "float encodings gate-comparable. Two map-side-combinable "
+    "aggregates, a broadcast-sized per-segment table joined back: "
+    "unchanged at 100 TB.",
+    tags=("corpus", "ml", "encoding", "agg"),
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        (
+            F.pmod(
+                F.pmod(F.col("c_custkey"), F.lit(2147483647))
+                * F.lit(2654435761),
+                F.lit(2147483647),
+            )
+            % 4
+        ).alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("y"),
+    )
+    per_fold = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    per_seg = per_fold.groupBy("segment").agg(
+        F.sum("n").cast("bigint").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    return per_fold.join(F.broadcast(per_seg), "segment").select(
+        "segment",
+        F.col("fold").cast("int").alias("fold"),
+        "n",
+        (
+            (F.col("s_tot") - F.col("s")).cast("double")
+            / (F.col("n_tot") - F.col("n"))
+        ).alias("oof_encoding"),
+    )
