@@ -372,3 +372,63 @@ def partition_backfill_plan(spark: SparkSession, sf_dir: str):
         )
         .select("day", "c", "t7", "w", "verdict")
     )
+
+
+#: Benford first-digit expectation, permille: round(1000*log10(1+1/d)).
+_BENFORD = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+@register(
+    "benford_digit_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), counted AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counted)
+SELECT c.digit, c.n,
+       CAST(c.n * 1000 // t.total AS BIGINT) AS observed_permille,
+       CAST(({_BENFORD})[c.digit] AS BIGINT) AS benford_permille,
+       CAST(abs(c.n * 1000 // t.total - ({_BENFORD})[c.digit]) AS BIGINT)
+         AS abs_dev_permille
+FROM counted c, tot t
+""",
+    doc="Benford's-law first-digit audit on order totals — the "
+    "classic forensic screen for fabricated or double-counted "
+    "financial data: naturally-occurring multiplicative amounts "
+    "follow P(d) = log10(1+1/d), and a per-digit deviation table "
+    "flags synthetic or tampered partitions (TPC-H's uniform price "
+    "generator deliberately FAILS Benford — the audit shows exactly "
+    "how, which is the point: the op reports, a policy layer "
+    "decides). First digit extracted by explicit floor + string "
+    "head (no logs, no floats); expectations are precomputed "
+    "permille literals shared by both engines; deviations are "
+    "truncating integer arithmetic. One map-side-combinable "
+    "aggregate at any scale.",
+    tags=("quality", "audit", "fraud", "agg"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str):
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counted.agg(F.sum("n").cast("bigint").alias("total"))
+    bt = F.array(*[F.lit(v).cast("bigint") for v in _BENFORD])
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        F.expr("n * 1000 DIV total").cast("bigint").alias("observed_permille"),
+        F.element_at(bt, F.col("digit")).alias("benford_permille"),
+        F.abs(
+            F.expr("n * 1000 DIV total") - F.element_at(bt, F.col("digit"))
+        ).cast("bigint").alias("abs_dev_permille"),
+    )
