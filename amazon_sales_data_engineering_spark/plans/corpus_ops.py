@@ -813,3 +813,66 @@ def target_encode_oof(spark: SparkSession, sf_dir: str):
             / (F.col("n_tot") - F.col("n"))
         ).alias("oof_encoding"),
     )
+
+
+@register(
+    "ml_time_split_embargo",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), b AS (
+  SELECT MIN(sec) AS lo,
+         MIN(sec) + ((MAX(sec) - MIN(sec)) * 7) // 10 AS t1
+  FROM e
+), tagged AS (
+  SELECT e.user_id, e.sec,
+         CASE WHEN e.sec < b.t1 THEN 'train'
+              WHEN e.sec < b.t1 + 172800 THEN 'embargo'
+              ELSE 'valid' END AS split
+  FROM e, b
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(sec) AS first_sec, MAX(sec) AS last_sec
+FROM tagged GROUP BY 1
+""",
+    doc="Temporal train/validation split with an EMBARGO gap — the "
+    "time-series ML split that content-keyed CV folds "
+    "(cv_folds_content_keyed) cannot replace: the cut is at the 70% "
+    "point of the time range, and the 48 hours after it are DROPPED "
+    "from both sides, so label windows or delayed features computed "
+    "near the boundary cannot straddle it (the purged/embargoed "
+    "split from financial ML, where boundary leakage inflates "
+    "validation scores). Split boundaries are integer epoch "
+    "arithmetic off one broadcast min/max aggregate — deterministic, "
+    "rerun-stable, and the same map-side tagging at any scale; the "
+    "per-split census (rows, distinct users, time extent) is the "
+    "artifact reviewers sign off on.",
+    tags=("corpus", "ml", "temporal", "sampling"),
+)
+def ml_time_split_embargo(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    b = e.agg(
+        F.min("sec").alias("lo"),
+        (F.min("sec") + F.expr("((MAX(sec) - MIN(sec)) * 7) DIV 10")).alias(
+            "t1"
+        ),
+    )
+    tagged = e.crossJoin(F.broadcast(b)).select(
+        "user_id", "sec",
+        F.when(F.col("sec") < F.col("t1"), "train")
+        .when(F.col("sec") < F.col("t1") + 172800, "embargo")
+        .otherwise("valid")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("sec").alias("first_sec"),
+        F.max("sec").alias("last_sec"),
+    )
