@@ -286,3 +286,74 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str):
     return distributed_cumsum(
         daily, "d_num", "net", tiebreak=[], out_col="cum"
     ).select("d", "net", F.col("cum").cast("bigint").alias("n_open"))
+
+
+@register(
+    "fact_grain_reconcile",
+    oracle="""
+WITH r AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 + CAST(l_tax AS DECIMAL(18,4)))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS recomputed
+  FROM lineitem GROUP BY 1
+), diffs AS (
+  SELECT o.o_orderkey,
+         CAST(abs(CAST(o.o_totalprice AS DECIMAL(28,6)) - r.recomputed)
+              * 1000000 AS BIGINT) AS diff_micro,
+         CAST(r.recomputed * 1000000 AS BIGINT) AS base_micro
+  FROM orders o JOIN r ON r.l_orderkey = o.o_orderkey
+), rel AS (
+  SELECT (diff_micro * 1000) // base_micro AS dev_permille FROM diffs
+  WHERE base_micro > 0
+)
+SELECT CAST(LEAST(dev_permille // 50, 20) AS BIGINT) AS dev_bucket_50pm,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM rel GROUP BY 1
+""",
+    doc="Fact-grain reconciliation: every order header's o_totalprice "
+    "is recomputed from its OWN line items (sum of extendedprice * "
+    "(1+tax) * (1-discount), exact decimal throughout) and the "
+    "relative deviation distribution comes back as 50-permille "
+    "buckets — the header-vs-detail drift report every warehouse "
+    "runs after loads, partial reprocessing, or currency fixes "
+    "(table_diff_reconcile compares two TABLES row-hash-wise; this "
+    "audits one table against its own declared AGGREGATION GRAIN). "
+    "On this synthetic corpus the header totals are deliberately NOT "
+    "derived from the lines, so the histogram lands in high-deviation "
+    "buckets — the audit measures exactly that, instead of "
+    "vacuously reporting zero. Numerics: exact decimal products/sums, "
+    "then micro-unit BIGINTs and truncating integer division — no "
+    "decimal->double conversions anywhere (the one cross-engine trap "
+    "for wide decimals). Two co-keyed aggregates at any scale.",
+    tags=("warehouse", "quality", "reconcile", "agg"),
+)
+def fact_grain_reconcile(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) + F.col("l_tax").cast("decimal(18,4)"))
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("line_amt"),
+    )
+    r = li.groupBy("l_orderkey").agg(F.sum("line_amt").alias("recomputed"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    diffs = o.join(r, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (
+            F.abs(
+                F.col("o_totalprice").cast("decimal(28,6)")
+                - F.col("recomputed")
+            )
+            * 1000000
+        ).cast("bigint").alias("diff_micro"),
+        (F.col("recomputed") * 1000000).cast("bigint").alias("base_micro"),
+    )
+    rel = diffs.filter(F.col("base_micro") > 0).select(
+        F.expr("(diff_micro * 1000) DIV base_micro").alias("dev_permille")
+    )
+    return rel.groupBy(
+        F.least(F.expr("dev_permille DIV 50"), F.lit(20))
+        .cast("bigint")
+        .alias("dev_bucket_50pm")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
