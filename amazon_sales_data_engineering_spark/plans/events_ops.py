@@ -1065,3 +1065,88 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("decayed_score_2p40").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "events_bounce_dwell",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), g AS (
+  SELECT user_id, sec,
+         lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_sec
+  FROM e
+), flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), sess AS (
+  SELECT user_id, sec,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(sec) - MIN(sec) AS dwell_sec
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS bounce_permille,
+       CAST(SUM(dwell_sec) AS BIGINT) AS total_dwell_sec,
+       CAST(MAX(dwell_sec) AS BIGINT) AS longest_dwell_sec
+FROM per_session GROUP BY 1
+""",
+    doc="Bounce rate and dwell time per user — the product-analytics "
+    "pair every engagement dashboard leads with: sessions with a "
+    "single event are bounces (permille, integer cross-multiplied), "
+    "dwell is last-minus-first epoch second within each 30-minute-gap "
+    "session. Derived entirely from the sessionize window chain the "
+    "family already gates (events_sessionize proves the sessions; "
+    "this proves the per-user rollup ON them), so the marginal plan "
+    "is one extra user-keyed aggregate. Integer epoch arithmetic "
+    "only — timezone-proof.",
+    tags=("events", "sessionize", "agg", "product-metrics"),
+)
+def events_bounce_dwell(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    is_new = F.when(
+        F.lag("sec").over(w).isNull()
+        | (F.col("sec") - F.lag("sec").over(w) >= 1800),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_session = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("sec") - F.min("sec")).alias("dwell_sec"),
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000"
+            " DIV COUNT(*)"
+        ).cast("bigint").alias("bounce_permille"),
+        F.sum("dwell_sec").cast("bigint").alias("total_dwell_sec"),
+        F.max("dwell_sec").cast("bigint").alias("longest_dwell_sec"),
+    )
