@@ -1150,3 +1150,64 @@ def events_bounce_dwell(spark: SparkSession, sf_dir: str):
         F.sum("dwell_sec").cast("bigint").alias("total_dwell_sec"),
         F.max("dwell_sec").cast("bigint").alias("longest_dwell_sec"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), spread AS (
+  SELECT user_id, day + k.k AS day
+  FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS k(k)
+), wau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM spread GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_permille
+FROM dau d JOIN wau w ON w.day = d.day
+""",
+    doc="DAU / trailing-7-day WAU / stickiness — the growth-metrics "
+    "headline: WAU(d) counts distinct users active in (d-6..d], "
+    "computed EXACTLY by spreading each (user, day) activity row onto "
+    "the 7 future days it keeps the user 'weekly active' for (bounded "
+    "7x fanout, then one distinct aggregate) — the trick that avoids "
+    "both a 7-way self-join and a sliding-window COUNT DISTINCT "
+    "(which no engine does exactly in one window). Stickiness = "
+    "DAU/WAU in integer permille, the DAU-days-per-week engagement "
+    "ratio. Scale: everything is (user, day)-grained — the event "
+    "volume collapses at the first DISTINCT; the 7x spread is on the "
+    "collapsed table. Output days with zero DAU don't exist by "
+    "construction; WAU >= DAU > 0 so the division is safe.",
+    tags=("events", "agg", "product-metrics", "window"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str):
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) DIV 86400"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = ud.select(
+        "user_id", "day",
+        F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("k"),
+    ).select("user_id", (F.col("day") + F.col("k")).alias("day"))
+    wau = spread.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        F.expr("dau * 1000 DIV wau").cast("bigint")
+        .alias("stickiness_permille"),
+    )
