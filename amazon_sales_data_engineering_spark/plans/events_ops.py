@@ -1211,3 +1211,60 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str):
         F.expr("dau * 1000 DIV wau").cast("bigint")
         .alias("stickiness_permille"),
     )
+
+
+@register(
+    "events_interarrival_percentiles",
+    oracle="""
+WITH e AS (
+  SELECT event_type, user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         sec - lag(sec) OVER (PARTITION BY event_type, user_id
+                              ORDER BY sec, event_id) AS gap
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p50_sec,
+       CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p95_sec,
+       MAX(gap) AS max_sec
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1
+""",
+    doc="Inter-arrival-time percentiles per event type — the cadence "
+    "profile that sizes watermark delays and sessionization gaps from "
+    "DATA instead of folklore: per (type, user) consecutive-event "
+    "gaps in integer epoch seconds, rolled up to exact "
+    "PERCENTILE_DISC p50/p95 (actual sample members — no "
+    "interpolation arithmetic to diverge between engines) and the "
+    "max. Pairs with events_late_arrival_profile (which measures "
+    "ARRIVAL disorder; this measures event-time spacing): together "
+    "they are the two empirical inputs a streaming deployment needs "
+    "before choosing its delayThreshold and session gap. One window "
+    "over (type, user) + one percentile aggregate per type.",
+    tags=("events", "temporal", "percentile", "profile"),
+)
+def events_interarrival_percentiles(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("sec", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint").alias("p50_sec"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint").alias("p95_sec"),
+        F.max("gap").alias("max_sec"),
+    )
