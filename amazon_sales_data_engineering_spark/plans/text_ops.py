@@ -878,3 +878,65 @@ def search_query_expansion(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "text_zipf_profile",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents WHERE length({_NORM}) > 0
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1
+), ranked AS (
+  SELECT tok, f,
+         CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS BIGINT) AS rnk
+  FROM freq
+), top1 AS (SELECT MAX(f) AS f1 FROM freq)
+SELECT r.rnk, r.tok, r.f,
+       r.rnk * r.f AS rank_x_freq,
+       CAST(r.f * 1000 // t.f1 AS BIGINT) AS of_top1_permille
+FROM ranked r, top1 t
+WHERE r.rnk <= 30
+ORDER BY r.rnk
+""",
+    doc="Zipf rank-frequency profile of the corpus vocabulary: top-30 "
+    "tokens with rank, frequency, the rank*frequency product (constant "
+    "under an ideal Zipf law — its drift IS the deviation measure) and "
+    "frequency as permille of the top token. The one-glance corpus "
+    "health check: natural language bends toward a straight rank*freq "
+    "line, boilerplate-polluted or template-generated corpora show a "
+    "flat head or stepped plateaus — and it doubles as the stopword-"
+    "cutoff picker for the prefix-filter/decontamination caps. One "
+    "token aggregate + a top-30 rank (WindowGroupLimit-sized); all "
+    "integer.",
+    tags=("text", "corpus", "profile", "topk"),
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select(norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(F.explode(F.split(F.col("norm"), " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    top1 = freq.agg(F.max("f").alias("f1"))
+    # global top-30 FIRST (TakeOrderedAndProject), THEN rank within the
+    # bounded 30-row result — never a vocabulary-sized unpartitioned
+    # window.
+    top30 = freq.orderBy(F.col("f").desc(), F.col("tok")).limit(30)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = top30.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.crossJoin(F.broadcast(top1))
+        .select(
+            "rnk", "tok", "f",
+            (F.col("rnk") * F.col("f")).alias("rank_x_freq"),
+            F.expr("f * 1000 DIV f1").cast("bigint")
+            .alias("of_top1_permille"),
+        )
+        .orderBy("rnk")
+    )
