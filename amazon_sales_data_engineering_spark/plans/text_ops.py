@@ -940,3 +940,101 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str):
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "keyphrase_rake",
+    oracle=f"""
+WITH cand AS (
+  SELECT trim(p) AS phrase
+  FROM (
+    SELECT unnest(string_split(
+             regexp_replace({_NORM}, '\\b(the|a|and|of)\\b', '|', 'g'),
+             '|')) AS p
+    FROM documents WHERE length({_NORM}) > 0
+  )
+  WHERE length(trim(p)) > 0 AND contains(trim(p), ' ')
+), words AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+  FROM cand
+), stats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM words GROUP BY 1
+), occ AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM cand GROUP BY 1
+), dwords AS (
+  SELECT DISTINCT phrase, w FROM words
+), scored AS (
+  SELECT dw.phrase,
+         CAST(SUM((s.deg * 1000000) // s.freq) AS BIGINT) AS score
+  FROM dwords dw JOIN stats s ON s.w = dw.w
+  GROUP BY 1
+)
+SELECT sc.phrase, o.n_occurrences, sc.score
+FROM scored sc JOIN occ o ON o.phrase = sc.phrase
+ORDER BY sc.score DESC, sc.phrase ASC
+LIMIT 20
+""",
+    doc="RAKE keyphrase extraction: stopwords act as phrase DELIMITERS "
+    "(the co-occurrence insight — content words that travel together "
+    "between stopwords form the candidate phrases), word stats come "
+    "from every candidate occurrence, and each DISTINCT phrase scores "
+    "the sum of its words' ratios — kept integer as deg*1e6 DIV freq "
+    "per word so the sum is exact and order-free (float RAKE sums "
+    "diverge by aggregation order). Top-20 distinct phrases with "
+    "occurrence counts: the zero-model document-tagging/topic-surface "
+    "op next to c-TF-IDF (which needs cluster labels; RAKE needs "
+    "nothing). Shapes: regex delimiter pass is a narrow map; word "
+    "stats and phrase scores are two map-side-combinable aggregates; "
+    "the global top-20 is TakeOrderedAndProject.",
+    tags=("text", "corpus", "keyphrase", "topk"),
+)
+def keyphrase_rake(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    cand = (
+        d.select(norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col("norm"), r"\b(the|a|and|of)\b", "|"
+                    ),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter((F.length("phrase") > 0) & F.col("phrase").contains(" "))
+    )
+    words = cand.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).cast("bigint").alias("plen"),
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    occ = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    dwords = words.select("phrase", "w").distinct()
+    scored = (
+        dwords.join(F.broadcast(stats), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("(deg * 1000000) DIV freq")).cast("bigint")
+            .alias("score")
+        )
+    )
+    return (
+        scored.join(occ, "phrase")
+        .select("phrase", "n_occurrences", "score")
+        .orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(20)
+    )
