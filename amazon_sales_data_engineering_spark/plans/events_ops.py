@@ -1268,3 +1268,86 @@ def events_interarrival_percentiles(spark: SparkSession, sf_dir: str):
         .cast("bigint").alias("p95_sec"),
         F.max("gap").alias("max_sec"),
     )
+
+
+@register(
+    "markov_nextstep_eval",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), seq AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS nxt
+  FROM e
+), trans AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), model AS (
+  SELECT prev, nxt AS predicted FROM (
+    SELECT prev, nxt, row_number() OVER (
+      PARTITION BY prev ORDER BY c DESC, nxt ASC) AS rn
+    FROM trans
+  ) WHERE rn = 1
+), scored AS (
+  SELECT s.prev, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(SUM(CASE WHEN s.nxt = m.predicted THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM seq s JOIN model m ON m.prev = s.prev
+  WHERE s.nxt IS NOT NULL
+  GROUP BY 1
+)
+SELECT sc.prev, m.predicted, sc.n_transitions, sc.n_correct,
+       CAST(sc.n_correct * 1000 // sc.n_transitions AS BIGINT)
+         AS hit_rate_permille
+FROM scored sc JOIN model m ON m.prev = sc.prev
+""",
+    doc="Next-event prediction eval for the first-order Markov model: "
+    "the argmax transition per previous type (deterministic (count, "
+    "type) tiebreak) becomes the predictor, every observed transition "
+    "scores it, and hit-rate@1 comes back per type in integer "
+    "permille — in-engine MODEL EVALUATION on sequence data, closing "
+    "the loop event_transition_matrix opens (it estimates the "
+    "probabilities; this measures whether acting on them beats "
+    "chance). Train and eval share one window pass; resubstitution "
+    "evaluation is intentional and documented — the point is the "
+    "eval MECHANISM (a temporal split via ml_time_split_embargo "
+    "composes trivially). All integers.",
+    tags=("events", "ml", "eval", "sequence"),
+)
+def markov_nextstep_eval(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt"))
+    model = (
+        trans.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    scored = (
+        seq.join(F.broadcast(model), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+    )
+    return scored.select(
+        "prev", "predicted", "n_transitions", "n_correct",
+        F.expr("n_correct * 1000 DIV n_transitions").cast("bigint")
+        .alias("hit_rate_permille"),
+    )
