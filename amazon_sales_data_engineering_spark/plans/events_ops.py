@@ -1351,3 +1351,61 @@ def markov_nextstep_eval(spark: SparkSession, sf_dir: str):
         F.expr("n_correct * 1000 DIV n_transitions").cast("bigint")
         .alias("hit_rate_permille"),
     )
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n, s, ssq,
+       CAST((1000 * (n * ssq - s * s)) // ((n - 1) * s) AS BIGINT)
+         AS fano_milli
+FROM moments WHERE n > 1
+""",
+    doc="Burstiness (Fano factor: variance-to-mean of the daily count "
+    "series) per event type, in cross-multiplied integers: F_milli = "
+    "1000*(n*ssq - s^2) / ((n-1)*s) from the three exact integer "
+    "moments (n, sum, sum-of-squares) — one map-side-combinable "
+    "aggregate, no float variance accumulators. F ~ 1000 means "
+    "Poisson-like arrivals; far above flags bursty/overdispersed "
+    "traffic (retry storms, batchy producers) — the dispersion "
+    "diagnostic the rate-anomaly fences and watermark sizing both "
+    "assume away, now measured. Overflow headroom: n*ssq at daily "
+    "grain stays far under int64 for any realistic per-type volume "
+    "(counts would need ~3e9/day x 1000 days to threaten it).",
+    tags=("events", "stats", "profile", "agg"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str):
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) DIV 86400"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    return moments.filter(F.col("n") > 1).select(
+        "event_type", "n", "s", "ssq",
+        F.expr("(1000 * (n * ssq - s * s)) DIV ((n - 1) * s)")
+        .cast("bigint").alias("fano_milli"),
+    )
