@@ -2130,3 +2130,73 @@ def score_lift_calibration(spark: SparkSession, sf_dir: str):
         F.expr("cum_pos * 1000 DIV total_pos").cast("bigint")
         .alias("gain_permille"),
     )
+
+
+@register(
+    "market_concentration_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         s.s_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT nation, CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(cents AS HUGEINT) * cents) AS ssq
+  FROM rev GROUP BY 1
+)
+SELECT nation, n_suppliers, total_cents,
+       CAST((1000000 * ssq) // (CAST(total_cents AS HUGEINT)
+                                * total_cents) AS BIGINT) AS hhi_micro
+FROM tot
+""",
+    doc="Herfindahl-Hirschman supplier-concentration index per nation — "
+    "the antitrust/supply-risk number: HHI = sum of squared revenue "
+    "shares, emitted in micro-units via cross-multiplication "
+    "(1e6 * sum(x^2) / S^2) so no share is ever a float. The squared "
+    "cent sums exceed int64 by design, so the ONE wide step runs in "
+    "128-bit integers — Spark DECIMAL(38,0) exact arithmetic mirrored "
+    "by DuckDB HUGEINT, then the final ratio collapses back to "
+    "BIGINT micro-units (bounded by 1e6). 10000 micro = a perfectly "
+    "competitive 1%-share field; 1e6 = monopoly. Two "
+    "map-side-combinable aggregates; revenue is exact decimal cents "
+    "end to end.",
+    tags=("agg", "stats", "reporting", "concentration"),
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("ssq"),
+    )
+    # truncating DIV, not decimal "/": Spark decimal division rounds
+    # HALF_UP at its result scale, which can land one above DuckDB's
+    # floor division on near-integer quotients.
+    return tot.select(
+        "nation", "n_suppliers", "total_cents",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * ssq) DIV "
+            "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
+        ).alias("hhi_micro"),
+    )
