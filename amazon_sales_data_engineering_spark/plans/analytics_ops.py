@@ -2200,3 +2200,76 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str):
             "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
         ).alias("hhi_micro"),
     )
+
+
+@register(
+    "revenue_gini_exact",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), pos AS (
+  SELECT custkey, cents,
+         CAST(row_number() OVER (ORDER BY cents, custkey) AS BIGINT) AS i
+  FROM rev
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         SUM(CAST(i AS HUGEINT) * cents) AS ixsum
+  FROM pos
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST((1000 * (2 * ixsum - (n + 1) * s)) // (n * s) AS BIGINT)
+         AS gini_milli
+FROM agg
+""",
+    doc="Exact Gini coefficient of customer revenue concentration — the "
+    "inequality measure behind 'do 20% of customers carry 80% of "
+    "revenue' (the integral the Pareto/ABC curve eyeballs): G = "
+    "(2*sum(i*x_sorted) - (n+1)*S) / (n*S) over ascending-sorted "
+    "revenues, emitted in truncated milli with every intermediate an "
+    "exact integer (positions from the rank scan, 128-bit products "
+    "where i*x exceeds int64 — Spark DECIMAL(38,0) mirrored by DuckDB "
+    "HUGEINT). The global positions come from operators.prefixsum."
+    "distributed_cumsum counting ones over the (revenue, custkey) "
+    "total order — the sixth consumer of the two-phase scan, because "
+    "a global row_number is exactly the single-partition window this "
+    "repo keeps refusing (the oracle USES that window; the engine "
+    "must not).",
+    tags=("agg", "stats", "prefixsum", "concentration"),
+)
+def revenue_gini_exact(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    pos = distributed_cumsum(
+        rev, order_col="cents", value_col="one", tiebreak=["custkey"],
+        out_col="i",
+    ).select("custkey", "cents", F.col("i").cast("bigint").alias("i"))
+    agg = pos.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ixsum"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((1000 * (2 * ixsum - (CAST(n AS DECIMAL(38,0)) + 1) * s))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("gini_milli"),
+    )
