@@ -357,3 +357,65 @@ def fact_grain_reconcile(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("dev_bucket_50pm")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "parts_slow_movers",
+    oracle="""
+WITH last_sale AS (
+  SELECT l_partkey AS partkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+), anchored AS (
+  SELECT partkey, last_ship,
+         CAST(date_diff('day', CAST(last_ship AS DATE),
+              (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem))
+              AS BIGINT) AS idle_days
+  FROM last_sale
+), fence AS (
+  SELECT CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY idle_days)
+              AS BIGINT) AS p90
+  FROM anchored
+)
+SELECT a.partkey, CAST(a.last_ship AS DATE) AS last_ship, a.idle_days,
+       f.p90 AS idle_p90_days
+FROM anchored a, fence f
+WHERE a.idle_days > f.p90
+""",
+    doc="Slow-mover detection: each part's days since last shipment "
+    "(anchored to the corpus max ship date, so reruns are "
+    "deterministic — never wall-clock now()), flagged when idle time "
+    "exceeds the exact p90 fence of the idle distribution — the "
+    "inventory-rationalization shortlist (discontinue, discount, "
+    "relocate). One part-keyed MAX aggregate, one PERCENTILE_DISC "
+    "scalar broadcast back, a map-side filter: the same three-step "
+    "shape at any part-catalog size. Integer day arithmetic; "
+    "relative (percentile) fencing keeps the query meaningful at "
+    "every scale factor where a fixed '90 days idle' would be "
+    "vacuous or total.",
+    tags=("warehouse", "inventory", "percentile", "agg"),
+)
+def parts_slow_movers(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    last_sale = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    anchor = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("mx"))
+    anchored = last_sale.crossJoin(F.broadcast(anchor)).select(
+        "partkey", "last_ship",
+        F.datediff(F.col("mx"), F.col("last_ship").cast("date"))
+        .cast("bigint")
+        .alias("idle_days"),
+    )
+    fence = anchored.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY idle_days)")
+        .cast("bigint")
+        .alias("p90")
+    )
+    return (
+        anchored.crossJoin(F.broadcast(fence))
+        .filter(F.col("idle_days") > F.col("p90"))
+        .select(
+            "partkey", F.col("last_ship").cast("date").alias("last_ship"),
+            "idle_days", F.col("p90").alias("idle_p90_days"),
+        )
+    )
