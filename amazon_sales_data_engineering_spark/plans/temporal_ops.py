@@ -697,3 +697,56 @@ def bitemporal_asof_audit(spark: SparkSession, sf_dir: str):
             F.col("segment").alias("segment_as_known"),
         )
     )
+
+
+@register(
+    "order_to_ship_percentiles",
+    oracle="""
+WITH stages AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d_ship
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY d_ship) AS BIGINT)
+         AS p50_days,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY d_ship) AS BIGINT)
+         AS p90_days,
+       CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY d_ship) AS BIGINT)
+         AS p99_days,
+       MAX(d_ship) AS max_days
+FROM stages GROUP BY 1
+""",
+    doc="Order-to-ship latency percentiles per priority — the SLA "
+    "tail report: exact PERCENTILE_DISC p50/p90/p99 plus max of the "
+    "day gap between order placement and line shipment, split by "
+    "order priority so 'does URGENT actually ship faster, and at "
+    "which tail does it stop mattering' is answerable in one scan. "
+    "Co-keyed join + one percentile aggregate per priority; exact "
+    "element-selection percentiles (no interpolation arithmetic), "
+    "integer day math, timezone-proof.",
+    tags=("temporal", "warehouse", "percentile", "agg", "sla"),
+)
+def order_to_ship_percentiles(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    stages = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("d_ship"),
+    )
+    pd_ = lambda p: F.expr(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY d_ship)"
+    ).cast("bigint")
+    return stages.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        pd_(0.5).alias("p50_days"),
+        pd_(0.9).alias("p90_days"),
+        pd_(0.99).alias("p99_days"),
+        F.max("d_ship").alias("max_days"),
+    )
