@@ -1038,3 +1038,51 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("score").desc(), F.col("phrase"))
         .limit(20)
     )
+
+
+@register(
+    "text_hapax_richness",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents WHERE length({_NORM}) > 0
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+            AS BIGINT) AS hapax_vocab_permille
+FROM freq GROUP BY 1
+""",
+    doc="Hapax-legomena vocabulary richness per source: the share of "
+    "the vocabulary appearing exactly once — high hapax rate means "
+    "productive/creative text (or OCR noise), low means templated or "
+    "heavily duplicated content; tracked per source it is the "
+    "lexical-diversity axis of corpus composition next to the length "
+    "drift (corpus_source_drift) and Zipf head (text_zipf_profile) "
+    "views. One token aggregate, one per-source rollup, integer "
+    "permille — the full vocabulary never leaves the executors.",
+    tags=("text", "corpus", "profile", "agg"),
+)
+def text_hapax_richness(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("source", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("source", F.explode(F.split(F.col("norm"), " ")).alias("tok"))
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("hapax"),
+        F.expr(
+            "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000 DIV COUNT(*)"
+        ).cast("bigint").alias("hapax_vocab_permille"),
+    )
