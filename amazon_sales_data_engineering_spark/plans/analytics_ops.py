@@ -2273,3 +2273,68 @@ def revenue_gini_exact(spark: SparkSession, sf_dir: str):
             " DIV (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
         ).alias("gini_milli"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey AS custkey,
+         MIN(CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT)) AS cohort_m
+  FROM orders GROUP BY 1
+), labeled AS (
+  SELECT f.cohort_m,
+         CAST(EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT)
+           - f.cohort_m AS month_offset,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o JOIN first_order f ON f.custkey = o.o_custkey
+), cell AS (
+  SELECT cohort_m, month_offset,
+         CAST(SUM(rev * 100) AS BIGINT) AS rev_cents
+  FROM labeled GROUP BY 1, 2
+)
+SELECT cohort_m, month_offset, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY month_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_ltv_cents
+FROM cell
+""",
+    doc="Cohort LTV curve: customers grouped by first-order month, "
+    "revenue accumulated per month offset — the 'how much is a "
+    "January-2024 customer worth by month 6' matrix that retention "
+    "counts (events_cohort_retention) only gesture at. Revenue "
+    "travels as exact integer CENTS end to end (decimal x 100 -> "
+    "BIGINT), so the cumulative window adds integers — no float "
+    "drift across the curve. The cumulative window partitions by "
+    "cohort over MONTH OFFSETS (a bounded series per cohort, like "
+    "the prefix-sum offsets table), never over customers; the heavy "
+    "work is two customer-keyed aggregates.",
+    tags=("agg", "cohort", "reporting", "window"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    first = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(mnum).alias("cohort_m")
+    )
+    labeled = o.join(first, F.col("custkey") == F.col("o_custkey")).select(
+        "cohort_m",
+        (mnum - F.col("cohort_m")).alias("month_offset"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cell = labeled.groupBy("cohort_m", "month_offset").agg(
+        F.sum(F.col("rev") * 100).cast("bigint").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.select(
+        "cohort_m", "month_offset", "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_ltv_cents"),
+    )
