@@ -2338,3 +2338,54 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str):
         "cohort_m", "month_offset", "rev_cents",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_ltv_cents"),
     )
+
+
+@register(
+    "revenue_new_vs_returning",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey AS custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d
+  FROM orders GROUP BY 1
+), labeled AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS yyyymm,
+         CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_d
+              THEN 'new' ELSE 'returning' END AS segment,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o JOIN first_order f ON f.custkey = o.o_custkey
+)
+SELECT yyyymm, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(rev * 100) AS BIGINT) AS rev_cents
+FROM labeled GROUP BY 1, 2
+""",
+    doc="New-vs-returning revenue split per month — the growth-"
+    "accounting headline (is revenue coming from acquisition or "
+    "retention?): an order is 'new' iff placed on its customer's "
+    "first order DATE (ties on the same day count as the acquisition "
+    "event), everything later is 'returning'. One customer-keyed MIN "
+    "aggregate joined back (co-partitioned), then a month x segment "
+    "rollup in exact integer cents. Deterministic: the new/returning "
+    "boundary is a date equality, never a wall-clock cutoff.",
+    tags=("agg", "cohort", "reporting"),
+)
+def revenue_new_vs_returning(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d")
+    )
+    labeled = o.join(first, F.col("custkey") == F.col("o_custkey")).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("yyyymm"),
+        F.when(
+            F.col("o_orderdate").cast("date") == F.col("first_d"), "new"
+        ).otherwise("returning").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    return labeled.groupBy("yyyymm", "segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("rev") * 100).cast("bigint").alias("rev_cents"),
+    )
