@@ -1409,3 +1409,46 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         F.expr("(1000 * (n * ssq - s * s)) DIV ((n - 1) * s)")
         .cast("bigint").alias("fano_milli"),
     )
+
+
+@register(
+    "events_hourweek_heatmap",
+    oracle="""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), cells AS (
+  SELECT (sec // 86400 + 4) % 7 AS dow,   -- 1970-01-01 was a Thursday
+         (sec % 86400) // 3600 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour, c.n,
+       CAST(c.n * 10000 // t.total AS BIGINT) AS share_permyriad
+FROM cells c, tot t
+""",
+    doc="Hour-of-week traffic heatmap (the 7x24 ops matrix behind "
+    "capacity planning and maintenance-window choice): day-of-week "
+    "derived as (epoch_day + 4) % 7 — pure integer arithmetic, "
+    "immune to the dayofweek() cross-engine trap (Sunday=0 vs ISO) "
+    "documented at orders_weekday_seasonality — and hour from "
+    "seconds-of-day; each cell carries its integer permyriad share. "
+    "One map-side-combinable aggregate over however many events "
+    "exist; the output is always exactly the populated subset of "
+    "168 cells.",
+    tags=("events", "temporal", "profile", "agg"),
+)
+def events_hourweek_heatmap(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec")
+    )
+    cells = e.groupBy(
+        F.expr("(sec DIV 86400 + 4) % 7").cast("bigint").alias("dow"),
+        F.expr("(sec % 86400) DIV 3600").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "n",
+        F.expr("n * 10000 DIV total").cast("bigint").alias("share_permyriad"),
+    )

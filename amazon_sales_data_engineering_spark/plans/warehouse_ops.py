@@ -419,3 +419,36 @@ def parts_slow_movers(spark: SparkSession, sf_dir: str):
             "idle_days", F.col("p90").alias("idle_p90_days"),
         )
     )
+
+
+@register(
+    "order_fanout_profile",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY 1
+""",
+    doc="Order fan-out profile: the distribution of line items per "
+    "order — the join-cardinality histogram that sizes every "
+    "orders-to-lineitem operation in this repo (basket-bounded pair "
+    "generation in assoc_rules, the star-join fact grain, skew "
+    "decisions): a long tail here is what turns a per-order explode "
+    "into a hot task. Two nested integer aggregates, both map-side "
+    "combinable; at 100 TB this is the profile you check BEFORE "
+    "choosing broadcast vs shuffle strategies, so it earns a "
+    "first-class gate next to key_skew_profile (which profiles one "
+    "key's frequency; this profiles the group-size distribution).",
+    tags=("warehouse", "profile", "skew", "agg"),
+)
+def order_fanout_profile(spark: SparkSession, sf_dir: str):
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
