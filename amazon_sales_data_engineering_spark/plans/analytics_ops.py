@@ -2389,3 +2389,45 @@ def revenue_new_vs_returning(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("rev") * 100).cast("bigint").alias("rev_cents"),
     )
+
+
+@register(
+    "discount_lift_bands",
+    oracle="""
+WITH banded AS (
+  SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+)
+SELECT discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(qty) * 1000 // COUNT(*) AS BIGINT) AS qty_milli_per_line,
+       CAST(SUM(price * 100) AS BIGINT) AS revenue_cents
+FROM banded GROUP BY 1
+""",
+    doc="Discount-band lift table: per whole-percent discount band, "
+    "line count, total quantity, mean quantity per line in integer "
+    "milli (cross-multiplied — no float mean), and exact-cent "
+    "revenue — the raw curve behind 'does a deeper discount move "
+    "more units or just give margin away', and the generalization "
+    "of q6's single-band what-if to the whole discount surface. "
+    "Bands via floor(discount*100) on the exact decimal (never a "
+    "float multiply); one map-side-combinable aggregate.",
+    tags=("agg", "reporting", "pricing"),
+)
+def discount_lift_bands(spark: SparkSession, sf_dir: str):
+    banded = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100).cast("bigint")
+        .alias("discount_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    return banded.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.expr("SUM(qty) * 1000 DIV COUNT(*)").cast("bigint")
+        .alias("qty_milli_per_line"),
+        F.sum(F.col("price") * 100).cast("bigint").alias("revenue_cents"),
+    )
