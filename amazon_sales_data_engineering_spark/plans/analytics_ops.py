@@ -2431,3 +2431,94 @@ def discount_lift_bands(spark: SparkSession, sf_dir: str):
         .alias("qty_milli_per_line"),
         F.sum(F.col("price") * 100).cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "supplier_share_shift",
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT)
+          + CAST(floor(epoch(MAX(l_shipdate))) AS BIGINT)) // 2 AS mid_sec
+  FROM lineitem
+), labeled AS (
+  SELECT l.l_suppkey AS suppkey,
+         CASE WHEN CAST(floor(epoch(l.l_shipdate)) AS BIGINT) < b.mid_sec
+              THEN 'h1' ELSE 'h2' END AS half,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS rev
+  FROM lineitem l, b
+), per AS (
+  SELECT suppkey, half, CAST(SUM(rev * 100) AS BIGINT) AS cents
+  FROM labeled GROUP BY 1, 2
+), tot AS (
+  SELECT half, CAST(SUM(cents) AS BIGINT) AS total FROM per GROUP BY 1
+), shares AS (
+  SELECT p.suppkey, p.half,
+         CAST(p.cents * 10000 // t.total AS BIGINT) AS share_pm
+  FROM per p JOIN tot t ON t.half = p.half
+), wide AS (
+  SELECT suppkey,
+         COALESCE(MAX(CASE WHEN half = 'h1' THEN share_pm END), 0) AS h1_pm,
+         COALESCE(MAX(CASE WHEN half = 'h2' THEN share_pm END), 0) AS h2_pm
+  FROM shares GROUP BY 1
+)
+SELECT suppkey, h1_pm, h2_pm, h2_pm - h1_pm AS shift_pm
+FROM wide
+ORDER BY abs(h2_pm - h1_pm) DESC, suppkey ASC
+LIMIT 25
+""",
+    doc="Supplier market-share shift between the first and second half "
+    "of the time range: per-half revenue shares in integer permyriad "
+    "(cross-multiplied against each half's own total, so the halves "
+    "are comparable even when volumes differ), pivoted wide, and the "
+    "25 biggest absolute movers returned — the share-shift report "
+    "competitive analysis runs quarterly. The midpoint is integer "
+    "epoch arithmetic off one broadcast min/max (timezone-proof on "
+    "NTZ timestamps); missing halves coalesce to zero share "
+    "(an entrant or dropout IS a mover). All integers; the mover "
+    "ranking is TakeOrderedAndProject on (|shift|, suppkey).",
+    tags=("agg", "reporting", "share", "topk"),
+)
+def supplier_share_shift(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate)"
+    )
+    b = li.agg(
+        F.expr(
+            "(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " MIN(l_shipdate)) + timestampdiff(SECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', MAX(l_shipdate))) DIV 2"
+        ).alias("mid_sec")
+    )
+    labeled = li.crossJoin(F.broadcast(b)).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.when(sec < F.col("mid_sec"), "h1").otherwise("h2").alias("half"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("rev"),
+    )
+    per = labeled.groupBy("suppkey", "half").agg(
+        F.sum(F.col("rev") * 100).cast("bigint").alias("cents")
+    )
+    tot = per.groupBy("half").agg(F.sum("cents").cast("bigint").alias("total"))
+    shares = per.join(F.broadcast(tot), "half").select(
+        "suppkey", "half",
+        F.expr("cents * 10000 DIV total").cast("bigint").alias("share_pm"),
+    )
+    wide = shares.groupBy("suppkey").agg(
+        F.coalesce(
+            F.max(F.when(F.col("half") == "h1", F.col("share_pm"))), F.lit(0)
+        ).cast("bigint").alias("h1_pm"),
+        F.coalesce(
+            F.max(F.when(F.col("half") == "h2", F.col("share_pm"))), F.lit(0)
+        ).cast("bigint").alias("h2_pm"),
+    )
+    return (
+        wide.select(
+            "suppkey", "h1_pm", "h2_pm",
+            (F.col("h2_pm") - F.col("h1_pm")).alias("shift_pm"),
+        )
+        .orderBy(F.abs(F.col("shift_pm")).desc(), F.col("suppkey"))
+        .limit(25)
+    )
