@@ -2522,3 +2522,49 @@ def supplier_share_shift(spark: SparkSession, sf_dir: str):
         .orderBy(F.abs(F.col("shift_pm")).desc(), F.col("suppkey"))
         .limit(25)
     )
+
+
+@register(
+    "order_value_log2_histogram",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) AS units, o_totalprice
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT CAST(length(bin(units)) AS BIGINT) AS log2_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS revenue_cents,
+       MIN(units) AS band_min_units, MAX(units) AS band_max_units
+FROM cents GROUP BY 1
+""",
+    doc="Log2-banded order-value histogram: the band is literally the "
+    "bit length of the floored order value (length(bin(x)) — the "
+    "exact integer log2+1 both engines agree on, the same trick the "
+    "portable HLL rank uses; no float log, no boundary-rounding "
+    "divergence at powers of two). Doubling bands are the natural "
+    "view for heavy-tailed money distributions where equi-width "
+    "buckets put everything in bucket 1 and equi-depth hides the "
+    "tail; each band carries exact-cent revenue so 'which doubling "
+    "band pays the bills' reads off directly. One "
+    "map-side-combinable aggregate.",
+    tags=("agg", "profile", "histogram"),
+)
+def order_value_log2_histogram(spark: SparkSession, sf_dir: str):
+    cents = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("units"),
+            "o_totalprice",
+        )
+    )
+    return cents.groupBy(
+        F.length(F.bin(F.col("units"))).cast("bigint").alias("log2_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("revenue_cents"),
+        F.min("units").alias("band_min_units"),
+        F.max("units").alias("band_max_units"),
+    )
