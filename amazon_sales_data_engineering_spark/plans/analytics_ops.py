@@ -2568,3 +2568,76 @@ def order_value_log2_histogram(spark: SparkSession, sf_dir: str):
         F.min("units").alias("band_min_units"),
         F.max("units").alias("band_max_units"),
     )
+
+
+@register(
+    "monthly_peak_concentration",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS yyyymm,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), monthly AS (
+  SELECT yyyymm,
+         CAST(SUM(cents) AS BIGINT) AS month_cents,
+         CAST(MAX(cents) AS BIGINT) AS peak_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), peak_day AS (
+  SELECT yyyymm, MIN(day) AS peak_day
+  FROM daily d
+  WHERE cents = (SELECT MAX(cents) FROM daily m WHERE m.yyyymm = d.yyyymm)
+  GROUP BY 1
+)
+SELECT m.yyyymm, m.n_days, m.month_cents, m.peak_cents, p.peak_day,
+       CAST(m.peak_cents * 1000 // m.month_cents AS BIGINT)
+         AS peak_share_permille
+FROM monthly m JOIN peak_day p ON p.yyyymm = m.yyyymm
+""",
+    doc="Monthly peak-day concentration: each month's revenue share "
+    "landing on its single biggest day (integer permille, exact "
+    "cents) plus the day itself (earliest on ties — deterministic) — "
+    "the promotional-dependence / operational-peaking metric that "
+    "tells a retailer whether a month is a steady drumbeat or one "
+    "flash sale plus silence, and tells the platform how to size for "
+    "peaks rather than means. Day and month rollups are two "
+    "map-side-combinable aggregates; the argmax day is a co-keyed "
+    "min-over-ties join, never a global sort.",
+    tags=("agg", "temporal", "reporting", "capacity"),
+)
+def monthly_peak_concentration(spark: SparkSession, sf_dir: str):
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("yyyymm"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    monthly = daily.groupBy("yyyymm").agg(
+        F.sum("cents").cast("bigint").alias("month_cents"),
+        F.max("cents").cast("bigint").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    peak_day = (
+        daily.join(
+            monthly.select("yyyymm", "peak_cents"), "yyyymm"
+        )
+        .filter(F.col("cents") == F.col("peak_cents"))
+        .groupBy("yyyymm")
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return monthly.join(peak_day, "yyyymm").select(
+        "yyyymm", "n_days", "month_cents", "peak_cents", "peak_day",
+        F.expr("peak_cents * 1000 DIV month_cents").cast("bigint")
+        .alias("peak_share_permille"),
+    )
