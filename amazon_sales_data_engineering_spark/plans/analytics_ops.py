@@ -2641,3 +2641,79 @@ def monthly_peak_concentration(spark: SparkSession, sf_dir: str):
         F.expr("peak_cents * 1000 DIV month_cents").cast("bigint")
         .alias("peak_share_permille"),
     )
+
+
+@register(
+    "brand_affinity_matrix",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (
+  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items
+), brand_cnt AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS together
+  FROM items a JOIN items b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.together, ca.c AS n_a, cb.c AS n_b,
+       CAST((p.together * n.n * 1000) // (ca.c * cb.c) AS BIGINT)
+         AS lift_milli
+FROM pairs p
+JOIN brand_cnt ca ON ca.brand = p.brand_a
+JOIN brand_cnt cb ON cb.brand = p.brand_b
+CROSS JOIN n_orders n
+""",
+    doc="Brand-affinity matrix: which BRANDS land in the same basket "
+    "more than independence predicts — lift = P(a,b)/(P(a)P(b)) "
+    "cross-multiplied to integer milli (together*N*1000 / (n_a*n_b)), "
+    "computed at the brand level where the matrix is small and dense "
+    "(assoc_rules_copurchase works at part level where it is huge "
+    "and sparse — the two answer different merchandising questions: "
+    "substitutes/complements between product LINES vs specific item "
+    "rules). Baskets deduplicate to DISTINCT (order, brand) first, "
+    "so a basket with five items of one brand counts once; the pair "
+    "join is basket-bounded exactly like the part-level one. All "
+    "integers.",
+    tags=("agg", "join", "basket", "reporting"),
+)
+def brand_affinity_matrix(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n_orders = items.agg(F.count_distinct("okey").alias("n"))
+    brand_cnt = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"), F.col("c").alias("n_a"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b", "together", "n_a", "n_b",
+            F.expr("(together * n * 1000) DIV (n_a * n_b)").cast("bigint")
+            .alias("lift_milli"),
+        )
+    )
