@@ -2717,3 +2717,57 @@ def brand_affinity_matrix(spark: SparkSession, sf_dir: str):
             .alias("lift_milli"),
         )
     )
+
+
+@register(
+    "price_position_in_type",
+    oracle="""
+WITH ranked AS (
+  SELECT p_type, p_partkey, p_retailprice,
+         CAST(COUNT(*) OVER (PARTITION BY p_type) AS BIGINT) AS n_in_type,
+         CAST(row_number() OVER (
+           PARTITION BY p_type
+           ORDER BY p_retailprice, p_partkey) AS BIGINT) AS pos
+  FROM part
+)
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN pos * 10 <= n_in_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_budget_decile,
+       CAST(SUM(CASE WHEN pos * 10 > n_in_type * 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_premium_decile,
+       MIN(p_retailprice) AS price_min, MAX(p_retailprice) AS price_max
+FROM ranked GROUP BY 1
+""",
+    doc="Price positioning within product type: each part's rank among "
+    "its own type (ties broken by key) classifies it into the budget "
+    "bottom decile or premium top decile by integer cross-"
+    "multiplication (pos*10 <= n, pos*10 > 9n — no percent_rank "
+    "float), and the per-type census shows where each line's catalog "
+    "is weighted — the assortment-strategy view pricing teams read "
+    "next to the raw price envelope. The window partitions by type "
+    "(bounded groups), never globally; decimals only min/maxed, "
+    "never summed.",
+    tags=("window", "reporting", "pricing", "agg"),
+)
+def price_position_in_type(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part").select("p_type", "p_partkey", "p_retailprice")
+    w = Window.partitionBy("p_type")
+    wo = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    ranked = p.select(
+        "p_type", "p_retailprice",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_type"),
+        F.row_number().over(wo).cast("bigint").alias("pos"),
+    )
+    return ranked.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            F.when(F.col("pos") * 10 <= F.col("n_in_type"), 1).otherwise(0)
+        ).cast("bigint").alias("n_budget_decile"),
+        F.sum(
+            F.when(F.col("pos") * 10 > F.col("n_in_type") * 9, 1).otherwise(0)
+        ).cast("bigint").alias("n_premium_decile"),
+        F.min("p_retailprice").alias("price_min"),
+        F.max("p_retailprice").alias("price_max"),
+    )
