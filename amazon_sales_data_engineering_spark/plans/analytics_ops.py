@@ -2771,3 +2771,53 @@ def price_position_in_type(spark: SparkSession, sf_dir: str):
         F.min("p_retailprice").alias("price_min"),
         F.max("p_retailprice").alias("price_max"),
     )
+
+
+@register(
+    "customer_repeat_rate",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS one_and_done,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS repeat_permille,
+       CAST(SUM(n_orders) * 1000 // COUNT(*) AS BIGINT)
+         AS orders_per_cust_milli
+FROM per_cust GROUP BY 1
+""",
+    doc="Repeat rate and one-and-done share per segment — the retention "
+    "KPI pair a subscription/commerce review opens with: share of "
+    "customers who ever came back (integer permille) and mean orders "
+    "per customer in milli (cross-multiplied — no float mean), next "
+    "to the raw one-and-done count. Two map-side-combinable "
+    "aggregates on the customer key; q13's order-count distribution "
+    "gives the full histogram, this gives the headline cut by "
+    "segment.",
+    tags=("agg", "cohort", "reporting"),
+)
+def customer_repeat_rate(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("one_and_done"),
+        F.expr(
+            "SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000"
+            " DIV COUNT(*)"
+        ).cast("bigint").alias("repeat_permille"),
+        F.expr("SUM(n_orders) * 1000 DIV COUNT(*)").cast("bigint")
+        .alias("orders_per_cust_milli"),
+    )

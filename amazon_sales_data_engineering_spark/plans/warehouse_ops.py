@@ -452,3 +452,47 @@ def order_fanout_profile(spark: SparkSession, sf_dir: str):
     return per_order.groupBy("n_items").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "catalog_dead_stock",
+    oracle="""
+WITH sold AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+), flagged AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END AS never_sold
+  FROM part p LEFT JOIN sold s ON s.l_partkey = p.p_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(never_sold) AS BIGINT) AS n_never_sold,
+       CAST(SUM(never_sold) * 1000 // COUNT(*) AS BIGINT)
+         AS dead_permille
+FROM flagged GROUP BY 1
+""",
+    doc="Dead-stock census per brand: catalog parts with ZERO lifetime "
+    "sales (anti-join of the part master against the distinct sold "
+    "set), rolled up to brand with an integer-permille dead share — "
+    "the assortment-pruning complement of parts_slow_movers (which "
+    "flags decaying sellers; this flags parts that never sold at "
+    "all, invisible to any query that starts FROM the fact table). "
+    "The distinct-sold set is part-key-sized, the left join "
+    "broadcastable or co-partitioned; one rollup.",
+    tags=("warehouse", "inventory", "anti", "agg"),
+)
+def catalog_dead_stock(spark: SparkSession, sf_dir: str):
+    sold = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    flagged = p.join(
+        sold, F.col("l_partkey") == F.col("p_partkey"), "left"
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_partkey").isNull(), 1).otherwise(0).alias("never_sold"),
+    )
+    return flagged.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("never_sold").cast("bigint").alias("n_never_sold"),
+        F.expr("SUM(never_sold) * 1000 DIV COUNT(*)").cast("bigint")
+        .alias("dead_permille"),
+    )
