@@ -2821,3 +2821,63 @@ def customer_repeat_rate(spark: SparkSession, sf_dir: str):
         F.expr("SUM(n_orders) * 1000 DIV COUNT(*)").cast("bigint")
         .alias("orders_per_cust_milli"),
     )
+
+
+@register(
+    "revenue_runrate_projection",
+    oracle="""
+WITH anchor AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) AS today FROM orders
+), mtd AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS mtd_cents,
+         CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days_elapsed
+  FROM orders o, anchor a
+  WHERE EXTRACT(year FROM o.o_orderdate) = EXTRACT(year FROM a.today)
+    AND EXTRACT(month FROM o.o_orderdate) = EXTRACT(month FROM a.today)
+), cal AS (
+  SELECT CAST(EXTRACT(day FROM (date_trunc('month', a.today)
+              + INTERVAL 1 MONTH - INTERVAL 1 DAY)) AS BIGINT)
+           AS days_in_month
+  FROM anchor a
+)
+SELECT m.mtd_cents, m.days_elapsed, c.days_in_month,
+       CAST((m.mtd_cents * c.days_in_month) // m.days_elapsed AS BIGINT)
+         AS projected_cents
+FROM mtd m, cal c
+""",
+    doc="Month-to-date run-rate projection: revenue booked so far in "
+    "the anchor month (= the corpus max order date — never "
+    "wall-clock, so reruns are deterministic) scaled by "
+    "days-in-month over days-elapsed, all in exact integer cents "
+    "with a single truncating division — the 'are we on track' "
+    "number every revenue dashboard extrapolates, made rerun- and "
+    "engine-reproducible. Days-in-month from last-day-of-month date "
+    "arithmetic (clamping semantics both engines share, proven in "
+    "date_functions_showcase). One filtered aggregate.",
+    tags=("agg", "temporal", "reporting", "forecast"),
+)
+def revenue_runrate_projection(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("today"))
+    joined = o.crossJoin(F.broadcast(anchor)).filter(
+        (F.year("o_orderdate") == F.year("today"))
+        & (F.month("o_orderdate") == F.month("today"))
+    )
+    mtd = joined.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("mtd_cents"),
+        F.count_distinct(F.col("o_orderdate").cast("date")).alias(
+            "days_elapsed"
+        ),
+    )
+    cal = anchor.select(
+        F.dayofmonth(F.last_day("today")).cast("bigint").alias("days_in_month")
+    )
+    return mtd.crossJoin(F.broadcast(cal)).select(
+        "mtd_cents", "days_elapsed", "days_in_month",
+        F.expr("(mtd_cents * days_in_month) DIV days_elapsed").cast("bigint")
+        .alias("projected_cents"),
+    )
