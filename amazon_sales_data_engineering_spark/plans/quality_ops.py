@@ -432,3 +432,56 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str):
             F.expr("n * 1000 DIV total") - F.element_at(bt, F.col("digit"))
         ).cast("bigint").alias("abs_dev_permille"),
     )
+
+
+@register(
+    "data_freshness_audit",
+    oracle="""
+WITH maxes AS (
+  SELECT 'orders' AS tbl,
+         CAST(MAX(o_orderdate) AS DATE) AS max_date FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(MAX(l_shipdate) AS DATE) FROM lineitem
+  UNION ALL
+  SELECT 'events', CAST(MAX(ts) AS DATE) FROM events
+), anchor AS (
+  SELECT MAX(max_date) AS freshest FROM maxes
+)
+SELECT m.tbl, m.max_date,
+       CAST(date_diff('day', m.max_date, a.freshest) AS BIGINT)
+         AS lag_days_behind_freshest
+FROM maxes m, anchor a
+""",
+    doc="Cross-table freshness audit: every time-bearing table's max "
+    "business date, and each table's lag behind the freshest one — "
+    "the first thing an on-call checks when a dashboard looks stale "
+    "(did the FACT load but not the EVENTS feed?). Anchoring to the "
+    "freshest table instead of wall-clock now() keeps the audit "
+    "deterministic and environment-independent; per-table maxes are "
+    "metadata-cheap scans (parquet footers answer MAX for sorted "
+    "layouts). Three one-row aggregates unioned — the shape extends "
+    "to a manifest-driven loop over hundreds of tables.",
+    tags=("quality", "monitoring", "audit", "agg"),
+)
+def data_freshness_audit(spark: SparkSession, sf_dir: str):
+    rows = [
+        t(spark, sf_dir, "orders").agg(
+            F.lit("orders").alias("tbl"),
+            F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        ),
+        t(spark, sf_dir, "lineitem").agg(
+            F.lit("lineitem").alias("tbl"),
+            F.max(F.col("l_shipdate").cast("date")).alias("max_date"),
+        ),
+        t(spark, sf_dir, "events").agg(
+            F.lit("events").alias("tbl"),
+            F.max(F.col("ts").cast("date")).alias("max_date"),
+        ),
+    ]
+    maxes = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    anchor = maxes.agg(F.max("max_date").alias("freshest"))
+    return maxes.crossJoin(F.broadcast(anchor)).select(
+        "tbl", "max_date",
+        F.datediff(F.col("freshest"), F.col("max_date")).cast("bigint")
+        .alias("lag_days_behind_freshest"),
+    )
