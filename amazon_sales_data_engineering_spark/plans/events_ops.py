@@ -1452,3 +1452,110 @@ def events_hourweek_heatmap(spark: SparkSession, sf_dir: str):
         "dow", "hour", "n",
         F.expr("n * 10000 DIV total").cast("bigint").alias("share_permyriad"),
     )
+
+
+@register(
+    "slo_error_burn_hours",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY 1
+), flagged AS (
+  SELECT hour_id, total, errors,
+         CASE WHEN errors * 4 > total THEN 1 ELSE 0 END AS violating
+  FROM hourly
+), edges AS (
+  SELECT hour_id, violating,
+         CASE WHEN violating = 1 AND COALESCE(lag(violating) OVER
+              (ORDER BY hour_id), 0) = 0 THEN 1 ELSE 0 END AS starts
+  FROM flagged
+), runs AS (
+  SELECT hour_id, violating,
+         SUM(starts) OVER (ORDER BY hour_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM edges
+), streaks AS (
+  SELECT run_id, CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs WHERE violating = 1 GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_hours,
+       CAST((SELECT SUM(violating) FROM flagged) AS BIGINT)
+         AS n_violating,
+       CAST(COALESCE((SELECT MAX(len) FROM streaks), 0) AS BIGINT)
+         AS longest_streak_hours,
+       CAST((SELECT SUM(errors) FROM flagged) * 1000
+            // (SELECT SUM(total) FROM flagged) AS BIGINT)
+         AS overall_error_permille
+""",
+    doc="SLO burn report for the error budget: hours whose error share "
+    "exceeds 25% (integer cross-multiplied errors*4 > total — the "
+    "threshold never touches a float), the count of violating hours, "
+    "and the LONGEST consecutive violation streak via the gaps-"
+    "islands run numbering — because one bad hour pages nobody but "
+    "six in a row is an incident; burn-rate alerting is precisely "
+    "'violation streak length at a given threshold'. The hourly "
+    "rollup is one map-side-combinable aggregate; the streak window "
+    "runs over the HOUR series (series-sized, like every bounded "
+    "window in this repo), not events.",
+    tags=("events", "monitoring", "slo", "islands", "agg"),
+)
+def slo_error_burn_hours(spark: SparkSession, sf_dir: str):
+    hourly = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) DIV 3600"
+            ).alias("hour_id"),
+            F.col("event_type"),
+        )
+        .groupBy("hour_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("errors"),
+        )
+    )
+    flagged = hourly.withColumn(
+        "violating",
+        F.when(F.col("errors") * 4 > F.col("total"), 1).otherwise(0),
+    ).persist()
+    w = Window.orderBy("hour_id")
+    edges = flagged.withColumn(
+        "starts",
+        F.when(
+            (F.col("violating") == 1)
+            & (F.coalesce(F.lag("violating").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    runs = edges.withColumn(
+        "run_id",
+        F.sum("starts").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    streaks = (
+        runs.filter(F.col("violating") == 1)
+        .groupBy("run_id")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    summary = flagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("violating").cast("bigint").alias("n_violating"),
+        F.sum("errors").cast("bigint").alias("tot_err"),
+        F.sum("total").cast("bigint").alias("tot_all"),
+    )
+    longest = streaks.agg(
+        F.coalesce(F.max("len"), F.lit(0)).cast("bigint")
+        .alias("longest_streak_hours")
+    )
+    return summary.crossJoin(longest).select(
+        "n_hours", "n_violating", "longest_streak_hours",
+        F.expr("tot_err * 1000 DIV tot_all").cast("bigint")
+        .alias("overall_error_permille"),
+    )
