@@ -2881,3 +2881,49 @@ def revenue_runrate_projection(spark: SparkSession, sf_dir: str):
         F.expr("(mtd_cents * days_in_month) DIV days_elapsed").cast("bigint")
         .alias("projected_cents"),
     )
+
+
+@register(
+    "returns_rate_by_price_band",
+    oracle="""
+WITH banded AS (
+  SELECT CAST(length(bin(CAST(floor(l_extendedprice) AS BIGINT)))
+              AS BIGINT) AS log2_band,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+  FROM lineitem WHERE l_extendedprice >= 1
+)
+SELECT log2_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(returned) AS BIGINT) AS n_returned,
+       CAST(SUM(returned) * 1000 // COUNT(*) AS BIGINT)
+         AS return_permille
+FROM banded GROUP BY 1
+""",
+    doc="Return rate by price band: lines bucketed into doubling price "
+    "bands (the exact bit-length banding of order_value_log2_"
+    "histogram) with the returned-flag share in integer permille — "
+    "'do expensive items come back more' is the merchandising "
+    "question behind restocking-fee and inspection policies, and the "
+    "doubling bands keep the heavy-tailed price axis readable where "
+    "linear bands collapse. One map-side-combinable aggregate; no "
+    "floats anywhere.",
+    tags=("agg", "reporting", "returns", "histogram"),
+)
+def returns_rate_by_price_band(spark: SparkSession, sf_dir: str):
+    banded = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 1)
+        .select(
+            F.length(
+                F.bin(F.floor(F.col("l_extendedprice")).cast("bigint"))
+            ).cast("bigint").alias("log2_band"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            .alias("returned"),
+        )
+    )
+    return banded.groupBy("log2_band").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("returned").cast("bigint").alias("n_returned"),
+        F.expr("SUM(returned) * 1000 DIV COUNT(*)").cast("bigint")
+        .alias("return_permille"),
+    )
