@@ -496,3 +496,120 @@ def catalog_dead_stock(spark: SparkSession, sf_dir: str):
         F.expr("SUM(never_sold) * 1000 DIV COUNT(*)").cast("bigint")
         .alias("dead_permille"),
     )
+
+
+@register(
+    "open_order_aging",
+    oracle="""
+WITH anchor AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) AS today FROM orders
+), aged AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE), a.today)
+              AS BIGINT) AS age_days
+  FROM orders o, anchor a
+  WHERE o.o_orderstatus = 'O'
+), banded AS (
+  SELECT priority,
+         CASE WHEN age_days <= 30 THEN '0-30'
+              WHEN age_days <= 90 THEN '31-90'
+              WHEN age_days <= 365 THEN '91-365'
+              ELSE '365+' END AS age_band,
+         age_days
+  FROM aged
+)
+SELECT priority, age_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(age_days) AS min_age, MAX(age_days) AS max_age
+FROM banded GROUP BY 1, 2
+""",
+    doc="Open-order aging by priority — the WIP triage matrix: every "
+    "still-open ('O') order's age against the corpus anchor date "
+    "(max order date — deterministic, never wall-clock), banded into "
+    "the 30/90/365-day escalation tiers ops queues actually use, "
+    "with a min/max envelope per cell. An URGENT order sitting in "
+    "the 365+ band is the row someone gets paged about; "
+    "orders_open_backlog gives the time-series census, this gives "
+    "the point-in-time escalation list. One broadcast anchor + one "
+    "filtered map-side aggregate; integer day arithmetic.",
+    tags=("warehouse", "temporal", "reporting", "agg"),
+)
+def open_order_aging(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("today"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("today"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("age_days"),
+        )
+    )
+    band = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return aged.groupBy("priority", band.alias("age_band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("age_days").alias("min_age"),
+        F.max("age_days").alias("max_age"),
+    )
+
+
+@register(
+    "single_source_risk",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM pairs
+  GROUP BY 1
+), labeled AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN pp.n_suppliers = 1 THEN 1 ELSE 0 END AS single
+  FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_sold,
+       CAST(SUM(single) AS BIGINT) AS n_single_sourced,
+       CAST(SUM(single) * 1000 // COUNT(*) AS BIGINT)
+         AS single_source_permille
+FROM labeled GROUP BY 1
+""",
+    doc="Single-source supply risk per brand: parts whose entire sales "
+    "history flows through exactly ONE supplier (distinct part-"
+    "supplier pairs, per-part supplier count, integer-permille share "
+    "by brand) — the supply-chain fragility metric procurement "
+    "reviews run after every disruption; a brand at 900 permille "
+    "single-sourced is one bankruptcy away from a stockout. "
+    "Complements market_concentration_hhi (revenue concentration "
+    "ACROSS suppliers) with the per-part redundancy view. Two "
+    "map-side-combinable aggregates + a broadcast dim join.",
+    tags=("warehouse", "supply-chain", "risk", "agg"),
+)
+def single_source_risk(spark: SparkSession, sf_dir: str):
+    pairs = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    per_part = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = per_part.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("n_suppliers") == 1, 1).otherwise(0).alias("single"),
+    )
+    return labeled.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_parts_sold"),
+        F.sum("single").cast("bigint").alias("n_single_sourced"),
+        F.expr("SUM(single) * 1000 DIV COUNT(*)").cast("bigint")
+        .alias("single_source_permille"),
+    )
