@@ -523,15 +523,26 @@ def repeated_passages(
 
     Deliberately a pure aggregate — hot passages (boilerplate, licenses)
     produce ONE output row with large counts, never a pair explosion, so
-    the op is scale-safe on any corpus: one map-side-combinable groupBy
-    on the passage hash. Output: (passage_hash, n_docs, n_occurrences,
-    first_doc).
+    the op is scale-safe on any corpus. Shape: an EXPLICIT two-level
+    aggregate — (hash, doc) partial counts, then per-hash rollup — not
+    ``countDistinct`` mixed with plain aggregates, which Spark plans via
+    an Expand that doubles the exploded window stream (the source of the
+    old 2× run-to-run variance band: the doubled partial-agg state is
+    what intermittently spilled). Both levels are map-side combinable.
+    Output: (passage_hash, n_docs, n_occurrences, first_doc).
     """
+    per_doc = (
+        windows.select(
+            F.md5("passage").alias("passage_hash"), F.col(id_col)
+        )
+        .groupBy("passage_hash", id_col)
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
     return (
-        windows.groupBy(F.md5("passage").alias("passage_hash"))
+        per_doc.groupBy("passage_hash")
         .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)

@@ -426,17 +426,25 @@ def label_propagation_rounds(
     reads only round r's labels, so the result is independent of
     execution order.
 
-    Per round: one src-keyed join + one (node, label) count + one argmax
-    aggregate — the same two-shuffle step as a PageRank round, O(|E|)
-    per round, all aggregates map-side combinable. The argmax is
-    ``max_by(label, (count, -label))``: lexicographic struct comparison
-    gives max count then min label with no second shuffle. Returns
-    (node, label) for every node with at least one edge.
+    Shuffle diet (round-4): the edge list is hash-partitioned by the
+    join key ``v`` ONCE, before the (lazy) checkpoint — localCheckpoint
+    preserves outputPartitioning, so every round's edge⋈labels join
+    re-exchanges only the NODE-sized label table, never the edge list.
+    Per round the moving data is: labels by v (node-sized), the
+    map-side-combined (u, label) histogram (≤ edge-sized, shrinking as
+    communities coalesce), and the tiny per-node argmax — versus the
+    naive 2×edge-sized round. The argmax is ``max_by(label, (count,
+    -label))``: lexicographic struct comparison gives max count then min
+    label with no second shuffle. Returns (node, label) for every node
+    with at least one edge.
     """
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    e = both.distinct().localCheckpoint(eager=False)
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = both.distinct().repartition(n_parts, "v").localCheckpoint(eager=False)
     # Round 1 from identity labels degenerates exactly: every neighbor
     # carries a distinct label (its own id), so all counts are 1 and the
     # (count desc, label asc) argmax IS min(neighbor) — one aggregate
@@ -668,5 +676,11 @@ def triangle_counts_per_node(
             F.coalesce(F.col("n_tri"), F.lit(0).cast("bigint")).alias("n_tri"),
         )
         .filter(F.col("deg") >= 2)
+        # Cut lineage off the cached inputs so they can be released now —
+        # without this, repeated calls in a long session leak cached
+        # blocks (the siblings in this file all unpersist the same way).
+        .localCheckpoint()
     )
+    und.unpersist()
+    closed.unpersist()
     return out

@@ -223,6 +223,10 @@ def compaction_plan(
 
     from .prefixsum import distributed_cumsum
 
+    if int(target) <= 0:
+        raise ValueError(
+            f"compaction_plan target must be a positive byte/row count; got {target}"
+        )
     inv = distributed_cumsum(
         inventory,
         order_col=order_col,

@@ -480,11 +480,17 @@ def mmr_select(
     This is the diversity-selection primitive for RAG result lists and
     training-data curation (pick exemplars, not near-copies). Scale
     shape: stage 1 is the distributed quantized scan + per-probe top-N
-    (TakeOrderedAndProject); the greedy runs on the BOUNDED candidate
-    set (N^2 pairwise sims, k tiny argmax steps) — the standard
-    two-stage structure, never an all-corpus quadratic. Returns
+    (TakeOrderedAndProject); the greedy then runs on the BOUNDED
+    candidate set, collapsed to a SINGLE packed row (collect_list of
+    ≤n_candidates structs) whose k argmax steps are nested array
+    expressions in one projection — no per-step subtree, no persisted
+    intermediate, never an all-corpus quadratic. Returns
     (step, vec_id, rel, score): step 1..k in selection order; step 1's
     score is lam10*rel (empty selected set).
+
+    Contract: ``probes`` must contain exactly one probe row (the
+    candidate top-N and the output carry no probe_id); violations raise
+    rather than silently mixing probes.
     """
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.aggregate(e, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
@@ -496,6 +502,15 @@ def mmr_select(
         .join(qv, F.col("probe_id") == F.col("vid"))
         .select("probe_id", F.col("q8").alias("pq"))
     )
+    # Bounded validation (limit(2) short-circuits): the global top-N and
+    # the probe_id-less output are only correct for a single probe.
+    n_probes = p.limit(2).count()
+    if n_probes != 1:
+        raise ValueError(
+            "mmr_select requires exactly one probe row; got "
+            + ("0" if n_probes == 0 else ">= 2")
+            + " (use quantized_topk/multiprobe_lsh_topk for per-probe ANN)"
+        )
     idot = F.aggregate(
         F.zip_with("pq", "cq", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -507,54 +522,112 @@ def mmr_select(
         .select("id", "cq", idot.alias("rel"))
         .orderBy(F.col("rel").desc(), F.col("id"))
         .limit(n_candidates)
-        .persist()
     )
-    pair_dot = F.aggregate(
-        F.zip_with("aq", "bq", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    a = cand.select(F.col("id").alias("ia"), F.col("cq").alias("aq"))
-    b = cand.select(F.col("id").alias("ib"), F.col("cq").alias("bq"))
-    sims = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
-        .select("ia", "ib", pair_dot.alias("sim"))
-        .persist()
+    # Collapse the bounded top-N into ONE packed row; the whole greedy
+    # trace is then nested array expressions over that row — no per-step
+    # TakeOrdered subtree, no persisted 40-row intermediates, no N^2
+    # sims DataFrame (pair dots are computed lazily inside the argmax).
+    packed = cand.agg(
+        F.collect_list(F.struct("id", "rel", "cq")).alias("cands")
     )
     mu = 10 - lam10
-    selected = (
-        cand.orderBy(F.col("rel").desc(), F.col("id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("step"), "id", "rel",
-            (F.lit(lam10) * F.col("rel")).alias("score"),
+    lam_b = F.lit(lam10).cast("bigint")
+    mu_b = F.lit(mu).cast("bigint")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def _argmax(scored):
+        # orderBy(score DESC, id ASC) as a comparator sort on the packed
+        # array; element 0 is the greedy pick. F.get is NULL (not an
+        # ANSI error) when the array is exhausted — k > |candidates|
+        # then yields fewer rows, matching the old limit(1) semantics.
+        return F.get(
+            F.array_sort(
+                scored,
+                lambda l, r: F.when(l["score"] > r["score"], F.lit(-1))
+                .when(l["score"] < r["score"], F.lit(1))
+                .when(l["id"] < r["id"], F.lit(-1))
+                .when(l["id"] > r["id"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ),
+            0,
+        )
+
+    def _entry(step, pick):
+        step_col = step if isinstance(step, Column) else F.lit(step)
+        return F.struct(
+            step_col.cast("int").alias("step"),
+            pick["id"].alias("id"),
+            pick["rel"].alias("rel"),
+            pick["score"].alias("score"),
+            pick["cq"].alias("cq"),
+        )
+
+    first = _argmax(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(
+                (lam_b * c["rel"]).alias("score"),
+                c["id"].alias("id"),
+                c["rel"].alias("rel"),
+                c["cq"].alias("cq"),
+            ),
         )
     )
-    for step in range(2, k + 1):
-        ms = (
-            sims.join(selected.select(F.col("id").alias("ib")), "ib")
-            .groupBy("ia")
-            .agg(F.max("sim").alias("ms"))
+
+    def _grow(sel, step):
+        # One greedy step: filter out already-selected ids, score the
+        # rest against the CURRENT selected set (max pairwise dot),
+        # append the argmax. ``sel``/``step`` are higher-order-function
+        # lambda variables, so each reference is a pointer, not an
+        # inlined copy — the whole k-step trace stays one runtime loop
+        # (ArrayAggregate), never an exponentially-collapsed Project.
+        scored = F.transform(
+            F.filter(
+                F.col("cands"),
+                lambda c: ~F.exists(sel, lambda s: s["id"] == c["id"]),
+            ),
+            lambda c: F.struct(
+                (
+                    lam_b * c["rel"]
+                    - mu_b
+                    * F.aggregate(
+                        sel,
+                        F.lit(-(1 << 62)).cast("bigint"),
+                        lambda acc, s: F.greatest(acc, _dot(c["cq"], s["cq"])),
+                    )
+                ).alias("score"),
+                c["id"].alias("id"),
+                c["rel"].alias("rel"),
+                c["cq"].alias("cq"),
+            ),
         )
-        nxt = (
-            cand.join(selected.select("id"), "id", "left_anti")
-            .join(ms, F.col("id") == F.col("ia"))
-            .select(
-                F.lit(step).alias("step"), "id", "rel",
-                (F.lit(lam10) * F.col("rel") - F.lit(mu) * F.col("ms"))
-                .alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col("id"))
-            .limit(1)
+        return F.concat(sel, F.array(_entry(step, _argmax(scored))))
+
+    sel_final = (
+        F.aggregate(
+            F.sequence(F.lit(2), F.lit(k)),
+            F.array(_entry(1, first)),
+            lambda acc, step: _grow(acc, step),
         )
-        selected = selected.unionByName(nxt)
-    out = selected.select(
-        F.col("step").cast("int").alias("step"),
-        F.col("id").alias(id_col), "rel", "score",
-    ).localCheckpoint()
-    cand.unpersist()
-    sims.unpersist()
-    return out
+        if k > 1
+        else F.array(_entry(1, first))
+    )
+    return (
+        packed.select(F.explode(sel_final).alias("s"))
+        .filter(F.col("s.id").isNotNull())
+        .select(
+            F.col("s.step").cast("int").alias("step"),
+            F.col("s.id").alias(id_col),
+            F.col("s.rel").alias("rel"),
+            F.col("s.score").alias("score"),
+        )
+    )
 
 
 def multiprobe_lsh_topk(

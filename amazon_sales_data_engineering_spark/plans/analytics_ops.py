@@ -328,24 +328,55 @@ def json_props_extract(spark: SparkSession, sf_dir: str):
 
 @register(
     "approx_distinct_sketch",
-    oracle=None,  # sketches are engine-specific; bounds proven in pytest
+    oracle="""
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       TRUE AS hll_within_3rsd,
+       TRUE AS median_in_iqr
+FROM events e
+GROUP BY 1
+""",
     doc="Approximate aggregates — HyperLogLog++ distinct users and "
-    "quantile-sketch value percentiles per event type. No DuckDB oracle "
-    "on purpose: sketch outputs are engine- and merge-order-specific, so "
-    "the driver runs the rows-only check; the REAL proof is the "
-    "property test (tests/test_properties.py) asserting the HLL estimate "
-    "within rsd bounds of the exact distinct count and the approximate "
-    "median within the exact p25–p75 range. At 100 TB these sketches are "
-    "the only viable shape: fixed-size state, map-side combinable, one "
-    "shuffle — exact distinct-count would shuffle every key.",
+    "quantile-sketch value percentiles per event type — oracle-gated as "
+    "a BOUNDS proof: raw sketch registers are engine- and merge-order-"
+    "specific (not portable), but the CLAIMS a sketch makes are exact-"
+    "checkable, so the query emits booleans (|hll - exact| ≤ 3·rsd·exact; "
+    "approx median inside the exact p25–p75 IQR) that the DuckDB oracle "
+    "pins to TRUE — a sketch drifting out of bounds now hash-fails the "
+    "gate instead of hiding behind a rows-only check. The exact "
+    "count_distinct/percentile_disc terms exist only to ground the gate; "
+    "a production rollup keeps just the sketch columns (fixed-size "
+    "state, map-side combinable, one shuffle — exact distinct-count "
+    "would shuffle every key; see hll_portable_distinct for the "
+    "portable-register variant and the merge-equivalence proof). "
+    "Property-test twin: tests/test_properties.py.",
     tags=("agg", "approx", "sketch"),
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"
+        ).alias("p75"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.06) * F.col("exact_users")
+        ).alias("hll_within_3rsd"),
+        (
+            (F.col("approx_median") >= F.col("p25"))
+            & (F.col("approx_median") <= F.col("p75"))
+        ).alias("median_in_iqr"),
     )
 
 
@@ -1630,8 +1661,9 @@ FROM est
     "overflow only from hash collisions) as auditable integers. "
     "Deterministic multiplicative hashes make the sketch portable: "
     "DuckDB rebuilds the identical grid, unlike engine-internal "
-    "sketches (approx_distinct_sketch stays rows-only for exactly "
-    "that reason). Third member of the portable-sketch family with "
+    "sketches (approx_distinct_sketch gates its non-portable HLL++ "
+    "registers via exact BOUNDS booleans instead). Third member of "
+    "the portable-sketch family with "
     "the Bloom semi-join and the MinHash/SimHash signatures.",
     tags=("agg", "sketch", "heavy-hitters"),
     bench=True,
@@ -1824,8 +1856,8 @@ FROM exact e JOIN raw r ON r.event_type = e.event_type
     "fold, estimate) makes the error auditable row-by-row; the "
     "deterministic hashes make the whole structure engine-portable — "
     "the fourth oracle-exact sketch next to Bloom, count-min, and "
-    "MinHash (Spark's own HLL++ stays rows-only in "
-    "approx_distinct_sketch because ITS registers aren't portable).",
+    "MinHash (Spark's own HLL++ registers aren't portable, so "
+    "approx_distinct_sketch oracle-gates their BOUNDS instead).",
     tags=("agg", "sketch", "approx", "distinct"),
     bench=True,
 )

@@ -110,7 +110,17 @@ class SyntheticRowsStreamReader(DataSourceStreamReader):
         return {"pos": self._cur}
 
     def partitions(self, start, end):
-        return [_RangePartition(int(start["pos"]), int(end["pos"]))]
+        # After a restart from checkpoint the fresh reader's in-memory
+        # cursor starts at 0, so its first latestOffset() could fall
+        # BEHIND the journaled committed offset. Planning a batch whose
+        # end < start would re-emit already-output rows; return an empty
+        # batch instead and let the cursor catch up (commit() below
+        # fast-forwards it, so the very next batch resumes exactly).
+        lo, hi = int(start["pos"]), int(end["pos"])
+        self._cur = max(getattr(self, "_cur", 0), lo, hi)
+        if hi <= lo:
+            return []
+        return [_RangePartition(lo, hi)]
 
     def read(self, partition: _RangePartition):
         nb = self.n_buckets
@@ -119,7 +129,10 @@ class SyntheticRowsStreamReader(DataSourceStreamReader):
             yield (i, h % nb, h % 100000)
 
     def commit(self, end):
-        pass
+        # Clamp the planning cursor to the committed position so the
+        # cursor can never regress behind the journal, whichever callback
+        # the engine happens to invoke first after a restart.
+        self._cur = max(getattr(self, "_cur", 0), int(end["pos"]))
 
 
 def _streamReader(self, schema):

@@ -203,13 +203,16 @@ def test_attribution_join_is_equi_not_nested_loop(spark):
     )
 
 
-def test_mmr_greedy_is_materialized_and_bounded(spark):
-    """mmr_select returns an eagerly-checkpointed k-row result (the
-    whole greedy trace ran as ONE action inside the operator — callers
-    never replay the unioned argmax branches), so the visible plan is a
-    materialized scan and the output is exactly steps 1..k."""
+def test_mmr_greedy_is_single_pass_and_bounded(spark):
+    """mmr_select's greedy trace is ONE packed-row expression pipeline
+    (ArrayAggregate over the step sequence), not k unioned argmax
+    subtrees: the plan must contain no Union, exactly one global top-N
+    (TakeOrdered / global Sort+Limit for the candidate set) feeding one
+    single-row aggregate — and the output is exactly steps 1..k."""
     df = REGISTRY["ann_mmr_select"].spark_fn(spark, SF_DIR)
-    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
     steps = sorted(r.step for r in df.select("step").collect())
     assert steps == [1, 2, 3, 4]
 

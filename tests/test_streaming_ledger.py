@@ -1,0 +1,163 @@
+"""Negative-control for the foreachBatch checkpoint ledger (the failure
+mode the streaming/batch equivalence gates can't express).
+
+The seven `streaming_*` gate queries prove final-state EQUALITY with the
+batch twin along the happy path. What they cannot show is what happens
+when the checkpoint ledger is lost or corrupted mid-deployment — the
+at-least-once worst case where EVERY source file is redelivered. These
+tests drive exactly that:
+
+1. A LAST-WRITER-WINS MERGE sink (the structure
+   `plans.streaming_ops.streaming_foreachbatch_upsert` gates) must
+   converge to the identical state under full redelivery — the
+   idempotent merge REFUSES to double-apply.
+2. The control: a naive blind-APPEND sink under the same corruption
+   demonstrably DOES double-apply (row counts double) — proving the
+   test detects the failure the merge structure prevents, so test 1's
+   green is meaningful rather than vacuous.
+
+Together with test_incremental_append_checkpoint_idempotent (intact
+ledger → zero reprocessing) this covers both halves of the exactly-once
+story: the ledger avoids redelivery, and the merge survives it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_sales_data_engineering_spark.streaming import incremental_append
+
+from .test_streaming import EVENTS, SCHEMA, SENTINEL, _source
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet files with distinct mtimes (events, then sentinel) —
+    same layout as test_streaming.stream_dir (module-scoped fixtures
+    don't cross files, so it's rebuilt here)."""
+    d = tmp_path_factory.mktemp("ledger-stream")
+    flat = tmp_path_factory.mktemp("ledger-flat")
+    for i, batch in enumerate([EVENTS, SENTINEL]):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch{i}")
+        )
+    for i in range(2):
+        for f in sorted(os.listdir(d / f"batch{i}")):
+            if f.endswith(".parquet"):
+                dst = flat / f"{i:02d}-{f}"
+                os.rename(d / f"batch{i}" / f, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+    return str(flat)
+
+
+def _upsert_fn(state_dir: str):
+    """Per-batch last-writer-wins merge into a parquet state table —
+    the same merge shape as streaming_foreachbatch_upsert: one row per
+    user, ordered by (ts, event_id), table swapped atomically."""
+
+    def upsert(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "ts", "event_id"),
+                    F.struct("ts", "event_id"),
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_type").alias("last_type"),
+                F.col("s.ts").alias("last_ts"),
+                F.col("s.event_id").alias("last_event_id"),
+            )
+        )
+        import os
+
+        if os.path.exists(state_dir):
+            cur = sess.read.parquet(state_dir)
+            merged = (
+                cur.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("last_type", "last_ts", "last_event_id"),
+                        F.struct("last_ts", "last_event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id",
+                    F.col("s.last_type").alias("last_type"),
+                    F.col("s.last_ts").alias("last_ts"),
+                    F.col("s.last_event_id").alias("last_event_id"),
+                )
+            )
+        else:
+            merged = latest
+        tmp = state_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state_dir + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return upsert
+
+
+def _snapshot(spark, state_dir):
+    return {
+        r.user_id: (r.last_type, r.last_ts, r.last_event_id)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+
+
+def test_upsert_survives_ledger_corruption(spark, stream_dir, tmp_path):
+    """Destroy the checkpoint ledger between runs → Spark redelivers
+    EVERY file; the last-writer-wins merge must converge to the exact
+    same per-user state (no duplicate keys, no value drift)."""
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = incremental_append(_source(spark, stream_dir), _upsert_fn(state), ckpt)
+    q.awaitTermination(120)
+    first = _snapshot(spark, state)
+    n_users = len(first)
+    assert n_users == len({e[1] for e in EVENTS + SENTINEL})
+
+    # corrupt: wipe the ledger entirely — the strongest at-least-once
+    # failure, everything gets redelivered on the next run
+    shutil.rmtree(ckpt)
+    q = incremental_append(_source(spark, stream_dir), _upsert_fn(state), ckpt)
+    q.awaitTermination(120)
+
+    second = _snapshot(spark, state)
+    assert second == first  # refused to double-apply: byte-equal state
+
+
+def test_blind_append_double_applies_without_ledger(spark, stream_dir, tmp_path):
+    """Control (the red half): the same corruption against a naive
+    append sink DOES double-apply — row count doubles — so the green in
+    the merge test above is detection, not vacuity."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = incremental_append(_source(spark, stream_dir), append, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == len(EVENTS) + len(SENTINEL)
+
+    shutil.rmtree(ckpt)
+    q = incremental_append(_source(spark, stream_dir), append, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2 * n1

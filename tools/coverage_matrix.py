@@ -20,11 +20,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def latest_driver_verdicts() -> tuple[str, dict]:
+    """Merge every round's driver sample, most recent round winning per
+    query; each verdict remembers which round produced it (`rN`)."""
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     if not files:
         return "none", {}
-    with open(files[-1]) as fh:
-        return os.path.basename(files[-1]), json.load(fh)
+    merged: dict = {}
+    for path in files:
+        tag = os.path.basename(path).replace("CORRECTNESS_", "").replace(
+            ".json", ""
+        ).lstrip("0") or os.path.basename(path)
+        tag = "r" + tag.lstrip("r").lstrip("0")
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                merged[name] = {**row, "_round": tag}
+    span = (
+        os.path.basename(files[0])
+        if len(files) == 1
+        else f"{os.path.basename(files[0])} … {os.path.basename(files[-1])}, latest round wins"
+    )
+    return span, merged
 
 
 def main() -> int:
@@ -37,13 +52,21 @@ def main() -> int:
         "registered query. *Gate*: `oracle` = DuckDB-differential (row",
         "count + schema + type parity + order-insensitive value hash, see",
         "tests/oracle_util.py), `rows-only` = no SQL-expressible oracle by",
-        "design (the docstring says why). *Driver*: verdict from the most",
-        f"recent driver sample ({src}); `—` = not sampled that round.",
+        "design (the docstring says why). *Driver*: most recent driver-",
+        f"sample verdict with its round ({src}); `—` = never sampled.",
+        "*Sweep*: latest full local `tools/verify_sweep.py` run",
+        "(SWEEP_RESULTS.json) — every query, every run, so it supersedes",
+        "a stale driver sample.",
         "SURVEY.md §2 parity rows are mapped in README.md's coverage",
         "table; tags group the extension families.\n",
-        "| query | tags | gate | bench | driver |",
-        "|---|---|---|---|---|",
+        "| query | tags | gate | bench | driver | sweep |",
+        "|---|---|---|---|---|---|",
     ]
+    sweep_path = os.path.join(REPO, "SWEEP_RESULTS.json")
+    sweep: dict = {}
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as fh:
+            sweep = json.load(fh)
     n_oracle = n_rows_only = 0
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
@@ -56,14 +79,16 @@ def main() -> int:
         if d is None:
             verdict = "—"
         elif d.get("err") == "no_oracle":
-            verdict = "rows-only ok"
+            verdict = f"rows-only ok ({d.get('_round', '?')})"
         elif d.get("hash_match"):
-            verdict = "pass"
+            verdict = f"pass ({d.get('_round', '?')})"
         else:
-            verdict = "**FAIL**"
+            verdict = f"**FAIL** ({d.get('_round', '?')})"
+        s = sweep.get(name)
+        sweep_v = "—" if s is None else ("ok" if s.get("ok") else "**FAIL**")
         lines.append(
             f"| {name} | {', '.join(q.tags)} | {gate} "
-            f"| {'yes' if q.bench else ''} | {verdict} |"
+            f"| {'yes' if q.bench else ''} | {verdict} | {sweep_v} |"
         )
     lines.append(
         f"\n**{len(REGISTRY)} queries: {n_oracle} oracle-gated, "

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Scale probe: run registry queries at sf0.1 AND a synthetic sf1 (10×)
+and print the wall-clock ratio per query.
+
+Purpose (round-4 verdict #1/#8): convert the "sf0.1 cost is scheduling
+floor, not work" claim for the iterative graph family — and the 2× bench
+gate for the TPC-H headline set — from prose into measured data. A query
+whose 10×-data runtime grows ≫10× is super-linear and gets a plan fix or
+a self-marked `weak`.
+
+The sf1 corpus is derived, not regenerated: 10 key-shifted copies of the
+sf0.1 tables with referential integrity preserved (orderkey/partkey/
+suppkey/custkey/vec_id/doc_id shifted per copy; nation/region shared).
+For graph inputs this yields 10 disjoint replicas of the sf0.1 graph —
+the same local structure at 10× |E|, which is exactly what a linear-
+scaling probe needs (per-round shuffle volume scales 10×; a super-linear
+plan still blows up). Written to /tmp/asde_sf1 (testdata is read-only);
+cached across runs, rebuild with --rebuild.
+
+Usage:
+    python tools/scale_probe.py                  # default probe set
+    python tools/scale_probe.py name1 name2 ...  # specific queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("PROBE_SRC_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("PROBE_SF1_DIR", "/tmp/asde_sf1")
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+
+DEFAULT_PROBES = [
+    # iterative graph family (verdict #1)
+    "graph_sssp_weighted",
+    "dedup_connected_components",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    # TPC-H headline set (verdict #8)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "star_join_enriched",
+]
+
+# key column -> shift stride (must clear the sf0.1 max key; powers of 10
+# keep shifted ids readable when debugging)
+SHIFTS = {
+    "o_orderkey": 10_000_000,
+    "l_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,
+    "c_custkey": 1_000_000,
+    "l_partkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "l_suppkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "vec_id": 1_000_000,
+    "doc_id": 1_000_000,
+}
+SHARED = {"nation", "region"}  # dims every copy points at unshifted
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    for tb in TABLES:
+        src = f"{SRC}/{tb}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        out = f"{DST}/{tb}.parquet"
+        if tb in SHARED:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        base = spark.range(COPIES).select(F.col("id").alias("__copy"))
+        wide = df.crossJoin(F.broadcast(base))
+        if "embedding" in df.columns:
+            # Rotate the vector by __copy positions: a permutation applied
+            # to EVERY vector in a copy preserves all within-copy pairwise
+            # cosines (the sf0.1 near-dup graph replicates exactly) while
+            # destroying cross-copy alignment — without this, each vector's
+            # 9 clones are perfect near-dups and the pair graph grows
+            # quadratically instead of linearly.
+            n = F.size("embedding")
+            k = (F.col("__copy") % n).cast("int")
+            wide = wide.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), k + F.lit(1), n - k),
+                    F.slice(F.col("embedding"), F.lit(1), k),
+                ),
+            )
+        for c in df.columns:
+            stride = SHIFTS.get(c)
+            if stride is not None:
+                # guard: a shifted id colliding with the next copy's key
+                # space would silently merge entities across copies
+                mx = df.agg(F.max(c)).collect()[0][0]
+                assert mx is not None and mx < stride, (tb, c, mx, stride)
+                wide = wide.withColumn(
+                    c, (F.col(c) + F.col("__copy") * F.lit(stride)).cast("bigint")
+                )
+        wide.drop("__copy").write.mode("overwrite").parquet(out)
+        print(f"  built {tb}: {df.count()} -> x{COPIES}", flush=True)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    rebuild = "--rebuild" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or DEFAULT_PROBES
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if rebuild:
+        shutil.rmtree(DST, ignore_errors=True)
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        os.makedirs(DST, exist_ok=True)
+        print(f"building {DST} ({COPIES}x {SRC})...", flush=True)
+        build_sf1(spark)
+
+    qs = e.queries()
+    results = {}
+    for name in names:
+        row = {}
+        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+            t0 = time.perf_counter()
+            n = qs[name](spark, d).count()
+            row[label] = round(time.perf_counter() - t0, 2)
+            row[f"{label}_rows"] = n
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+        print(
+            f"  {name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s "
+            f"ratio={row['ratio']} rows {row['sf0.1_rows']}->{row['sf1_rows']}",
+            flush=True,
+        )
+    print(json.dumps({"probe": results, "copies": COPIES}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

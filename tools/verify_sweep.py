@@ -64,6 +64,18 @@ def main() -> int:
             failed.append(name)
             print(f"  FAIL {name}: {ex}", flush=True)
     print(f"{len(names) - len(failed)}/{len(names)} green; failed: {failed}")
+    if not sys.argv[1:]:
+        # Full sweep: journal per-query verdicts so COVERAGE.md's sweep
+        # column reflects the latest local gate run, not just the
+        # (sampled, possibly stale) driver rounds.
+        import json
+
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "SWEEP_RESULTS.json"), "w") as fh:
+            json.dump(
+                {n: {"ok": n not in failed} for n in names},
+                fh, indent=0, sort_keys=True,
+            )
     spark.stop()
     return 1 if failed else 0
 
