@@ -414,6 +414,7 @@ def label_propagation_rounds(
     n_rounds: int = 2,
     src: str = "src",
     dst: str = "dst",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), ``n_rounds``
     bounded rounds over the undirected graph ``edges``.
@@ -427,9 +428,14 @@ def label_propagation_rounds(
     execution order.
 
     Shuffle diet (round-4): the edge list is hash-partitioned by the
-    join key ``v`` ONCE, before the (lazy) checkpoint — localCheckpoint
-    preserves outputPartitioning, so every round's edge⋈labels join
-    re-exchanges only the NODE-sized label table, never the edge list.
+    join key ``v`` ONCE and persisted — a CACHED plan keeps its
+    outputPartitioning (localCheckpoint does NOT: its LogicalRDD
+    reports UnknownPartitioning and every round would re-exchange the
+    edges), so each round's edge⋈labels join re-exchanges only the
+    NODE-sized label table, never the edge list. The dedup rides the
+    same exchange: HashPartitioning(v) satisfies the distinct's
+    ClusteredDistribution(u, v) — same v ⇒ same partition — so
+    repartition-then-dropDuplicates is ONE edge shuffle, not two.
     Per round the moving data is: labels by v (node-sized), the
     map-side-combined (u, label) histogram (≤ edge-sized, shrinking as
     communities coalesce), and the tiny per-node argmax — versus the
@@ -437,14 +443,21 @@ def label_propagation_rounds(
     -label))``: lexicographic struct comparison gives max count then min
     label with no second shuffle. Returns (node, label) for every node
     with at least one edge.
+
+    ``symmetric=True`` declares the input already contains BOTH
+    orientations of every edge (true for any self-join pair builder,
+    e.g. the co-purchase graph) — the symmetrize union is skipped,
+    halving the one-time edge exchange.
     """
-    both = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not symmetric:
+        both = both.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
     n_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    e = both.distinct().repartition(n_parts, "v").localCheckpoint(eager=False)
+    e = both.repartition(n_parts, "v").dropDuplicates(["u", "v"]).persist()
     # Round 1 from identity labels degenerates exactly: every neighbor
     # carries a distinct label (its own id), so all counts are 1 and the
     # (count desc, label asc) argmax IS min(neighbor) — one aggregate

@@ -97,12 +97,27 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def auto_lsh_bits(n: int, base_bits: int, target_bucket_rows: int) -> int:
+    """Number of sign-LSH bits for an ``n``-row corpus: never below
+    ``base_bits`` (the recall floor a gate query pins), and grown so the
+    EXPECTED bucket holds ~``target_bucket_rows`` rows — because blocked
+    pair work is Σ|bucket|², holding bits constant while the corpus
+    grows 10× grows the join ~100×. Pure so it is unit-testable without
+    a corpus."""
+    import math
+
+    if n <= target_bucket_rows:
+        return base_bits
+    return max(base_bits, math.ceil(math.log2(n / target_bucket_rows)))
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     bits: int = 4,
+    target_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), candidates restricted to the same sign-bucket — the
@@ -110,7 +125,17 @@ def embedding_near_dup(
     (each bucket self-joins independently; shuffle key = bucket).
 
     Few bits = high recall / bigger buckets; tune bits so the largest
-    bucket's square fits an executor. Output: (id_a, id_b, cos_sim)."""
+    bucket's square fits an executor. A FIXED ``bits`` is only correct at
+    a fixed corpus size: in-bucket pair work is Σ|bucket|², so growing
+    the corpus 10× under constant bits grows the join ~100× (measured in
+    the round-4 sf1 probe). Pass ``target_bucket_rows`` to auto-size:
+    bits = max(bits, ceil(log2(n / target))) from one cheap count — the
+    production path; gate queries keep explicit bits because the DuckDB
+    oracle replays the exact bucketing (changing bits changes which
+    pairs the approximation can recall, so it is part of the contract).
+    Output: (id_a, id_b, cos_sim)."""
+    if target_bucket_rows is not None:
+        bits = auto_lsh_bits(vectors.count(), bits, target_bucket_rows)
     b = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -1055,13 +1055,18 @@ SELECT node, label FROM r2
     "family, with a different update rule than connected components: "
     "most-frequent neighbor label, ties to the MINIMUM label "
     "(deterministic total order; classic random-tie LPA is not gate-"
-    "comparable). operators.graph.label_propagation_rounds: per round "
-    "one src-keyed join + one (node, label) count + a max_by((count, "
-    "-label)) argmax — two map-side-combinable shuffles per round, no "
-    "row ever carries more than one label. The oracle replays both "
-    "rounds as grouped row_number picks — a structurally different plan "
-    "that must agree exactly.",
+    "comparable). operators.graph.label_propagation_rounds: the edge "
+    "list is dedup'd INSIDE its one hash(v) partitioning exchange "
+    "(HashPartitioning(v) satisfies the distinct's clustered(u,v)) and "
+    "persisted with that partitioning, so each round's edge⋈labels "
+    "join re-exchanges only the node-sized label table; the per-round "
+    "moving data is the map-side-combined (node, label) histogram plus "
+    "a max_by((count, -label)) argmax — no row ever carries more than "
+    "one label, no edge-sized shuffle after the build. The oracle "
+    "replays both rounds as grouped row_number picks — a structurally "
+    "different plan that must agree exactly.",
     tags=("graph", "iterative", "agg"),
+    bench=True,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str):
     from ..operators.graph import label_propagation_rounds
@@ -1069,19 +1074,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    # No .distinct() here: label_propagation_rounds dedups (u, v) inside
+    # its single edge-partitioning exchange, so a pre-distinct would be
+    # one whole extra shuffle of the pair stream for nothing.
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
     )
-    return label_propagation_rounds(edges, n_rounds=2)
+    # symmetric=True: the a≠b self-join already emits both orientations
+    return label_propagation_rounds(edges, n_rounds=2, symmetric=True)
 
 
 @register(

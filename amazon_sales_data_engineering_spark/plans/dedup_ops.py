@@ -207,9 +207,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str):
     from ..operators.graph import connected_components
     from ..operators.similarity import embedding_near_dup
 
+    # target_bucket_rows auto-grows the LSH bits on bigger corpora
+    # (in-bucket pair work is quadratic in bucket size — the round-4 sf1
+    # probe measured 7.8x wall at 10x data under FIXED bits); at the
+    # gate scales (sf0.01: 500 vecs, sf0.1: 2000) it resolves to exactly
+    # bits=4, the bucketing the DuckDB oracle replays.
     pairs = embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
-        vec_col="embedding", threshold=0.4, bits=4,
+        vec_col="embedding", threshold=0.4, bits=4, target_bucket_rows=125,
     ).select("id_a", "id_b")
     return connected_components(pairs, "id_a", "id_b")
 
@@ -263,7 +268,8 @@ def dedup_resolve_keepers(spark: SparkSession, sf_dir: str):
 
     emb = t_cpu(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bits=4
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bits=4,
+        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
     ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     keeper = F.coalesce(F.col("component"), F.col("vec_id"))
@@ -1109,6 +1115,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
     pairs = embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
         vec_col="embedding", threshold=0.4, bits=4,
+        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
     ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(

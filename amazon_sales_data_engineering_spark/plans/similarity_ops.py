@@ -135,6 +135,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
     return embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
         threshold=0.4, bits=4,
+        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
     )
 
 

@@ -633,3 +633,25 @@ def test_hll_portable_error_band(spark):
         assert abs(r.hll_est - r.n_exact) <= max(4, int(0.52 * r.n_exact)), (
             r.event_type, r.n_exact, r.hll_est,
         )
+
+
+def test_auto_lsh_bits_scales_with_corpus():
+    """Gate contract + scale behavior of the LSH-bit auto-sizer: exactly
+    the pinned base bits at every gate scale (sf0.01: 500 vectors,
+    sf0.1: 2000 — the DuckDB oracles replay a 4-bit bucketing), then
+    grows log2 with the corpus so expected in-bucket pair work stays
+    ~target² per bucket instead of scaling quadratically with n."""
+    from amazon_sales_data_engineering_spark.operators.similarity import (
+        auto_lsh_bits,
+    )
+
+    # gate scales resolve to the oracle-pinned 4 bits
+    assert auto_lsh_bits(500, 4, 125) == 4
+    assert auto_lsh_bits(2000, 4, 125) == 4
+    # 10x the bench corpus: 8 bits = 256 buckets, ~78 rows each
+    assert auto_lsh_bits(20000, 4, 125) == 8
+    # growth is logarithmic: another 10x adds ~3 bits
+    assert auto_lsh_bits(200000, 4, 125) == 11
+    # never shrinks below the recall floor
+    assert auto_lsh_bits(10, 4, 125) == 4
+    assert auto_lsh_bits(126, 4, 1) == 7

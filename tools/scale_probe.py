@@ -112,7 +112,11 @@ def build_sf1(spark) -> None:
                 wide = wide.withColumn(
                     c, (F.col(c) + F.col("__copy") * F.lit(stride)).cast("bigint")
                 )
-        wide.drop("__copy").write.mode("overwrite").parquet(out)
+        # spread across files: the crossJoin otherwise emits a handful of
+        # multi-million-row files whose row groups can't be split, and
+        # every downstream scan stage gains a straggler task that
+        # corrupts the probe timings
+        wide.drop("__copy").repartition(32).write.mode("overwrite").parquet(out)
         print(f"  built {tb}: {df.count()} -> x{COPIES}", flush=True)
 
 
@@ -147,9 +151,16 @@ def main() -> int:
     for name in names:
         row = {}
         for label, d in (("sf0.1", SRC), ("sf1", DST)):
-            t0 = time.perf_counter()
-            n = qs[name](spark, d).count()
-            row[label] = round(time.perf_counter() - t0, 2)
+            # best-of-2: first run pays JIT/codegen/file-listing — a
+            # single-shot probe would inflate the sf0.1 denominator
+            # (cold) relative to the warmed sf1 run and corrupt the ratio
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = qs[name](spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            row[label] = round(best, 2)
             row[f"{label}_rows"] = n
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
         results[name] = row
