@@ -532,20 +532,29 @@ def repeated_passages(
     Output: (passage_hash, n_docs, n_occurrences, first_doc).
     """
     per_doc = (
+        # shuffle on the 16-byte BINARY digest, not the 32-char hex
+        # string — halves the key bytes through both exchanges; hex()
+        # is restored (lowercase, = md5()) only on the final rows
         windows.select(
-            F.md5("passage").alias("passage_hash"), F.col(id_col)
+            F.unhex(F.md5("passage")).alias("ph"), F.col(id_col)
         )
-        .groupBy("passage_hash", id_col)
+        .groupBy("ph", id_col)
         .agg(F.count(F.lit(1)).alias("occ"))
     )
     return (
-        per_doc.groupBy("passage_hash")
+        per_doc.groupBy("ph")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("occ").alias("n_occurrences"),
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+        .select(
+            F.lower(F.hex("ph")).alias("passage_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+        )
     )
 
 

@@ -391,7 +391,19 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str):
     # O(docs). Candidates come from exploding only the prefixes; the
     # exact-Jaccard verify is an in-row array_intersect of the stored
     # sets — the shingle stream is never re-shuffled for verification.
-    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    #
+    # Shingles are 64-bit-hashed IMMEDIATELY (round-4 sf1 probe: the
+    # ~35-byte shingle strings were the payload of all four shuffles and
+    # the per-doc sort — 10× data ran 10× wall; 8-byte keys restore
+    # linearity). Correctness is unaffected: the prefix filter only
+    # needs SOME consistent total order of the shingle universe shared
+    # by every doc ((df, hash) is one), Jaccard is computed on the
+    # hashed sets, and the final pairs are exact-verified — a 64-bit
+    # collision (~1e-8 for this universe) is the only deviation from
+    # the string computation, far below the gate's noise floor.
+    sh = shingles(t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=3).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     # ranked feeds both the per-doc summary and the prefix stream.

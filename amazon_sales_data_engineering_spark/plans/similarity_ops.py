@@ -687,13 +687,25 @@ GROUP BY 1
     bench=True,
 )
 def record_linkage_scores(spark: SparkSession, sf_dir: str):
-    c = t_cpu(spark, sf_dir, "customer").select(
+    # Auto-granular balance blocking (same pattern as auto_lsh_bits):
+    # the (nation × acctbal/1000) key has FIXED ~275-block cardinality,
+    # so pairs grow quadratically with the corpus (round-4 sf1 probe:
+    # 8.8× wall at 10× rows). Splitting each 1000-wide band into
+    # 2^ceil(log2(n/15000)) sub-bands keeps expected block size constant;
+    # at the gate scales (sf0.01: 1500 customers, sf0.1: 15000) the
+    # multiplier is 1 — exactly the /1000 blocking the oracle replays.
+    import math
+
+    cust = t_cpu(spark, sf_dir, "customer")
+    n = cust.count()
+    m = 2 ** max(0, math.ceil(math.log2(n / 15000))) if n > 15000 else 1
+    c = cust.select(
         "c_custkey",
         "c_name",
         "c_mktsegment",
         "c_acctbal",
         F.col("c_nationkey").alias("blk"),
-        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        F.floor(F.col("c_acctbal").cast("double") * m / 1000)
         .cast("bigint")
         .alias("bal_blk"),
     )

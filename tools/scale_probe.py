@@ -51,6 +51,27 @@ DEFAULT_PROBES = [
     "star_join_enriched",
 ]
 
+# round-4 extension: the text/dedup/ER and event-time families — the
+# documents table is replicated with a PER-COPY TOKEN SUFFIX (within-copy
+# shingle/token structure replicates exactly; cross-copy token sets are
+# disjoint, so dup structure stays 10 disjoint replicas), events with
+# shifted user/event ids (same time windows, 10x the users per window —
+# what a 10x stream actually looks like)
+TEXT_EVENT_PROBES = [
+    "dedup_minhash_lsh",
+    "dedup_prefix_jaccard",
+    "dedup_repeated_passages",
+    "dedup_simhash",
+    "record_linkage_scores",
+    "tfidf_top_terms",
+    "tokenizer_oov_rate",
+    "text_quality_score",
+    "events_sliding_agg",
+    "events_sessionize",
+    "events_interval_coverage",
+    "range_join_event_windows",
+]
+
 # key column -> shift stride (must clear the sf0.1 max key; powers of 10
 # keep shifted ids readable when debugging)
 SHIFTS = {
@@ -64,28 +85,56 @@ SHIFTS = {
     "s_suppkey": 1_000_000,
     "vec_id": 1_000_000,
     "doc_id": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 1_000_000,
 }
 SHARED = {"nation", "region"}  # dims every copy points at unshifted
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents", "embeddings",
+    "orders", "lineitem", "documents", "embeddings", "events",
 ]
 
 
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
+    from amazon_sales_data_engineering_spark import tables as tbl
+
     for tb in TABLES:
         src = f"{SRC}/{tb}.parquet"
         if not os.path.exists(src):
             continue
-        df = spark.read.parquet(src)
+        # events may store TIMESTAMP(NANOS) at some SFs — go through the
+        # repo loader, which rebuilds a portable NTZ; the copy is then
+        # plain micros parquet every query can scan directly
+        df = tbl.table(spark, SRC, tb)
         out = f"{DST}/{tb}.parquet"
         if tb in SHARED:
             df.write.mode("overwrite").parquet(out)
             continue
         base = spark.range(COPIES).select(F.col("id").alias("__copy"))
         wide = df.crossJoin(F.broadcast(base))
+        if tb == "documents":
+            # Suffix every token with the copy id (copy 0 keeps the
+            # original text): within-copy shingle/token equality — and
+            # therefore the whole near-dup structure — replicates
+            # exactly, while cross-copy token sets are disjoint, so the
+            # corpus is 10 disjoint replicas instead of every document
+            # gaining 9 exact clones (which would measure a 10x-denser
+            # dup graph, not a 10x corpus).
+            tag = F.when(
+                F.col("__copy") == 0, F.lit("")
+            ).otherwise(F.concat(F.lit("q"), F.col("__copy").cast("string")))
+            wide = wide.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, tag),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
         if "embedding" in df.columns:
             # Rotate the vector by __copy positions: a permutation applied
             # to EVERY vector in a copy preserves all within-copy pairwise
