@@ -876,3 +876,174 @@ def ml_time_split_embargo(spark: SparkSession, sf_dir: str):
         F.min("sec").alias("first_sec"),
         F.max("sec").alias("last_sec"),
     )
+
+
+@register(
+    "split_neardup_safe",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+                ELSE [] END
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(h4 || '|' || h5) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+  JOIN sz sa ON sa.doc_id = c.id_a
+  JOIN sz sb ON sb.doc_id = c.id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.a, n.v FROM reach r JOIN und n ON r.b = n.u
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+tagged AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+long AS (
+  SELECT doc_id, cluster, 'cluster_keyed' AS method,
+         CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid' ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster,
+               ((cluster % 2147483648) * 2654435761) % 4294967296 % 10 AS h
+        FROM tagged)
+  UNION ALL
+  SELECT doc_id, cluster, 'id_keyed' AS method,
+         CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid' ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster,
+               ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 AS h
+        FROM tagged)
+),
+census AS (
+  SELECT method, split, COUNT(*) AS n_docs,
+         COUNT(DISTINCT cluster) AS n_clusters
+  FROM long GROUP BY 1, 2
+),
+leaks AS (
+  SELECT method,
+         CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_clusters
+  FROM (SELECT method, cluster, COUNT(DISTINCT split) AS ns
+        FROM long GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT c.method, c.split, c.n_docs, c.n_clusters, l.leaked_clusters
+FROM census c JOIN leaks l ON l.method = c.method
+""",
+    doc="NEAR-dup-cluster-safe train/valid/test split — the leakage guard "
+    "content-fingerprint folds (cv_folds_content_keyed) cannot give: a "
+    "paraphrased near-duplicate has a different md5 fingerprint and an "
+    "id-keyed or fingerprint-keyed split will happily put it in train "
+    "while its twin sits in test, silently inflating eval. Pipeline: "
+    "MinHash-LSH verified near-dup pairs -> connected components -> "
+    "every doc keyed by its CLUSTER representative -> split = Knuth "
+    "multiplicative hash of the cluster id (80/10/10). The output is "
+    "the reviewer artifact: per-split census for BOTH methods plus the "
+    "method's global leaked-cluster count — structurally 0 for the "
+    "cluster-keyed split, measurably positive for the naive id-keyed "
+    "split on any corpus with near-dups (pytest pins both, so the "
+    "guarantee is proven non-vacuous, not 0=0). Scale: the pair graph "
+    "is the banded-LSH shuffle (no all-pairs), components are the "
+    "one-job-per-round iterative operator, the split itself is a pure "
+    "map-side hash — no new shuffle class beyond the dedup family; the "
+    "census re-scans documents once per aggregate consumer rather than "
+    "checkpointing a corpus-sized intermediate. Oracle: same chain in "
+    "DuckDB with a recursive-CTE transitive closure.",
+    tags=("corpus", "ml", "dedup", "sampling", "graph"),
+)
+def split_neardup_safe(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import minhash_dedup_pairs
+    from ..operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, num_hashes=6, bands=3, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    tagged = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+        )
+    )
+
+    def _split(key):
+        h = (
+            ((key % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ) % F.lit(10)
+        return (
+            F.when(h < 8, F.lit("train"))
+            .when(h == 8, F.lit("valid"))
+            .otherwise(F.lit("test"))
+        )
+
+    long = tagged.select(
+        "doc_id",
+        "cluster",
+        _split(F.col("cluster")).alias("split_cluster"),
+        _split(F.col("doc_id")).alias("split_id"),
+    ).selectExpr(
+        "doc_id",
+        "cluster",
+        "stack(2, 'cluster_keyed', split_cluster, 'id_keyed', split_id)"
+        " AS (method, split)",
+    )
+    census = long.groupBy("method", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster").alias("n_clusters"),
+    )
+    leaks = (
+        long.groupBy("method", "cluster")
+        .agg(F.count_distinct("split").alias("ns"))
+        .groupBy("method")
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_clusters")
+        )
+    )
+    return census.join(F.broadcast(leaks), "method").select(
+        "method", "split", "n_docs", "n_clusters", "leaked_clusters"
+    )

@@ -43,6 +43,17 @@ def test_seeded_probes_nonempty(spark, name):
     assert REGISTRY[name].spark_fn(spark, SF_DIR).count() > 0
 
 
+def test_split_neardup_safe_nonvacuous(spark):
+    # The leakage guarantee must be proven against a counterfactual: the
+    # cluster-keyed split leaks exactly 0 clusters while the naive
+    # id-keyed split on the SAME corpus measurably leaks (> 0) — so the
+    # 0 is a structural guarantee, not an empty-pair-graph accident.
+    rows = REGISTRY["split_neardup_safe"].spark_fn(spark, SF_DIR).collect()
+    leaks = {r.method: r.leaked_clusters for r in rows}
+    assert leaks["cluster_keyed"] == 0
+    assert leaks["id_keyed"] > 0
+
+
 def test_registry_contract():
     import __spark_entry__ as e
 
