@@ -2964,3 +2964,118 @@ def returns_rate_by_price_band(spark: SparkSession, sf_dir: str):
         F.expr("SUM(returned) * 1000 DIV COUNT(*)").cast("bigint")
         .alias("return_permille"),
     )
+
+
+@register(
+    "quantile_sketch_binned",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS c FROM lineitem
+),
+b AS (
+  SELECT MIN(c) AS lo, MAX(c) - MIN(c) + 1 AS rng,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c
+),
+hist AS (
+  SELECT ((c.c - b.lo) * 256) // b.rng AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c, b GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([500, 900, 950, 990]) AS q_permille),
+j AS (
+  SELECT q.q_permille, h.bin, h.cnt, h.cum,
+         ((q.q_permille * b.n) + 999) // 1000 AS target_rank,
+         b.lo, b.rng
+  FROM qs q, cum h, b
+  WHERE h.cum >= ((q.q_permille * b.n) + 999) // 1000
+),
+pick AS (SELECT q_permille, MIN(bin) AS bin FROM j GROUP BY 1)
+SELECT CAST(p.q_permille AS INT) AS q_permille,
+       CAST(j.target_rank AS BIGINT) AS target_rank,
+       CAST(p.bin AS INT) AS bin,
+       CAST(j.lo + (p.bin * j.rng) // 256 AS BIGINT) AS est_cents,
+       j.cnt AS bin_count,
+       j.cum AS cum_le,
+       CAST((j.rng + 255) // 256 AS BIGINT) AS bound_cents
+FROM pick p
+JOIN j ON j.q_permille = p.q_permille AND j.bin = p.bin
+""",
+    doc="Mergeable fixed-width-histogram quantile sketch over "
+    "l_extendedprice — the missing member of the portable-sketch "
+    "family (Bloom membership, CMS frequency, HLL cardinality, and "
+    "now rank/quantile): p50/p90/p95/p99 from a 256-bin histogram "
+    "whose per-partition partials merge by plain ADDITION, i.e. the "
+    "map-side combine IS the sketch merge — build per shard/day, sum "
+    "the 256-int states, never rescan history, exactly how a 100 TB "
+    "pipeline tracks latency/price percentiles. Two passes: an exact "
+    "min/max/count aggregate (map-side, broadcast back) fixes the bin "
+    "domain, then one map-side-combinable histogram aggregate; the "
+    "256-row cumulative scan is a driver-scale window, not a data "
+    "window. Every number is fixed-point integer arithmetic — "
+    "floor(price*100) cents, integer bin = (c-lo)*256 div rng, "
+    "integer target rank = ceil-div — so estimate, per-bin count, and "
+    "the certified error bound (one bin width, bound_cents) are "
+    "bit-identical on any engine: an approximation algorithm with an "
+    "EXACTLY oracled answer. Rank guarantee: the true q-quantile lies "
+    "within [est_cents, est_cents + bound_cents).",
+    tags=("agg", "sketch", "quantile", "incremental"),
+)
+def quantile_sketch_binned(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("c")
+    )
+    b = li.agg(
+        F.min("c").alias("lo"),
+        (F.max("c") - F.min("c") + F.lit(1)).alias("rng"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        li.join(F.broadcast(b))
+        .select(
+            F.expr("((c - lo) * 256) div rng").alias("bin"),
+            "lo", "rng", "n",
+        )
+        .groupBy("bin", "lo", "rng", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qs = F.broadcast(
+        cum.sparkSession.range(1).select(
+            F.explode(
+                F.array(*[F.lit(x) for x in (500, 900, 950, 990)])
+            ).alias("q_permille")
+        )
+    )
+    j = (
+        cum.join(qs)
+        .withColumn(
+            "target_rank", F.expr("((q_permille * n) + 999) div 1000")
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    picked = j.groupBy("q_permille").agg(
+        F.min("bin").alias("bin"),
+        F.min_by("cnt", "bin").alias("bin_count"),
+        F.min_by("cum", "bin").alias("cum_le"),
+        F.max("target_rank").alias("target_rank"),
+        F.max("lo").alias("lo"),
+        F.max("rng").alias("rng"),
+    )
+    return picked.select(
+        F.col("q_permille").cast("int").alias("q_permille"),
+        F.col("target_rank").cast("bigint").alias("target_rank"),
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("lo") + F.expr("(bin * rng) div 256"))
+        .cast("bigint")
+        .alias("est_cents"),
+        F.col("bin_count").cast("bigint").alias("bin_count"),
+        F.col("cum_le").cast("bigint").alias("cum_le"),
+        F.expr("(rng + 255) div 256").cast("bigint").alias("bound_cents"),
+    )

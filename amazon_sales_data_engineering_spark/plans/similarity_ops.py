@@ -1712,3 +1712,87 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str):
         .filter(F.col("fused_rank") <= 10)
         .select("doc_id", "fused_rank", "score")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH qt AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT u.dim AS dim, u.v AS v FROM (
+    SELECT unnest([{'dim': i - 1, 'v': q[i]} FOR i IN range(1, len(q) + 1)])
+             AS u
+    FROM qt
+  )
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_fix,
+       CAST(MAX(v) AS BIGINT) AS max_fix,
+       CAST(SUM(v) AS BIGINT) AS sum_fix,
+       CAST(SUM(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS ss_fix,
+       (CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         / 1000000.0 AS mean_q
+FROM ex
+GROUP BY 1
+""",
+    doc="Per-DIMENSION embedding profile (count, min, max, sum, sum of "
+    "squares, mean) — the feature-drift / collapsed-dimension QA pass "
+    "that per-VECTOR profiles (embedding_norm_profile) cannot give: a "
+    "dimension whose min==max across the corpus is dead, one whose "
+    "mean drifts between snapshots signals an encoder change, and the "
+    "exact (sum, sumsq, n) triple is the mergeable state from which "
+    "any downstream consumer derives variance or a whitening "
+    "transform without rescanning. posexplode is a narrow columnar "
+    "flatten (rows x dims, no shuffle); the single map-side-combinable "
+    "groupBy(dim) has fixed output cardinality (= dims), so at 100 TB "
+    "the shuffle carries dims x partitions tiny partials — the "
+    "textbook sketch shape, and the (sum, sumsq) partials merge by "
+    "addition across shards/days. Determinism: components are "
+    "fixed-point quantized (floor(x*1e6), one exactly-rounded IEEE "
+    "multiply) so every aggregate is exact integer arithmetic — sums "
+    "in BIGINT (|v|<=2^21 holds to ~2^31 rows/dim), sum-of-squares in "
+    "DECIMAL(38,0) (headroom to ~1e12 rows); the mean is two "
+    "correctly-rounded int->double casts and two IEEE divisions with "
+    "pinned parenthesisation, bit-identical cross-engine for "
+    "|sum| < 2^53.",
+    tags=("similarity", "embedding", "profile", "sketch"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str):
+    e = t_cpu(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    ex = e.select(F.posexplode(qv).alias("dim", "v"))
+    vd = F.col("v").cast("decimal(19,0)")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_fix"),
+            F.max("v").alias("max_fix"),
+            F.sum("v").alias("sum_fix"),
+            F.sum(vd * vd).cast("decimal(38,0)").alias("ss_fix"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "min_fix",
+            "max_fix",
+            "sum_fix",
+            "ss_fix",
+            (
+                (
+                    F.col("sum_fix").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_q"),
+        )
+    )
