@@ -1069,23 +1069,16 @@ SELECT node, label FROM r2
     bench=True,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str):
-    from ..operators.graph import label_propagation_rounds
+    from ..operators.graph import cooccurrence_pairs, label_propagation_rounds
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    # No .distinct() here: label_propagation_rounds dedups (u, v) inside
+    # In-row pair generation (one hash agg + explode, no self-join sort)
+    # — orders have bounded basket size, the builder's precondition. No
+    # .distinct() here: label_propagation_rounds dedups (u, v) inside
     # its single edge-partitioning exchange, so a pre-distinct would be
     # one whole extra shuffle of the pair stream for nothing.
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"),
-        F.col("b.l_partkey").alias("dst"),
-    )
-    # symmetric=True: the a≠b self-join already emits both orientations
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    # symmetric=True: the u≠v generator already emits both orientations
     return label_propagation_rounds(edges, n_rounds=2, symmetric=True)
 
 
@@ -1149,23 +1142,16 @@ FROM comm c LEFT JOIN intra i ON i.label = c.label, tot
     tags=("graph", "iterative", "agg", "eval"),
 )
 def graph_community_modularity(spark: SparkSession, sf_dir: str):
-    from ..operators.graph import label_propagation_rounds
+    from ..operators.graph import cooccurrence_pairs, label_propagation_rounds
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .distinct()
         .persist()
     )
-    labels = label_propagation_rounds(edges, n_rounds=2)
+    # symmetric=True: the u≠v generator emits both orientations already
+    labels = label_propagation_rounds(edges, n_rounds=2, symmetric=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
