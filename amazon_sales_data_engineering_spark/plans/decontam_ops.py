@@ -432,3 +432,109 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str):
             "n_docs_in",
         )
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE length({_NORM_SQL})
+                       - length(replace({_NORM_SQL}, ' ', '')) + 1 END)
+              AS BIGINT) AS src_tokens,
+         COUNT(*) AS n_docs
+  FROM documents
+  GROUP BY 1
+), rooted AS (
+  SELECT source, n_docs, src_tokens,
+         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+           AS sqrt_milli
+  FROM per_source
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(sqrt_milli) AS BIGINT) AS total_sqrt
+  FROM rooted
+)
+SELECT r.source, r.n_docs, r.src_tokens,
+       CAST(floor((r.src_tokens * 1000000.0) / t.total_tokens) AS BIGINT)
+         AS p_ppm,
+       CAST(floor((r.sqrt_milli * 1000000.0) / t.total_sqrt) AS BIGINT)
+         AS q_ppm,
+       CAST(CASE WHEN r.src_tokens = 0 THEN 0
+            ELSE floor(((r.sqrt_milli * 1000000.0) / t.total_sqrt)
+                       * t.total_tokens / r.src_tokens) END AS BIGINT)
+         AS boost_ppm
+FROM rooted r, tot t
+""",
+    doc="Temperature-scaled mixture reweighting at tau = 1/2 — the "
+    "multilingual/multi-domain sampling rule (q_i proportional to "
+    "p_i^tau) that up-weights low-resource sources less aggressively "
+    "than full equalization (corpus_mix_weights' uniform target) and "
+    "more than natural sampling: the standard knob for multilingual "
+    "pre-training mixes. tau = 1/2 is chosen deliberately: p^0.5 is "
+    "sqrt, the ONE power IEEE-754 requires to be correctly rounded — "
+    "bit-identical on any engine — whereas arbitrary pow()/log() "
+    "routes through libm and is not gate-comparable. Each source's "
+    "sqrt(tokens) is fixed-point quantized (floor(sqrt*1000), exact "
+    "multiply + floor) BEFORE the normalizing sum, so the denominator "
+    "is an exact integer and natural share p_ppm, tempered share "
+    "q_ppm, and the per-source sampling boost (q/p) are deterministic "
+    "integer/single-division arithmetic. One map-side-combinable "
+    "aggregate over the corpus + a broadcast 1-row total — the "
+    "sources-sized output joins back (broadcast) against a "
+    "hash-sampler to enforce the mix, exactly like corpus_mix_apply.",
+    tags=("corpus", "sampling", "agg"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    norm = _NORM(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    rooted = (
+        d.groupBy("source")
+        .agg(
+            F.sum(ntok).alias("src_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn(
+            "sqrt_milli",
+            F.floor(F.sqrt(F.col("src_tokens").cast("double")) * F.lit(1000.0))
+            .cast("bigint"),
+        )
+    )
+    tot = rooted.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("sqrt_milli").alias("total_sqrt"),
+    )
+    q_ppm = F.floor(
+        (F.col("sqrt_milli") * F.lit(1000000.0)) / F.col("total_sqrt")
+    ).cast("bigint")
+    return rooted.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.floor(
+            (F.col("src_tokens") * F.lit(1000000.0)) / F.col("total_tokens")
+        )
+        .cast("bigint")
+        .alias("p_ppm"),
+        q_ppm.alias("q_ppm"),
+        F.when(F.col("src_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (
+                    (F.col("sqrt_milli") * F.lit(1000000.0))
+                    / F.col("total_sqrt")
+                )
+                * F.col("total_tokens")
+                / F.col("src_tokens")
+            ).cast("bigint")
+        )
+        .alias("boost_ppm"),
+    )

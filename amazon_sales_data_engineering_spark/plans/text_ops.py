@@ -1086,3 +1086,79 @@ def text_hapax_richness(spark: SparkSession, sf_dir: str):
             "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000 DIV COUNT(*)"
         ).cast("bigint").alias("hapax_vocab_permille"),
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+              ELSE length({_NORM})
+                   - length(replace({_NORM}, ' ', '')) + 1 END
+              AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_words) AS BIGINT) AS ws_words,
+       CAST(CASE WHEN SUM(n_words) = 0 THEN 0
+            ELSE (SUM(n_bpe) * 1000) // SUM(n_words) END AS BIGINT)
+         AS fertility_milli
+FROM per_doc
+GROUP BY 1
+""",
+    doc="Tokenizer FERTILITY per language — BPE-ish tokens emitted per "
+    "whitespace word (the standard multilingual-tokenizer QA metric: "
+    "fertility far above the English baseline means the vocabulary "
+    "under-serves that language, inflating sequence lengths and "
+    "training cost; the mT5/XLM-R papers track exactly this ratio "
+    "when sizing multilingual vocabularies). Numerator reuses "
+    "text_bpe_tokens' pre-tokenizer split (letter runs | digit runs | "
+    "single punctuation), denominator text_token_stats' whitespace "
+    "count, both computed in the same narrow scan; the per-language "
+    "roll-up is one map-side-combinable aggregate with the ratio as "
+    "exact integer milli-units (floor division) — engine-portable, no "
+    "float crosses the aggregation. Pairs with tokenizer_oov_rate "
+    "(coverage) to give the two halves of tokenizer QA.",
+    tags=("text", "tokenize", "agg"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    norm = F.trim(F.regexp_replace(lower, r"\s+", " "))
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            lower, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("bigint")
+    n_words = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_words").alias("ws_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "bpe_tokens",
+            "ws_words",
+            F.when(F.col("ws_words") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("(bpe_tokens * 1000) div ws_words").cast("bigint")
+            )
+            .alias("fertility_milli"),
+        )
+    )
