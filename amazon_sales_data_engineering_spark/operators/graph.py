@@ -254,6 +254,105 @@ def pagerank_rounds(
     return out
 
 
+def personalized_pagerank_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 2,
+    damping_pct: int = 85,
+    scale: int = 10**15,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to the SEED set)
+    in the same fixed-point integer arithmetic as ``pagerank_rounds`` —
+    the relevance/recommendation variant: mass teleports back to
+    ``seeds`` (a DataFrame with one ``node`` column) instead of the
+    uniform vector, so ranks measure proximity to the seeds, not global
+    centrality.
+
+    Differences from global PageRank, both exact and both load-bearing
+    at scale:
+
+    - start = scale div |S| on seeds, 0 elsewhere; teleport mass
+      (100-d)·scale div (100·|S|) is added ONLY on seed rows.
+    - rows with pr_fixed = 0 are filtered before the contribution join
+      — a zero rank contributes exactly 0, so this is an identity, and
+      it is the PPR frontier property: round r touches only nodes
+      within r hops of a seed, so early-round shuffles are
+      neighborhood-sized, not graph-sized (the reason PPR scales to
+      huge graphs when the query is local).
+
+    All other discipline (persisted edge list, shuffle_hash build-side
+    pins, map-side-combinable integer SUM, nodes-sized output,
+    localCheckpoint + cache release) is inherited. Returns (node,
+    is_seed BOOLEAN, ppr_fixed BIGINT, ppr DOUBLE)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    s = seeds.select("node").distinct()
+    ns = s.agg(F.count(F.lit(1)).alias("n_seeds"))
+    pr = (
+        nodes.join(
+            F.broadcast(s.withColumn("is_seed", F.lit(True))), "node", "left"
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            F.when(
+                F.col("is_seed"),
+                F.expr(f"CAST({scale} AS BIGINT) DIV n_seeds"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("pr_fixed"),
+            "n_seeds",
+        )
+    )
+    teleport = (
+        f"({100 - damping_pct} * CAST({scale} AS BIGINT)) DIV (100 * n_seeds)"
+    )
+    for _ in range(n_rounds):
+        contrib = (
+            e.join(
+                pr.filter(F.col("pr_fixed") > 0)
+                .select(F.col("node").alias("src"), "pr_fixed")
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .join(deg.hint("shuffle_hash"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr_fixed DIV outdeg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            pr.select("node", "is_seed", "n_seeds")
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                F.expr(
+                    f"CASE WHEN is_seed THEN {teleport} ELSE CAST(0 AS BIGINT) END"
+                    f" + ({damping_pct} * COALESCE(s, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("pr_fixed"),
+                "n_seeds",
+            )
+        )
+    out = pr.select(
+        "node",
+        "is_seed",
+        F.col("pr_fixed").alias("ppr_fixed"),
+        (F.col("pr_fixed") / F.lit(float(scale))).alias("ppr"),
+    ).localCheckpoint()
+    e.unpersist()
+    return out
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph ``edges``, via
     degree orientation (the MapReduce-era Suri–Vassilvitskii shape).

@@ -3084,3 +3084,89 @@ def quantile_sketch_binned(spark: SparkSession, sf_dir: str):
         F.col("cum_le").cast("bigint").alias("cum_le"),
         F.expr("(rng + 255) div 256").cast("bigint").alias("bound_cents"),
     )
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), seeds AS (
+  SELECT src AS node FROM (
+    SELECT src, row_number() OVER (ORDER BY COUNT(*) DESC, src ASC) AS rn
+    FROM e GROUP BY src
+  ) WHERE rn <= 3
+), pr0 AS (
+  SELECT n.node, s.node IS NOT NULL AS is_seed,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(1000000000000000 AS BIGINT) // 3
+              ELSE CAST(0 AS BIGINT) END AS pf
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+), c1 AS (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr0 p ON p.node = e.src AND p.pf > 0
+         JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr1 AS (
+  SELECT p.node, p.is_seed,
+         CASE WHEN p.is_seed
+              THEN (15 * CAST(1000000000000000 AS BIGINT)) // 300
+              ELSE CAST(0 AS BIGINT) END
+         + (85 * COALESCE(c1.s, 0)) // 100 AS pf
+  FROM pr0 p LEFT JOIN c1 ON c1.node = p.node
+), c2 AS (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr1 p ON p.node = e.src AND p.pf > 0
+         JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr2 AS (
+  SELECT p.node, p.is_seed,
+         CASE WHEN p.is_seed
+              THEN (15 * CAST(1000000000000000 AS BIGINT)) // 300
+              ELSE CAST(0 AS BIGINT) END
+         + (85 * COALESCE(c2.s, 0)) // 100 AS pf
+  FROM pr1 p LEFT JOIN c2 ON c2.node = p.node
+)
+SELECT node, is_seed, CAST(pf AS BIGINT) AS ppr_fixed,
+       CAST(pf AS DOUBLE) / CAST(1000000000000000 AS DOUBLE) AS ppr
+FROM pr2
+""",
+    doc="Personalized PageRank — random walk with restart to the 3 "
+    "highest-degree parts (ties to the lower id: a deterministic seed "
+    "rule), two synchronous rounds over the co-purchase graph. The "
+    "recommendation-relevance twin of pagerank_copurchase: teleport "
+    "mass returns to the SEEDS, so ranks measure proximity to the "
+    "seed neighborhood, not global centrality. Same fixed-point 1e-15 "
+    "integer arithmetic (bit-identical cross-engine, map-side "
+    "combinable SUM), plus the PPR-specific scale property: zero-rank "
+    "nodes are filtered before the contribution join (an exact "
+    "identity — zero contributes zero), so round r's join touches "
+    "only the r-hop seed neighborhood — neighborhood-sized shuffles, "
+    "the reason walk-with-restart scales to huge graphs for local "
+    "queries. Oracle unrolls both rounds with naive full-table "
+    "left-join merges — a structurally different plan that must agree "
+    "bit-for-bit.",
+    tags=("graph", "iterative", "join", "agg"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import cooccurrence_pairs, personalized_pagerank_rounds
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey").distinct()
+    edges = edges.persist()
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .orderBy(F.col("outdeg").desc(), F.col("node").asc())
+        .limit(3)
+        .select("node")
+    )
+    out = personalized_pagerank_rounds(edges, seeds, n_rounds=2)
+    edges.unpersist()
+    return out
