@@ -1796,3 +1796,135 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str):
             ).alias("mean_q"),
         )
     )
+
+
+@register(
+    "embedding_power_iteration",
+    oracle="""
+WITH qt AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, u.dim AS dim, u.v AS v FROM (
+    SELECT vec_id,
+           unnest([{'dim': i - 1, 'v': q[i]} FOR i IN range(1, len(q) + 1)])
+             AS u
+    FROM qt
+  )
+),
+y1 AS (
+  SELECT vec_id, 1000 * SUM(v) AS y FROM ex GROUP BY 1
+),
+z1 AS (
+  SELECT dim, SUM(CAST(y1.y AS HUGEINT) * ex.v) AS z
+  FROM ex JOIN y1 ON y1.vec_id = ex.vec_id
+  GROUP BY 1
+),
+m1 AS (SELECT GREATEST(MAX(abs(z)), 1) AS m FROM z1),
+w1 AS (
+  SELECT dim,
+         CAST(CASE WHEN z < 0 THEN -((abs(z) * 1000) // m1.m)
+              ELSE (z * 1000) // m1.m END AS BIGINT) AS w
+  FROM z1, m1
+),
+y2 AS (
+  SELECT ex.vec_id, SUM(ex.v * w1.w) AS y
+  FROM ex JOIN w1 ON w1.dim = ex.dim
+  GROUP BY 1
+),
+z2 AS (
+  SELECT dim, SUM(CAST(y2.y AS HUGEINT) * ex.v) AS z
+  FROM ex JOIN y2 ON y2.vec_id = ex.vec_id
+  GROUP BY 1
+),
+m2 AS (SELECT GREATEST(MAX(abs(z)), 1) AS m FROM z2)
+SELECT CAST(z2.dim AS INT) AS dim,
+       CAST(CASE WHEN z2.z < 0 THEN -((abs(z2.z) * 1000) // m2.m)
+            ELSE (z2.z * 1000) // m2.m END AS BIGINT) AS weight_milli,
+       CAST(m2.m AS DECIMAL(38,0)) AS norm_scale
+FROM z2, m2
+""",
+    doc="Distributed POWER ITERATION: two rounds of w <- A'Aw over the "
+    "embedding matrix (uncentered Gram), yielding the dominant "
+    "principal direction in exact arithmetic — the building block of "
+    "PCA/whitening/spectral methods done Spark-first, no MLlib, no "
+    "driver-side matrix. Each round is two map-side-combinable "
+    "aggregates: y = Av (row-keyed: per-vector dot with the broadcast "
+    "64-row weight vector) then z = A'y (dim-keyed, fixed output "
+    "cardinality = dims) — never materializing the dims x dims Gram, "
+    "so the shape scales to any row count and is exactly how one "
+    "computes top-k components at 100 TB. Determinism by "
+    "construction: components fixed-point quantized (floor(x*1e6)), "
+    "the A'y accumulation in DECIMAL(38,0) (headroom ~1e12 rows), and "
+    "the per-round renormalization divides by max|z| in SIGN-SPLIT "
+    "integer floor division (truncation-vs-floor never disagrees on "
+    "non-negative operands — the cross-engine '//' trap), so the "
+    "milli-unit weight vector is bit-identical on any engine. w0 = "
+    "all-ones pins the eigenvector sign. Oracle replays both rounds "
+    "over HUGEINT in DuckDB.",
+    tags=("similarity", "embedding", "iterative", "agg"),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str):
+    e = t_cpu(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    ex = e.select(
+        "vec_id", F.posexplode(qv).alias("dim", "v")
+    ).persist()
+
+    def zstep(y):
+        # z = A'y: join the per-row scalar back, accumulate per dim in
+        # DECIMAL(38,0); fixed output cardinality (= dims).
+        return (
+            ex.join(y.hint("shuffle_hash"), "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("y").cast("decimal(19,0)")
+                    * F.col("v").cast("decimal(19,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("z")
+            )
+        )
+
+    def normalize(z):
+        m = z.agg(
+            F.greatest(F.max(F.abs(F.col("z"))), F.lit(1).cast("decimal(38,0)"))
+            .alias("m")
+        )
+        return z.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.when(
+                F.col("z") < 0,
+                -F.expr("(abs(z) * 1000) div m"),
+            )
+            .otherwise(F.expr("(z * 1000) div m"))
+            .cast("bigint")
+            .alias("w"),
+            F.col("m"),
+        )
+
+    # round 1: w0 = all-ones => y1 = 1000 * sum(v) per row
+    y1 = ex.groupBy("vec_id").agg((F.lit(1000) * F.sum("v")).alias("y"))
+    w1 = normalize(zstep(y1)).select("dim", "w")
+    # round 2: y2 = A w1 via the broadcast 64-row weight vector
+    y2 = (
+        ex.join(F.broadcast(w1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("y"))
+    )
+    zn = normalize(zstep(y2))
+    out = zn.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("w").alias("weight_milli"),
+        F.col("m").cast("decimal(38,0)").alias("norm_scale"),
+    ).localCheckpoint()
+    ex.unpersist()
+    return out
