@@ -1162,3 +1162,119 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str):
             .alias("fertility_milli"),
         )
     )
+
+
+@register(
+    "search_bm25_rational",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+         CAST(COUNT(*) AS BIGINT) AS d_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), q AS (SELECT unnest(['hash', 'merge', 'window']) AS term),
+df AS (
+  SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf JOIN q ON q.term = tf.term GROUP BY 1
+), idf AS (
+  SELECT df.term,
+         ((2 * (tot.d_docs - df.df) + 1) * 1000000) // (2 * df.df + 1)
+           AS idf_ppm
+  FROM df, tot
+), per_term AS (
+  SELECT tf.doc_id, tf.term,
+         (idf.idf_ppm
+          * ((44 * tf.tf * 1000000)
+             // (20 * tf.tf * 1000000 + 6000000
+                 + 18 * ((dl.dl * 1000000)
+                         // (tot.t_tokens // tot.d_docs)))))
+         // 1000000 AS term_score_ppm
+  FROM tf
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(term_score_ppm) AS BIGINT) AS score_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM per_term GROUP BY 1
+)
+SELECT doc_id, score_ppm, n_terms_hit
+FROM scored
+ORDER BY score_ppm DESC, doc_id ASC
+LIMIT 10
+""",
+    doc="BM25 ranking in EXACT RATIONAL arithmetic — the IR-standard "
+    "lexical scorer with both of its signature mechanics intact: tf "
+    "SATURATION (k1 = 6/5: a term's 50th occurrence adds almost "
+    "nothing) and document-LENGTH normalization (b = 3/4: long docs "
+    "don't win by volume), neither of which the plain idf-weighted "
+    "scorer (search_inverted_index) has. With k1, b as exact "
+    "fractions the saturation factor tf*(k1+1) / (tf + k1*(1-b+"
+    "b*dl/avgdl)) clears to the integer ratio 44*tf*1e6 / (20*tf*1e6 "
+    "+ 6e6 + 18*dl_rel_ppm) where dl_rel_ppm = dl*D*1e6 div T — all "
+    "64-bit integer multiplies and floor divisions, bit-identical on "
+    "any engine. The idf factor is the raw Robertson odds ratio "
+    "(N-df+0.5)/(df+0.5) in ppm (fraction-cleared to (2(N-df)+1)/"
+    "(2df+1)) WITHOUT the log: log is libm territory (not gate-"
+    "comparable, see plans/registry.py) — per-term ranking is "
+    "unchanged (log is monotone) and multi-term sums weight rare "
+    "terms more sharply than log-BM25, a documented, deterministic "
+    "tradeoff. Shape at scale: posting-list tf aggregate, 3-row "
+    "broadcast idf, doc-keyed length join, global top-10 as "
+    "TakeOrderedAndProject (per-partition top-k + driver merge of "
+    "k*partitions rows).",
+    tags=("text", "search", "topk"),
+)
+def search_bm25_rational(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).alias("d_docs"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit("hash"), F.lit("merge"), F.lit("window")))
+        .alias("term")
+    )
+    df_ = tf.join(F.broadcast(q), "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = df_.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.expr("((2 * (d_docs - df) + 1) * 1000000) div (2 * df + 1)").alias(
+            "idf_ppm"
+        ),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_ppm * ((44 * tf * 1000000)"
+                " div (20 * tf * 1000000 + 6000000"
+                " + 18 * ((dl * 1000000) div (t_tokens div d_docs)))))"
+                " div 1000000"
+            ).alias("term_score_ppm"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("term_score_ppm").cast("bigint").alias("score_ppm"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return scored.orderBy(F.col("score_ppm").desc(), F.col("doc_id")).limit(10)
