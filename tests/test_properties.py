@@ -655,3 +655,50 @@ def test_auto_lsh_bits_scales_with_corpus():
     # never shrinks below the recall floor
     assert auto_lsh_bits(10, 4, 125) == 4
     assert auto_lsh_bits(126, 4, 1) == 7
+
+
+groups_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=groups_st)
+def test_cooccurrence_pairs_matches_self_join(spark, rows):
+    """The in-row pair builder must emit exactly the multiset of pairs
+    the classic self-join produces — both orientations (ordered=False)
+    and each-once (ordered=True) — since it now feeds LPA, modularity,
+    SSSP, and personalized PageRank."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "g int, item int")
+
+    # Python reference over DISTINCT items per group (collect_set).
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for g, i in rows:
+        groups[g].add(i)
+    both, once = Counter(), Counter()
+    for items in groups.values():
+        for u in items:
+            for v in items:
+                if u != v:
+                    both[(u, v)] += 1
+                    if u < v:
+                        once[(u, v)] += 1
+
+    got_both = Counter(
+        (r.src, r.dst)
+        for r in cooccurrence_pairs(df, "g", "item", ordered=False).collect()
+    )
+    got_once = Counter(
+        (r.src, r.dst)
+        for r in cooccurrence_pairs(df, "g", "item", ordered=True).collect()
+    )
+    assert got_both == both
+    assert got_once == once
