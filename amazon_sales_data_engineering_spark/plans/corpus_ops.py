@@ -1047,3 +1047,90 @@ def split_neardup_safe(spark: SparkSession, sf_dir: str):
     return census.join(F.broadcast(leaks), "method").select(
         "method", "split", "n_docs", "n_clusters", "leaked_clusters"
     )
+
+
+@register(
+    "corpus_dedup_inflation",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+         CAST(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   - length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', ''))
+                   + 1 END AS BIGINT) AS n_tok
+  FROM documents
+), keep AS (
+  SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1
+)
+SELECT fp.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN fp.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keepers,
+       CAST(SUM(fp.n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN fp.doc_id = k.keep_id THEN fp.n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       CAST(CASE WHEN SUM(fp.n_tok) = 0 THEN 0
+            ELSE ((SUM(fp.n_tok)
+                   - SUM(CASE WHEN fp.doc_id = k.keep_id THEN fp.n_tok
+                         ELSE 0 END)) * 1000000) // SUM(fp.n_tok) END
+            AS BIGINT) AS dup_overhead_ppm
+FROM fp JOIN keep k ON k.f = fp.f
+GROUP BY 1
+""",
+    doc="Dedup-savings census per source — the budget artifact a corpus "
+    "owner signs off on before a training run: how many tokens each "
+    "source contributes RAW vs after GLOBAL exact dedup (keeper = "
+    "min-id per content fingerprint, the dedup_exact rule), and the "
+    "duplicate overhead in ppm. Because clusters are global while the "
+    "census is per-source, cross-source syndication shows up exactly "
+    "where it burns budget: a source whose docs lose keeper elections "
+    "to earlier ids in another source reports high overhead — the "
+    "signal for re-ordering ingestion priority or dropping a mirror. "
+    "Shape: the dedup_exact aggregate (fingerprint-keyed, map-side "
+    "combinable), one fingerprint-keyed join back, one source-keyed "
+    "roll-up — no new shuffle class; all-integer outputs (token "
+    "counts + floor-div ppm).",
+    tags=("corpus", "dedup", "agg", "reporting"),
+)
+def corpus_dedup_inflation(spark: SparkSession, sf_dir: str):
+    from ..functions.text import fingerprint
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = _NORM_SPARK(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        )
+        .cast("bigint")
+    )
+    fp = d.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("f"),
+        ntok.alias("n_tok"),
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    joined = fp.join(keep.hint("shuffle_hash"), "f")
+    is_keep = (F.col("doc_id") == F.col("keep_id")).cast("int")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_keep).cast("bigint").alias("n_keepers"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.col("n_tok") * is_keep).cast("bigint").alias("tokens_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keepers",
+        "tokens_total",
+        "tokens_kept",
+        F.when(F.col("tokens_total") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "((tokens_total - tokens_kept) * 1000000) div tokens_total"
+            ).cast("bigint")
+        )
+        .alias("dup_overhead_ppm"),
+    )
