@@ -668,3 +668,107 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         q.stop()
     _ = Window  # (imported for symmetry with the oracle's formulation)
     return spark.read.parquet(state)
+
+
+@register(
+    "streaming_quantile_sketch",
+    oracle="""
+WITH h AS (
+  SELECT ((event_id % 2147483648) * 2654435761) % 51200 AS vfix FROM events
+),
+hist AS (
+  SELECT vfix // 200 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM hist
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+qs AS (SELECT unnest([500, 900, 950, 990]) AS q_permille),
+j AS (
+  SELECT q.q_permille, c.bin, c.cnt, c.cum,
+         ((q.q_permille * n.n) + 999) // 1000 AS target_rank
+  FROM qs q, cum c, n
+  WHERE c.cum >= ((q.q_permille * n.n) + 999) // 1000
+),
+pick AS (SELECT q_permille, MIN(bin) AS bin FROM j GROUP BY 1)
+SELECT CAST(p.q_permille AS INT) AS q_permille,
+       CAST(j.target_rank AS BIGINT) AS target_rank,
+       CAST(p.bin AS INT) AS bin,
+       CAST(p.bin * 200 AS BIGINT) AS est_fix,
+       j.cnt AS bin_count,
+       j.cum AS cum_le
+FROM pick p JOIN j ON j.q_permille = p.q_permille AND j.bin = p.bin
+""",
+    doc="Streaming/batch equivalence #8 — the MERGEABLE-SKETCH path: the "
+    "fixed-domain 256-bin histogram (quantile_sketch_binned's state, "
+    "but with the domain declared A PRIORI, as a streaming sketch must "
+    "be — there is no second pass over a stream to learn min/max) "
+    "accumulates across the three-file replay in COMPLETE mode, and "
+    "the quantiles read from the drained state must equal the batch "
+    "oracle's. This is the property the batch twin claims ('partials "
+    "merge by addition') proven under real micro-batched execution: "
+    "Spark's stateful HashAggregate IS the sketch merge, batch "
+    "boundaries are merge boundaries, and integer bin counts make the "
+    "result batching-proof. The binned value is a Knuth-hash surrogate "
+    "of event_id (the replay schema carries ids, not amounts) — "
+    "deterministic on both engines, uniform over the declared [0, "
+    "51200) fixed-point domain; p50/p90/p95/p99 selection over the "
+    "256-row drained state is driver-scale arithmetic.",
+    tags=("streaming", "sketch", "quantile", "agg"),
+)
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.ingest import stream_source
+
+    src = stream_source(
+        spark,
+        _write_replay(spark, sf_dir, owner="qsketch"),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    hist = (
+        src.select(
+            F.expr(
+                "(((event_id % 2147483648) * 2654435761) % 51200) div 200"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    final = _drain(hist, "complete")
+    n = final.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = final.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+    qs = F.broadcast(
+        spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(x) for x in (500, 900, 950, 990)])
+            ).alias("q_permille")
+        )
+    )
+    j = (
+        cum.crossJoin(F.broadcast(n))
+        .join(qs)
+        .withColumn(
+            "target_rank", F.expr("((q_permille * n) + 999) div 1000")
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    picked = j.groupBy("q_permille").agg(
+        F.min("bin").alias("bin"),
+        F.min_by("cnt", "bin").alias("bin_count"),
+        F.min_by("cum", "bin").alias("cum_le"),
+        F.max("target_rank").alias("target_rank"),
+    )
+    return picked.select(
+        F.col("q_permille").cast("int").alias("q_permille"),
+        F.col("target_rank").cast("bigint").alias("target_rank"),
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("bin") * F.lit(200)).cast("bigint").alias("est_fix"),
+        F.col("bin_count").cast("bigint").alias("bin_count"),
+        F.col("cum_le").cast("bigint").alias("cum_le"),
+    )
