@@ -3028,6 +3028,7 @@ JOIN j ON j.q_permille = p.q_permille AND j.bin = p.bin
     "EXACTLY oracled answer. Rank guarantee: the true q-quantile lies "
     "within [est_cents, est_cents + bound_cents).",
     tags=("agg", "sketch", "quantile", "incremental"),
+    bench=True,
 )
 def quantile_sketch_binned(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem").select(

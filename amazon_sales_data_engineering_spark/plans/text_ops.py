@@ -1231,6 +1231,7 @@ LIMIT 10
     "TakeOrderedAndProject (per-partition top-k + driver merge of "
     "k*partitions rows).",
     tags=("text", "search", "topk"),
+    bench=True,
 )
 def search_bm25_rational(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
