@@ -1559,3 +1559,85 @@ def slo_error_burn_hours(spark: SparkSession, sf_dir: str):
         F.expr("tot_err * 1000 DIV tot_all").cast("bigint")
         .alias("overall_error_permille"),
     )
+
+
+@register(
+    "events_pattern_regex",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         substring(event_type, 1, 1) AS sym,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), seqs AS (
+  SELECT user_id,
+         array_to_string(list(sym ORDER BY sec, event_id), '') AS seq
+  FROM e GROUP BY 1
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_browse_buy,
+       CAST(len(regexp_extract_all(seq, 'e+p')) AS BIGINT) AS n_error_recovery,
+       substring(seq, 1, 1) = 's' AS started_signup,
+       CAST(COALESCE(list_max(list_transform(
+              regexp_extract_all(seq, 'c+'), x -> length(x))), 0) AS BIGINT)
+         AS longest_click_run
+FROM seqs
+""",
+    doc="CEP-style sequence pattern matching — the MATCH_RECOGNIZE "
+    "analogue: each user's time-ordered event history is symbolized "
+    "to one character per event (the five types have distinct "
+    "initials) and CEP patterns become plain REGEXES over the "
+    "per-user string: 'vc*p' counts browse-to-buy conversions "
+    "(view, any clicks, purchase), 'e+p' counts error-recovery "
+    "purchases, an anchor tests signup-first onboarding, and "
+    "max-len('c+') extracts the longest click streak. Ordering is "
+    "made deterministic by the (sec, event_id) tiebreak — without "
+    "the unique-id tiebreak, same-second events would make the "
+    "symbol string engine-dependent and the gate would flap. Shape "
+    "at scale: one user-keyed sort-aggregate builds the bounded "
+    "per-user string in-row (same precondition as "
+    "events_common_paths: per-entity history is bounded); the regex "
+    "pass is a narrow JVM-side map — no joins, no state machine "
+    "operator, leftmost non-overlapping match semantics identical "
+    "across engines. Counts are exact integers.",
+    tags=("events", "pattern", "text"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sec", "event_id", "sym"))
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    runs = F.regexp_extract_all(F.col("seq"), F.lit("c+"), F.lit(0))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.regexp_count(F.col("seq"), F.lit("vc*p"))
+        .cast("bigint")
+        .alias("n_browse_buy"),
+        F.regexp_count(F.col("seq"), F.lit("e+p"))
+        .cast("bigint")
+        .alias("n_error_recovery"),
+        (F.substring("seq", 1, 1) == "s").alias("started_signup"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("longest_click_run"),
+    )
