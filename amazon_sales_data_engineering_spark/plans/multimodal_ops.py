@@ -154,3 +154,82 @@ def multimodal_patch_plan(spark: SparkSession, sf_dir: str):
         F.sum("pad_x").cast("bigint").alias("pad_x_total"),
         F.sum("pad_y").cast("bigint").alias("pad_y_total"),
     )
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+WITH wav AS (
+  SELECT doc_id,
+         CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+         ((100 + doc_id % 50) * 1000) // (8000 * (1 + doc_id % 3))
+           AS duration_ms
+  FROM documents WHERE doc_id % 2 = 1
+), framed AS (
+  SELECT channels, sample_rate, duration_ms,
+         (duration_ms * sample_rate) // 1000 AS nsamp
+  FROM wav
+), stft AS (
+  SELECT channels, sample_rate, duration_ms,
+         CASE WHEN nsamp >= 64 THEN 1 + (nsamp - 64) // 32
+              ELSE 0 END AS n_stft
+  FROM framed
+), tok AS (
+  SELECT channels, sample_rate, duration_ms, n_stft,
+         (n_stft + 1) // 2 AS pairs
+  FROM stft
+)
+SELECT sample_rate, channels,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(pairs + 1) AS BIGINT) AS total_tokens,
+       CAST(SUM(pairs * 2 - n_stft) AS BIGINT) AS pad_frames_total,
+       CAST(SUM(duration_ms) AS BIGINT) AS duration_ms_total
+FROM tok
+GROUP BY 1, 2
+""",
+    doc="Audio-tokenizer batch planning downstream of the REAL decode "
+    "path — the audio twin of multimodal_patch_plan: the spec-valid "
+    "RIFF/WAVE payloads are synthesized and chunk-walked "
+    "(multimodal.binary_ops, Arrow mapInPandas), then each clip's "
+    "STFT framing is computed from the RECOVERED sample_rate + "
+    "duration_ms (win=64 samples, hop=32 — toy-scaled constants, the "
+    "framing arithmetic is the real plan), frames pair-downsampled "
+    "into tokens (+1 CLS) exactly how speech encoders size "
+    "sequences, and rolled up per (sample_rate, channels) device "
+    "class with total token count and pad waste. Everything after "
+    "the two narrow mapInPandas stages is integer built-ins in "
+    "codegen; one small aggregate. The oracle predicts the whole "
+    "pipeline from doc_id byte-arithmetic (the decoder is the "
+    "identity on the synthesizer's header fields, proven by "
+    "multimodal_decode_media) — including the deliberate "
+    "duration->samples round-trip floor, which is part of the "
+    "recovered-metadata contract.",
+    tags=("multimodal", "decode", "packing", "agg"),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_media_meta(synthesize_media(d, "doc_id"), "doc_id", "payload")
+    wav = meta.filter(F.col("format") == "wav").select(
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
+    nsamp = F.expr("(duration_ms * sample_rate) DIV 1000")
+    n_stft = F.when(
+        nsamp >= 64,
+        F.lit(1)
+        + F.expr("((duration_ms * sample_rate) DIV 1000 - 64) DIV 32"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    pairs = F.expr("(n_stft + 1) DIV 2")
+    tok = wav.select(
+        "channels", "sample_rate", "duration_ms", n_stft.alias("n_stft")
+    ).withColumn("pairs", pairs)
+    return tok.groupBy("sample_rate", "channels").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("pairs") + 1).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("pairs") * 2 - F.col("n_stft"))
+        .cast("bigint")
+        .alias("pad_frames_total"),
+        F.sum("duration_ms").cast("bigint").alias("duration_ms_total"),
+    )
