@@ -1717,14 +1717,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
     )
 
 
-def _hll_regs(u):
-    """(event_type, bucket, reg) register table from distinct keys ``u``
-    (event_type, k) — the mergeable sketch state: registers from two
+def _hll_regs(u, key="event_type"):
+    """(key, bucket, reg) register table from distinct keys ``u``
+    (key, k) — the mergeable sketch state: registers from two
     disjoint key sets combine by per-bucket MAX."""
     hashed = u.select(
-        "event_type", F.md5(F.col("k").cast("string")).alias("h")
+        key, F.md5(F.col("k").cast("string")).alias("h")
     ).select(
-        "event_type",
+        key,
         (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % 64)
         .alias("bucket"),
         F.conv(F.substring("h", 3, 12), 16, 10).cast("bigint").alias("v"),
@@ -1736,8 +1736,8 @@ def _hll_regs(u):
         F.lit(40),
     )
     return (
-        hashed.select("event_type", "bucket", rank.alias("rank"))
-        .groupBy("event_type", "bucket")
+        hashed.select(key, "bucket", rank.alias("rank"))
+        .groupBy(key, "bucket")
         .agg(F.max("rank").cast("bigint").alias("reg"))
     )
 
@@ -1751,8 +1751,8 @@ _HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107,
            5, 4, 3, 2, 1, 0]
 
 
-def _hll_estimate(spark, types_df, regs):
-    """Fold a register table into (event_type, r_max, s, n_empty,
+def _hll_estimate(spark, types_df, regs, key="event_type"):
+    """Fold a register table into (key, r_max, s, n_empty,
     raw_est, hll_est) — raw alpha*m^2 estimator with the linear-counting
     small-range switch, all integer arithmetic."""
     from pyspark.sql import Window
@@ -1760,13 +1760,13 @@ def _hll_estimate(spark, types_df, regs):
     grid = (
         types_df
         .crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
-        .join(regs, ["event_type", "bucket"], "left")
-        .select("event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+        .join(regs, [key, "bucket"], "left")
+        .select(key, F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
     )
-    wmax = Window.partitionBy("event_type")
+    wmax = Window.partitionBy(key)
     summed = (
         grid.withColumn("rmax", F.max("reg").over(wmax))
-        .groupBy("event_type")
+        .groupBy(key)
         .agg(
             F.max("rmax").cast("bigint").alias("r_max"),
             F.sum(
@@ -1774,7 +1774,7 @@ def _hll_estimate(spark, types_df, regs):
             ).cast("bigint").alias("s"),
         )
     )
-    empties = grid.groupBy("event_type").agg(
+    empties = grid.groupBy(key).agg(
         F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("bigint")
         .alias("n_empty")
     )
@@ -1783,13 +1783,13 @@ def _hll_estimate(spark, types_df, regs):
         " DIV (1000 * s)"
     ).cast("bigint")
     lc_table = F.array(*[F.lit(v).cast("bigint") for v in _HLL_LC])
-    out = summed.join(empties, "event_type").withColumn("raw_est", raw_est)
+    out = summed.join(empties, key).withColumn("raw_est", raw_est)
     corrected = F.when(
         (F.col("n_empty") > 0) & (F.col("raw_est") < 160),
         F.element_at(lc_table, F.col("n_empty").cast("int")),
     ).otherwise(F.col("raw_est"))
     return out.select(
-        "event_type", "r_max", "s", "n_empty", "raw_est",
+        key, "r_max", "s", "n_empty", "raw_est",
         corrected.cast("bigint").alias("hll_est"),
     )
 
@@ -3171,3 +3171,114 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str):
     out = personalized_pagerank_rounds(edges, seeds, n_rounds=2)
     edges.unpersist()
     return out
+
+
+@register(
+    "hll_rolling_distinct",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id,
+         user_id AS k
+  FROM events
+), hx AS (
+  SELECT day_id, md5(CAST(k AS VARCHAR)) AS h FROM u
+), hashed AS (
+  SELECT day_id,
+         ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS bucket,
+         CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 17592186044416 + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 1099511627776 + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 68719476736 + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 4294967296 + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) * 1 AS BIGINT) AS v
+  FROM hx
+), ranked AS (
+  SELECT day_id, bucket,
+         LEAST(CASE WHEN v = 0 THEN 49
+                    ELSE 49 - length(bin(CAST(v AS BIGINT))) END, 40) AS rank
+  FROM hashed
+), regs AS (
+  SELECT day_id, bucket, CAST(MAX(rank) AS BIGINT) AS reg
+  FROM ranked GROUP BY 1, 2
+), grid AS (
+  SELECT t.day_id, g.bucket, COALESCE(r.reg, 0) AS reg
+  FROM (SELECT DISTINCT day_id FROM u) t
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+  LEFT JOIN regs r ON r.day_id = t.day_id AND r.bucket = g.bucket
+), merged AS (
+  SELECT day_id, bucket,
+         MAX(reg) OVER (PARTITION BY bucket ORDER BY day_id
+                        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS reg
+  FROM grid
+), withmax AS (
+  SELECT day_id, reg, MAX(reg) OVER (PARTITION BY day_id) AS rmax
+  FROM merged
+), summed AS (
+  SELECT day_id, CAST(MAX(rmax) AS BIGINT) AS r_max,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(rmax - reg AS INT)) AS BIGINT)
+           AS s
+  FROM withmax GROUP BY 1
+), empties AS (
+  SELECT day_id, CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM merged GROUP BY 1
+), raw AS (
+  SELECT s.day_id, s.r_max, emp.n_empty,
+         CAST((709 * 4096 * (CAST(1 AS BIGINT) << CAST(s.r_max AS INT)))
+              // (1000 * s.s) AS BIGINT) AS raw_est
+  FROM summed s JOIN empties emp ON emp.day_id = s.day_id
+)
+SELECT day_id, r_max, n_empty,
+       CASE WHEN n_empty > 0 AND raw_est < 160
+            THEN CAST(([266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0])[CAST(n_empty AS INT)] AS BIGINT)
+            ELSE raw_est END AS hll_est
+FROM raw
+""",
+    doc="Rolling 3-day distinct users via WINDOWED SKETCH MERGE — the "
+    "production shape for '90-day rolling uniques' at 100 TB, where "
+    "exact sliding COUNT(DISTINCT) would rescan the whole window "
+    "every day: each day folds to a fixed 64-register HLL state "
+    "(one map-side-combinable aggregate over that day only — the "
+    "raw-history scan happens ONCE per day, ever), and the rolling "
+    "estimate is a register-MAX over a value-RANGE window of the "
+    "tiny (days x 64) state table — merging 90 days costs 90x64 "
+    "integer MAXes, not a 90-day rescan. Register MAX over a day "
+    "range is exactly the HLL union (same algebra "
+    "sketch_merge_equivalence proves for disjoint key halves), so "
+    "the windowed estimate IS the estimate of the union of those "
+    "days' user sets. Same portable md5 registers + all-integer "
+    "estimator as hll_portable_distinct (the per-type twin); "
+    "events_sliding_distinct is the exact small-scale twin of this "
+    "sketch path. RANGE (value-based) window bounds make day gaps "
+    "merge correctly — a ROWS window would silently widen across "
+    "missing days.",
+    tags=("agg", "sketch", "approx", "distinct", "incremental"),
+)
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str):
+    e = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CAST(timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT)"
+                " div 86400"
+            ).alias("day_id"),
+            F.col("user_id").alias("k"),
+        )
+        .distinct()
+    )
+    regs = _hll_regs(e, key="day_id")
+    days = e.select("day_id").distinct()
+    grid = (
+        days.crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
+        .join(regs, ["day_id", "bucket"], "left")
+        .select(
+            "day_id", "bucket", F.coalesce("reg", F.lit(0)).alias("reg")
+        )
+    )
+    wm = (
+        Window.partitionBy("bucket")
+        .orderBy("day_id")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    merged = grid.select(
+        "day_id", "bucket", F.max("reg").over(wm).alias("reg")
+    )
+    est = _hll_estimate(spark, days, merged, key="day_id")
+    return est.select("day_id", "r_max", "n_empty", "hll_est")
