@@ -201,14 +201,22 @@ def pagerank_rounds(
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg and the round's rank table are each REFERENCED TWICE PER ROUND
+    # (contribution join + the left-join base); without a lineage cut the
+    # lazy plan re-runs the node-distinct and every earlier round per
+    # reference — measured 2-3x the whole query's cost at sf0.1. One
+    # nodes-sized localCheckpoint per round pins each fixpoint state,
+    # the same round discipline as connected_components.
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     pr = nodes.crossJoin(F.broadcast(n)).select(
         "node",
         F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("pr_fixed"),
         "n_nodes",
-    )
+    ).localCheckpoint()
     teleport = f"({100 - damping_pct} * CAST({scale} AS BIGINT)) DIV (100 * n_nodes)"
     for _ in range(n_rounds):
         # shuffle_hash with the rank/degree tables as build side: the
@@ -241,6 +249,7 @@ def pagerank_rounds(
                 ).alias("pr_fixed"),
                 "n_nodes",
             )
+            .localCheckpoint()
         )
     # Materialize the (nodes-sized) result, then release the edge cache —
     # returning a lazy plan over a still-persisted edge list leaks one
@@ -292,7 +301,13 @@ def personalized_pagerank_rounds(
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Same per-round lineage-cut discipline as pagerank_rounds: deg and
+    # each round's rank table are referenced twice per round, and the
+    # rank chain would otherwise re-run the node-distinct + all earlier
+    # rounds per reference.
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
     s = seeds.select("node").distinct()
     ns = s.agg(F.count(F.lit(1)).alias("n_seeds"))
     pr = (
@@ -311,6 +326,7 @@ def personalized_pagerank_rounds(
             .alias("pr_fixed"),
             "n_seeds",
         )
+        .localCheckpoint()
     )
     teleport = (
         f"({100 - damping_pct} * CAST({scale} AS BIGINT)) DIV (100 * n_seeds)"
@@ -342,6 +358,7 @@ def personalized_pagerank_rounds(
                 ).alias("pr_fixed"),
                 "n_seeds",
             )
+            .localCheckpoint()
         )
     out = pr.select(
         "node",

@@ -626,23 +626,13 @@ FROM pr2
     tags=("graph", "iterative", "join", "agg"),
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str):
-    from ..operators.graph import pagerank_rounds
+    from ..operators.graph import cooccurrence_pairs, pagerank_rounds
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    # In-row pair generation (collect_set + k² explode, no self-join
+    # sort) — orders have bounded basket size, the builder's
+    # precondition; .distinct() collapses cross-order repeats.
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey").distinct()
     return pagerank_rounds(edges, n_rounds=2, damping_pct=85)
 
 
