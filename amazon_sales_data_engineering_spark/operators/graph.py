@@ -873,3 +873,80 @@ def triangle_counts_per_node(
     und.unpersist()
     closed.unpersist()
     return out
+
+
+def bipartite_hits_rounds(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (hubs & authorities) over a BIPARTITE directed edge list in
+    fixed-point integer arithmetic: hubs live on the ``src`` side,
+    authorities on the ``dst`` side (the classic bipartite use —
+    customers who buy widely vs parts bought by strong buyers), so the
+    two score tables stay keyed by their own id space and never need a
+    unified node set.
+
+    Each round is the textbook pair of mutual-reinforcement updates
+    h(u) = Σ_{u→v} a(v) then a(v) = Σ_{u→v} h(u), each a src- or
+    dst-keyed join + map-side-combinable integer SUM — the same
+    two-shuffle step as a PageRank round. After every half-round the
+    scores are renormalized to milli-units by the side's MAX (integer
+    floor division on non-negative operands — no cross-engine '//'
+    trap), which keeps every operand ≤ 1000·degree: bounded at any
+    scale, no float, no libm. Each state table is localCheckpointed
+    (the PageRank-family lineage-cut discipline — every table is
+    referenced by the next half-round AND the normalization max).
+    Returns (side 'hub'|'authority', id, score_milli)."""
+    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("p")).persist()
+
+    def _norm(df, key):
+        # Checkpoint the SUM table FIRST: it is referenced twice (the
+        # max aggregate and the normalized projection), and without the
+        # cut each reference re-runs the half-round's join+aggregate —
+        # the same double-reference trap fixed in pagerank_rounds. The
+        # normalized output is then a narrow map over the checkpoint
+        # and needs no second materialization.
+        df = df.localCheckpoint()
+        m = df.agg(
+            F.greatest(F.max("s"), F.lit(1).cast("bigint")).alias("m")
+        )
+        return df.crossJoin(F.broadcast(m)).select(
+            key, F.expr("(s * 1000) DIV m").alias("score")
+        )
+
+    a = e.select("p").distinct().select(
+        "p", F.lit(1000).cast("bigint").alias("score")
+    ).localCheckpoint()
+    h = None
+    for _ in range(n_rounds):
+        h = _norm(
+            e.join(a.hint("shuffle_hash"), "p")
+            .groupBy("c")
+            .agg(F.sum("score").alias("s")),
+            "c",
+        )
+        a = _norm(
+            e.join(h.hint("shuffle_hash"), "c")
+            .groupBy("p")
+            .agg(F.sum("score").alias("s")),
+            "p",
+        )
+    out = (
+        h.select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("id"),
+            F.col("score").alias("score_milli"),
+        )
+        .unionByName(
+            a.select(
+                F.lit("authority").alias("side"),
+                F.col("p").alias("id"),
+                F.col("score").alias("score_milli"),
+            )
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

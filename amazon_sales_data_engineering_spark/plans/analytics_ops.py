@@ -3272,3 +3272,55 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str):
     )
     est = _hll_estimate(spark, days, merged, key="day_id")
     return est.select("day_id", "r_max", "n_empty", "hll_est")
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a0 AS (SELECT DISTINCT p, CAST(1000 AS BIGINT) AS score FROM e),
+h1s AS (SELECT e.c, SUM(a0.score) AS s FROM e JOIN a0 ON a0.p = e.p GROUP BY 1),
+h1m AS (SELECT GREATEST(MAX(s), 1) AS m FROM h1s),
+h1 AS (SELECT c, CAST((s * 1000) // h1m.m AS BIGINT) AS score FROM h1s, h1m),
+a1s AS (SELECT e.p, SUM(h1.score) AS s FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
+a1m AS (SELECT GREATEST(MAX(s), 1) AS m FROM a1s),
+a1 AS (SELECT p, CAST((s * 1000) // a1m.m AS BIGINT) AS score FROM a1s, a1m),
+h2s AS (SELECT e.c, SUM(a1.score) AS s FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
+h2m AS (SELECT GREATEST(MAX(s), 1) AS m FROM h2s),
+h2 AS (SELECT c, CAST((s * 1000) // h2m.m AS BIGINT) AS score FROM h2s, h2m),
+a2s AS (SELECT e.p, SUM(h2.score) AS s FROM e JOIN h2 ON h2.c = e.c GROUP BY 1),
+a2m AS (SELECT GREATEST(MAX(s), 1) AS m FROM a2s),
+a2 AS (SELECT p, CAST((s * 1000) // a2m.m AS BIGINT) AS score FROM a2s, a2m)
+SELECT 'hub' AS side, c AS id, score AS score_milli FROM h2
+UNION ALL
+SELECT 'authority' AS side, p AS id, score AS score_milli FROM a2
+""",
+    doc="HITS hubs & authorities over the BIPARTITE customer→part "
+    "purchase graph, two mutual-reinforcement rounds — twelfth member "
+    "of the iterative graph family and a different fixpoint structure "
+    "again: two coupled score vectors on disjoint id spaces (hubs = "
+    "customers who buy widely and well, authorities = parts bought by "
+    "strong hubs — the bipartite recommendation primitive), versus "
+    "PageRank's single vector. operators.graph.bipartite_hits_rounds: "
+    "each half-round is one src- or dst-keyed join + integer SUM with "
+    "max-renormalization to milli-units (non-negative floor division, "
+    "engine-exact) and a lineage-cut localCheckpoint per state table — "
+    "the PageRank-family round discipline applied from day one rather "
+    "than retrofitted. Oracle unrolls all four half-rounds as "
+    "join+aggregate CTE chains.",
+    tags=("graph", "iterative", "join", "agg"),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import bipartite_hits_rounds
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    return bipartite_hits_rounds(edges, n_rounds=2)
