@@ -1895,6 +1895,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str):
         )
 
     def normalize(z):
+        # Lineage cut before the double reference (max aggregate + the
+        # normalized projection) — without it each reference re-runs the
+        # whole A'y join+aggregate, doubling the round's cost (the same
+        # trap fixed across the PageRank family, see operators/graph.py).
+        z = z.localCheckpoint()
         m = z.agg(
             F.greatest(F.max(F.abs(F.col("z"))), F.lit(1).cast("decimal(38,0)"))
             .alias("m")
