@@ -296,9 +296,15 @@ def personalized_pagerank_rounds(
     localCheckpoint + cache release) is inherited. Returns (node,
     is_seed BOOLEAN, ppr_fixed BIGINT, ppr DOUBLE)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # Union the seed set into the node universe: a seed with no edges
+    # must still carry its teleport share (otherwise its slice of start
+    # and restart mass silently vanishes while n_seeds still counts it).
+    # Edge-endpoint nodes dominate the union, so this adds at most
+    # |seeds| rows to a distinct that already shuffles the endpoints.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
+        .unionAll(seeds.select(F.col("node")))
         .distinct()
     )
     # Same per-round lineage-cut discipline as pagerank_rounds: deg and
@@ -899,6 +905,11 @@ def bipartite_hits_rounds(
     (the PageRank-family lineage-cut discipline — every table is
     referenced by the next half-round AND the normalization max).
     Returns (side 'hub'|'authority', id, score_milli)."""
+    if n_rounds < 1:
+        raise ValueError(
+            f"bipartite_hits_rounds requires n_rounds >= 1 (hub scores "
+            f"only exist after the first half-round), got {n_rounds}"
+        )
     e = edges.select(F.col(src).alias("c"), F.col(dst).alias("p")).persist()
 
     def _norm(df, key):

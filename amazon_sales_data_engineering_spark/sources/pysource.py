@@ -110,17 +110,31 @@ class SyntheticRowsStreamReader(DataSourceStreamReader):
         return {"pos": self._cur}
 
     def partitions(self, start, end):
-        # After a restart from checkpoint the fresh reader's in-memory
-        # cursor starts at 0, so its first latestOffset() could fall
-        # BEHIND the journaled committed offset. Planning a batch whose
-        # end < start would re-emit already-output rows; return an empty
-        # batch instead and let the cursor catch up (commit() below
-        # fast-forwards it, so the very next batch resumes exactly).
+        # Restart safety. After recovery the fresh reader's in-memory
+        # cursor starts at 0, so its first latestOffset() can fall
+        # BEHIND the journaled committed offset (e.g. committed 500,
+        # fresh latestOffset 100). Spark journals that 100 as a batch
+        # end and later uses it as a batch START, so clamping the
+        # cursor alone is not enough — the follow-up batch (100, 600)
+        # would re-emit rows 100-500 that were output before the
+        # restart. Track a high-water mark of rows actually handed out:
+        # the planned START of every batch is by construction already
+        # durable (it is a journaled previous end), so hwm rises to
+        # each lo, and the emitted range's lower bound is clamped to
+        # hwm. Post-restart this plans exactly (500, 600). A replay of
+        # a journaled-but-uncommitted batch re-plans with the SAME
+        # (start, end) pair before any further lo has advanced hwm, so
+        # failed-batch replay (at-least-once re-run into the sink's
+        # dedup) still emits in full.
         lo, hi = int(start["pos"]), int(end["pos"])
+        hwm = max(getattr(self, "_hwm", 0), lo)
+        self._hwm = hwm
         self._cur = max(getattr(self, "_cur", 0), lo, hi)
-        if hi <= lo:
+        lo2 = max(lo, hwm)
+        if hi <= lo2:
             return []
-        return [_RangePartition(lo, hi)]
+        self._hwm = hi
+        return [_RangePartition(lo2, hi)]
 
     def read(self, partition: _RangePartition):
         nb = self.n_buckets

@@ -702,3 +702,35 @@ def test_cooccurrence_pairs_matches_self_join(spark, rows):
     )
     assert got_both == both
     assert got_once == once
+
+
+def test_hits_rejects_zero_rounds(spark):
+    """bipartite_hits_rounds(n_rounds=0) has no hub state to return;
+    round-4 ADVICE: fail loudly instead of AttributeError on None."""
+    import pytest as _pytest
+
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        bipartite_hits_rounds,
+    )
+
+    e = spark.createDataFrame([(1, 10)], "src int, dst int")
+    with _pytest.raises(ValueError, match="n_rounds >= 1"):
+        bipartite_hits_rounds(e, n_rounds=0)
+
+
+def test_ppr_keeps_isolated_seed(spark):
+    """A seed with no incident edges must stay in the output with its
+    teleport share (round-4 ADVICE: it previously vanished from the node
+    set while still inflating n_seeds, silently losing restart mass)."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        personalized_pagerank_rounds,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    seeds = spark.createDataFrame([(1,), (99,)], "node int")  # 99 isolated
+    out = personalized_pagerank_rounds(e, seeds, n_rounds=2)
+    rows = {r.node: r for r in out.collect()}
+    assert 99 in rows, "isolated seed dropped from PPR output"
+    assert rows[99].is_seed
+    # it holds exactly the per-round teleport share: (100-d)*scale/(100*2)
+    assert rows[99].ppr_fixed == (15 * 10**15) // (100 * 2)

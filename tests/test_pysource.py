@@ -37,6 +37,34 @@ def test_batch_read_partitioned(spark):
     assert df.rdd.getNumPartitions() == 7
 
 
+def test_stream_restart_no_duplicate_emission():
+    """Post-restart offset regression (round-4 ADVICE): with committed
+    offset 500 journaled, a fresh reader's latestOffset() starts behind
+    (100 < 500); Spark journals that 100 as a batch end and then uses it
+    as the NEXT batch's start. The high-water mark must clamp the planned
+    (100, 600) range to emit exactly (500, 600) — not re-emit 100-500."""
+    from amazon_sales_data_engineering_spark.sources.pysource import (
+        SyntheticRowsStreamReader,
+    )
+
+    r = SyntheticRowsStreamReader({"n_rows": 1000, "rows_per_batch": 100})
+    # Engine restarts from checkpoint: start = committed {pos: 500};
+    # fresh cursor yields latestOffset {pos: 100}.
+    assert r.latestOffset() == {"pos": 100}
+    assert r.partitions({"pos": 500}, {"pos": 100}) == []  # catch-up batch
+    r.commit({"pos": 100})  # engine commits the (empty) catch-up batch
+    # Next batch: journaled end 100 becomes the start; cursor (clamped to
+    # 500 by the catch-up planning) advances to 600.
+    assert r.latestOffset() == {"pos": 600}
+    parts = r.partitions({"pos": 100}, {"pos": 600})
+    assert [(p.start, p.end) for p in parts] == [(500, 600)]
+    # Replay of a journaled-but-uncommitted batch on a FRESH reader (the
+    # actual recovery path) still emits the full range.
+    r2 = SyntheticRowsStreamReader({"n_rows": 1000, "rows_per_batch": 100})
+    parts2 = r2.partitions({"pos": 500}, {"pos": 600})
+    assert [(p.start, p.end) for p in parts2] == [(500, 600)]
+
+
 def test_stream_read_offsets(spark):
     register_synthetic_source(spark)
     q = (
