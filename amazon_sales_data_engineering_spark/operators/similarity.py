@@ -103,12 +103,19 @@ def auto_lsh_bits(n: int, base_bits: int, target_bucket_rows: int) -> int:
     EXPECTED bucket holds ~``target_bucket_rows`` rows — because blocked
     pair work is Σ|bucket|², holding bits constant while the corpus
     grows 10× grows the join ~100×. Pure so it is unit-testable without
-    a corpus."""
-    import math
+    a corpus.
 
+    Exact integer arithmetic (smallest b with target·2^b ≥ n, i.e.
+    ceil(log2(n/target)) computed without floats) so a SQL oracle can
+    replay the sizing with the same integer formula and can never drift
+    by a libm ulp — the parameter is part of the output contract."""
     if n <= target_bucket_rows:
         return base_bits
-    return max(base_bits, math.ceil(math.log2(n / target_bucket_rows)))
+    b, cap = 0, target_bucket_rows
+    while cap < n:
+        cap <<= 1
+        b += 1
+    return max(base_bits, b)
 
 
 def embedding_near_dup(
@@ -118,6 +125,7 @@ def embedding_near_dup(
     threshold: float = 0.4,
     bits: int = 4,
     target_bucket_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), candidates restricted to the same sign-bucket — the
@@ -129,13 +137,17 @@ def embedding_near_dup(
     a fixed corpus size: in-bucket pair work is Σ|bucket|², so growing
     the corpus 10× under constant bits grows the join ~100× (measured in
     the round-4 sf1 probe). Pass ``target_bucket_rows`` to auto-size:
-    bits = max(bits, ceil(log2(n / target))) from one cheap count — the
-    production path; gate queries keep explicit bits because the DuckDB
-    oracle replays the exact bucketing (changing bits changes which
-    pairs the approximation can recall, so it is part of the contract).
+    bits = max(bits, ceil(log2(n / target))) — the production path.
+    The corpus size comes from ``n_rows`` when the caller already knows
+    it (parquet footer metadata, a prior count — zero extra jobs; the
+    registry layer does this via ``plans.util.parquet_num_rows``), else
+    from one ``count()`` job. The sizing is part of the OUTPUT contract
+    (bits change which pairs the approximation can recall), so gated
+    oracles replay the same integer formula in SQL.
     Output: (id_a, id_b, cos_sim)."""
     if target_bucket_rows is not None:
-        bits = auto_lsh_bits(vectors.count(), bits, target_bucket_rows)
+        n = n_rows if n_rows is not None else vectors.count()
+        bits = auto_lsh_bits(n, bits, target_bucket_rows)
     b = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

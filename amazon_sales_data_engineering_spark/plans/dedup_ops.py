@@ -17,7 +17,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from .registry import register
-from .util import t_cpu
+from .util import LSH_DYN_PAIR_CTES, parquet_num_rows, t_cpu
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -168,26 +168,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 @register(
     "dedup_connected_components",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
-raw AS (
-  SELECT vec_id,
-         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
-    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  ) WHERE cos_sim >= 0.4
-),
+{LSH_DYN_PAIR_CTES},
 und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(a, b) AS (
   SELECT u, u FROM und
@@ -209,38 +192,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str):
 
     # target_bucket_rows auto-grows the LSH bits on bigger corpora
     # (in-bucket pair work is quadratic in bucket size — the round-4 sf1
-    # probe measured 7.8x wall at 10x data under FIXED bits); at the
-    # gate scales (sf0.01: 500 vecs, sf0.1: 2000) it resolves to exactly
-    # bits=4, the bucketing the DuckDB oracle replays.
+    # probe measured 7.8x wall at 10x data under FIXED bits). n_rows from
+    # parquet footer metadata: zero extra jobs (the round-4 verdict
+    # measured the count() re-executing the upstream scan per call), and
+    # the oracle replays the same integer sizing formula at any sf.
     pairs = embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
         vec_col="embedding", threshold=0.4, bits=4, target_bucket_rows=125,
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
     ).select("id_a", "id_b")
     return connected_components(pairs, "id_a", "id_b")
 
 
 @register(
     "dedup_resolve_keepers",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
-raw AS (
-  SELECT vec_id,
-         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
-    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  ) WHERE cos_sim >= 0.4
-),
+{LSH_DYN_PAIR_CTES},
 und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(a, b) AS (
   SELECT u, u FROM und
@@ -269,7 +237,8 @@ def dedup_resolve_keepers(spark: SparkSession, sf_dir: str):
     emb = t_cpu(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bits=4,
-        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
+        target_bucket_rows=125,  # bits 4 at gate scales, grows beyond
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),  # footer — no job
     ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     keeper = F.coalesce(F.col("component"), F.col("vec_id"))
@@ -1071,27 +1040,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str):
 
 
 # Embedding near-dup component CTE shared by the cluster-size report
-# (same pairs/closure as dedup_connected_components' oracle).
-_CC_COMP_CTE = """
+# (same pairs/closure as dedup_connected_components' oracle, same
+# scale-adaptive bit sizing).
+_CC_COMP_CTE = f"""
 WITH RECURSIVE
-raw AS (
-  SELECT vec_id,
-         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
-    FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  ) WHERE cos_sim >= 0.4
-),
+{LSH_DYN_PAIR_CTES},
 und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(a, b) AS (
   SELECT u, u FROM und
@@ -1134,7 +1087,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
     pairs = embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id",
         vec_col="embedding", threshold=0.4, bits=4,
-        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
+        target_bucket_rows=125,  # bits 4 at gate scales, grows beyond
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),  # footer — no job
     ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(

@@ -20,7 +20,7 @@ from ..operators.similarity import (
     lsh_bucket_topk,
 )
 from .registry import register
-from .util import t_cpu
+from .util import LSH_DYN_PAIR_CTES, parquet_num_rows, t_cpu
 
 _V = """
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -101,41 +101,27 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str):
     return lsh_bucket_topk(v, probes, id_col="vec_id", vec_col="embedding", k=3, bits=8)
 
 
-_BUCKET4 = """
-         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS INT)
-"""
-
-
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH raw AS (
-  SELECT vec_id, {_BUCKET4} AS bucket,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-)
-SELECT id_a, id_b, cos_sim FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
-  FROM raw a JOIN raw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-) WHERE cos_sim >= 0.4
+WITH {LSH_DYN_PAIR_CTES}
+SELECT id_a, id_b, cos_sim FROM pairs
 """,
     doc="Embedding-cosine near-dup pairs at threshold 0.4: sign-bucket "
-    "blocking (4 bits) replaces the quadratic all-pairs self-join; exact "
-    "cosine verification within blocks. Completes the dedup family "
-    "(exact / Jaccard / MinHash-LSH / SimHash / embedding).",
+    "blocking replaces the quadratic all-pairs self-join; exact cosine "
+    "verification within blocks. Bits auto-size with the corpus "
+    "(4 at the gate scales, +1 per doubling past 125 rows/bucket) from "
+    "parquet footer counts — zero extra jobs — and the oracle replays "
+    "the same integer sizing formula, so the contract holds at any sf. "
+    "Completes the dedup family (exact / Jaccard / MinHash-LSH / "
+    "SimHash / embedding).",
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
     return embedding_near_dup(
         t_cpu(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
-        threshold=0.4, bits=4,
-        target_bucket_rows=125,  # = bits 4 at gate scales, grows beyond
+        threshold=0.4, bits=4, target_bucket_rows=125,
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
 
 
@@ -143,7 +129,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
     "ann_ivf_topk",
     oracle=f"""
 WITH v AS ({_V}),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+nn AS (SELECT count(*) AS n FROM v),
+par AS (
+  SELECT CASE WHEN n <= 2000 THEN 50
+         ELSE greatest(50, 1::BIGINT << (SELECT min(k) FROM range(0, 32) t(k)
+                                         WHERE (1::BIGINT << (2 * k)) >= (SELECT n FROM nn)))
+         END AS m
+  FROM nn
+),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+         WHERE vec_id % (SELECT m FROM par) = 0),
 cscored AS (
   SELECT v.vec_id, v.e, centroid_id,
          row_number() OVER (
@@ -185,17 +180,26 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
     "LINEAR in the corpus, so the n x k assignment pass goes quadratic "
     "— 7.4x wall at 10x data — and, worse, the centroid broadcast "
     "grows with the corpus, the actual 100 TB killer; sqrt keeps "
-    "assignment n^1.5 and the broadcast driver-sized).",
+    "assignment n^1.5 and the broadcast driver-sized). The modulus "
+    "comes from parquet footer counts (no count() job) via an exact "
+    "integer formula the oracle replays, so the gate holds at any sf.",
     tags=("similarity", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str):
-    import math
-
     v = t_cpu(spark, sf_dir, "embeddings")
-    n = v.count()
+    n = parquet_num_rows(sf_dir, "embeddings")
     # = 50 at sf0.01 (500 vecs) and sf0.1 (2000) — the oracle's exact
-    # centroid set; ~sqrt(n) beyond
-    m = 50 if n <= 2000 else max(50, 2 ** math.ceil(math.log2(math.sqrt(n))))
+    # centroid set; smallest power of two >= sqrt(n) beyond (integer
+    # form: 2^k with smallest k s.t. 4^k >= n — float-free so the SQL
+    # replay can never drift by a libm ulp)
+    if n <= 2000:
+        m = 50
+    else:
+        k, cap = 0, 1
+        while cap < n:
+            cap <<= 2
+            k += 1
+        m = max(50, 1 << k)
     return ivf_topk(
         v,
         probes=v.filter(F.col("vec_id") % 100 == 0),
@@ -658,9 +662,18 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str):
 @register(
     "record_linkage_scores",
     oracle="""
-WITH c AS (
+WITH nn AS (SELECT count(*) AS n FROM customer),
+par AS (
+  SELECT CASE WHEN n <= 15000 THEN 1
+         ELSE 1::BIGINT << (SELECT min(b) FROM range(0, 48) t(b)
+                            WHERE 15000 * (1::BIGINT << b) >= (SELECT n FROM nn))
+         END AS m
+  FROM nn
+),
+c AS (
   SELECT c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey AS blk,
-         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_blk
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * (SELECT m FROM par) / 1000)
+              AS BIGINT) AS bal_blk
   FROM customer
 ), pairs AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -705,12 +718,14 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str):
     # 8.8× wall at 10× rows). Splitting each 1000-wide band into
     # 2^ceil(log2(n/15000)) sub-bands keeps expected block size constant;
     # at the gate scales (sf0.01: 1500 customers, sf0.1: 15000) the
-    # multiplier is 1 — exactly the /1000 blocking the oracle replays.
-    import math
-
+    # multiplier is 1. n from parquet footer metadata (zero jobs), the
+    # multiplier from exact integer arithmetic — the oracle replays the
+    # same formula, so the gate contract holds at any sf.
     cust = t_cpu(spark, sf_dir, "customer")
-    n = cust.count()
-    m = 2 ** max(0, math.ceil(math.log2(n / 15000))) if n > 15000 else 1
+    n = parquet_num_rows(sf_dir, "customer")
+    m = 1
+    while 15000 * m < n:
+        m <<= 1
     c = cust.select(
         "c_custkey",
         "c_name",

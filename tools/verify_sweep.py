@@ -42,7 +42,9 @@ def main() -> int:
     duck = duckdb.connect()
     for tb in TABLES.split():
         p = f"{SF_DIR}/{tb}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = f"{p}/*.parquet"
+        if os.path.exists(f"{SF_DIR}/{tb}.parquet"):
             duck.sql(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
