@@ -93,6 +93,85 @@ def t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (applicationId, sf_dir) → materialized co-purchase edge DataFrame.
+_EDGE_CACHE: dict = {}
+
+
+def t_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-purchase edge table: DISTINCT (src, dst, w) part
+    pairs co-occurring in an order (both orientations, src != dst),
+    w = MIN over orders of (1 + least(qty_src, qty_dst)) — built ONCE
+    per (session, sf_dir), hash-partitioned by ``src``, persisted and
+    eagerly materialized.
+
+    Round-4 verdict: LPA, PageRank, PPR, SSSP and modularity each built
+    this same 2.4M-row edge list independently, and the one-time build
+    (not the per-round shuffles) had become LPA's floor. Sharing it
+    amortizes the build across every graph query in a session — the
+    cluster analogue is a bucketed edge TABLE materialized by the
+    pipeline and reused by every downstream graph job.
+
+    Build is ONE exchange: the in-row k² basket explode
+    (cooccurrence_pairs idiom, bounded basket precondition) is
+    repartitioned by ``src`` BEFORE the (src, dst) min-combine — a
+    hash partitioning on a SUBSET of the grouping keys satisfies the
+    aggregation's clustering requirement, so the agg runs in-partition
+    and the cached table comes out partitioned by ``src``, which is
+    exactly the distribution every per-round contribution join and
+    degree aggregate downstream needs (their edge-side exchanges are
+    elided against the cache).
+
+    Unweighted consumers select (src, dst) and rely on the pairs being
+    distinct; the weight column costs one bigint of payload, far less
+    than a second independent build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    basket = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_partkey").alias("k"), F.col("l_quantity").alias("q")
+            )
+        ).alias("it")
+    )
+    edges = (
+        basket.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("it"),
+                        lambda u: F.filter(
+                            F.transform(
+                                F.col("it"),
+                                lambda v: F.struct(
+                                    u["k"].alias("src"),
+                                    v["k"].alias("dst"),
+                                    (F.lit(1) + F.least(u["q"], v["q"]))
+                                    .cast("bigint")
+                                    .alias("w"),
+                                ),
+                            ),
+                            lambda s: s["src"] != s["dst"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst", "p.w")
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    edges.count()  # materialize once; every later consumer reads cache
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
 def ts_lit(df: DataFrame, col: str, value: str) -> Column:
     """Literal cast to the *actual* runtime type of ``df[col]`` (parquet
     timestamps may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
