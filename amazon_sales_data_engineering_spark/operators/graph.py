@@ -94,21 +94,42 @@ def connected_components(
     sum-based convergence probe relies on labels being monotonically
     non-increasing, which holds for any total order; the decimal cast
     keeps the sum exact at any node count)."""
+    # Both orientations generated IN-ROW (explode of a 2-element array)
+    # instead of a self-union: a union references ``edges`` twice, and
+    # when the input is an expensive uncached plan (e.g. the bucketed
+    # cosine self-join) both branches execute it independently inside
+    # the setup job — a silent 2x of the candidate-generation cost. The
+    # explode reads the input exactly once. LAZY checkpoints throughout:
+    # the convergence-probe aggregate doubles as the action that
+    # materializes each table, so setup and each round cost ONE job each.
     both = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # Materialize the edge list once: ``edges`` is often an expensive plan
-    # (e.g. the bucketed cosine self-join) and every round joins against it
-    # — without this cut it would re-execute per round. LAZY checkpoints
-    # throughout: the convergence-probe aggregate doubles as the action
-    # that materializes the round, so each round costs ONE job, not a
-    # checkpoint job plus a probe job.
-    neighbors = both.distinct().localCheckpoint(eager=False)
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    # repartition by v BEFORE distinct: hash partitioning on a subset of
+    # the distinct keys satisfies its clustering requirement, so the
+    # dedup runs in-partition and the checkpointed neighbor table comes
+    # out v-partitioned — exactly what every round's label join
+    # (join key: v) needs, so the big static side never re-shuffles.
+    neighbors = both.repartition("v").distinct().localCheckpoint(eager=False)
 
+    # Initial labels FUSE the first candidate pass: label0(u) =
+    # min(u, min neighbor) comes out of the same u-keyed aggregate that
+    # would otherwise just build the distinct node set — the 1-hop round
+    # costs zero extra shuffles, so convergence needs one fewer loop
+    # round (measured ~0.7s/round of almost pure stage overhead at the
+    # bench scale, and one fewer full label-table shuffle at any scale).
     labels = (
-        neighbors.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        neighbors.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mv")).alias("label"),
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -135,9 +156,17 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
             ).alias("label"),
         )
-        # (b) pointer doubling: label <- label(label). A label is always a
-        # node id, so the lookup is a self-join on the label table.
-        parent = stepped.select(
+        # (b) pointer doubling: label <- label(label). A label is always
+        # a node id, so the lookup is a join on a label table. The lookup
+        # table is the PREVIOUS round's ``labels`` — checkpoint blocks,
+        # not the in-flight ``stepped`` plan: referencing ``stepped``
+        # twice (as both probe and lookup) re-executes its join+aggregate
+        # inside the same job (the round-4 double-reference trap, here in
+        # intra-round form). Old labels are a valid accelerator: every
+        # label is a reachable node id and label_old(l) <= l is itself
+        # reachable, so monotone convergence and the fixpoint (and the
+        # sum-probe termination test) are unchanged.
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         new_labels = (

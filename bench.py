@@ -28,6 +28,31 @@ def _run() -> None:
     spark = get_spark(app_name="asde-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    def canary() -> float:
+        """Fixed data-independent probe (32-task modular-sum over
+        spark.range): measures raw scheduling+compute throughput of THIS
+        sitting. Emitted first and last so a contended host is visible
+        in the bench JSON itself — round 4 measured a ~1.2x uniform
+        inflation from host contention that initially read as a
+        regression. Compare canary values across rounds before trusting
+        any whole-run ratio."""
+        from pyspark.sql import functions as F
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 20_000_000, 1, 32)
+                .select((F.col("id") % 7).alias("m"))
+                .groupBy("m")
+                .count()
+                .write.format("noop").mode("overwrite").save()
+            )
+            return time.perf_counter() - t0
+
+        once()
+        return round(min(once(), once()), 4)
+
+    canary_first = canary()
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries().items()):
         # warm-up once (JIT/codegen/file listing), then best-of-2 measured.
@@ -39,6 +64,7 @@ def _run() -> None:
         run_once()
         timings[name] = round(min(run_once(), run_once()), 4)
 
+    canary_last = canary()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -48,6 +74,8 @@ def _run() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary_first_sec": canary_first,
+                "canary_last_sec": canary_last,
             }
         )
     )

@@ -774,3 +774,48 @@ def test_copurchase_edges_cached_and_matches_selfjoin(spark):
     got = {(r.src, r.dst, r.w) for r in e1.collect()}
     want = {(r.src, r.dst, r.w) for r in ref.collect()}
     assert got == want and len(got) > 0
+
+
+cc_edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),  # self-loops allowed
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(edges=cc_edges_st)
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-doubling CC (with the round-5 fused 1-hop init and
+    old-labels doubling lookup) vs a brute-force union-find oracle:
+    component = min reachable node id, for every node in an edge."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == want
