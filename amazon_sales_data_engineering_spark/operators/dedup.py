@@ -494,6 +494,89 @@ def prefix_filter_candidates(
     )
 
 
+def containment_scores(
+    shingle_df: DataFrame, id_col: str, threshold_pct: int
+) -> DataFrame:
+    """Directed containment scoring |A∩B| / |A| >= t with EXACT recall:
+    (contained_id, container_id, i, na, nb) for every pair whose
+    containment can reach ``t = threshold_pct / 100``.
+
+    One-sided prefix filter (round-4 verdict #5): containment >= t
+    means A misses at most n_a - ceil(t·n_a) of its shingles in B, so
+    among A's p = n_a - ceil(t·n_a) + 1 globally-RAREST shingles at
+    least one is in B (pigeonhole) — candidates probe only A's prefix
+    against the FULL index of B (the container side carries no prefix
+    constraint), replacing the Σ df(s)² inverted-index self-join with a
+    Σ df_prefix(s)·df(s) join on low-df keys. Integer arithmetic:
+    ceil(t·n) = (t_pct·n + 99) div 100.
+
+    Verification is IN-ROW, not a re-join of the index: one doc-keyed
+    aggregate builds each document's shingle array sorted by ascending
+    global df (prefix = its leading slice — same aggregate, no window
+    sort), candidates join the two ~set-sized arrays by id and
+    i = size(array_intersect(...)) never leaves the row. The first
+    prefix-filter draft verified by re-exploding each candidate by
+    |A| shingles — Σ_cand |A| rows, measured 3.6x the OLD join's
+    volume at 10x data; the array join carries |cand| rows total.
+    A size filter (100·n_b >= t_pct·n_a, from |A∩B| <= |B|) prunes
+    before the intersect. Shingles are per-doc DISTINCT (operators.
+    dedup.shingles), so the array intersect equals the exploded
+    count(*). Input should be persisted by the caller (it is read by
+    the df aggregate, the doc-array aggregate, and the index side).
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct={threshold_pct} not in [1, 100]")
+    freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        shingle_df.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("srt"))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform("srt", lambda s: s["shingle"]).alias("arr"),
+            F.size("srt").alias("n"),
+        )
+        # referenced three times (prefix explode + both verify sides):
+        # persist, like minhash_dedup_pairs' per-doc summary — the
+        # CacheManager dedupes identical plans across calls
+        .persist()
+    )
+    plen = F.col("n") - F.expr(f"({threshold_pct} * n + 99) div 100") + F.lit(1)
+    a = docs.select(
+        F.col("doc").alias("contained_id"),
+        F.explode(F.slice("arr", F.lit(1), plen)).alias("shingle"),
+    )
+    b = shingle_df.select(F.col(id_col).alias("container_id"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc").alias("contained_id"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    db = docs.select(
+        F.col("doc").alias("container_id"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(da, "contained_id")
+        .join(db, "container_id")
+        .filter(F.lit(100) * F.col("nb") >= F.lit(threshold_pct) * F.col("na"))
+        .select(
+            "contained_id",
+            "container_id",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint").alias("i"),
+            "na",
+            "nb",
+        )
+    )
+
+
 def passage_windows(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:

@@ -699,9 +699,10 @@ WHERE CAST(i AS DOUBLE) / sa.n >= 0.8
     "misses precisely because the container is much bigger. Directed "
     "pairs (contained, container); the Jaccard<0.5 guard excludes pairs "
     "the symmetric dedup already catches, so this op reports ONLY the "
-    "asymmetric cases. Same inverted-index + size-join machinery as "
-    "jaccard_pairs; at scale candidates come from the LSH/prefix "
-    "strategies like every other verify. The corpus is seeded with "
+    "asymmetric cases. Candidates via the ONE-SIDED prefix filter "
+    "(contained side's rarest ceil(0.2n)+1 shingles vs the full index "
+    "— exact recall at t=0.8 by pigeonhole, df-bounded join volume), "
+    "then exact intersection verify. The corpus is seeded with "
     "10-token-prefix excerpts of a deterministic slice of long docs "
     "(shifted ids) so the gate demonstrably reports contained/container "
     "pairs — a 0-row result would hash-match any always-empty plan.",
@@ -737,28 +738,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str):
         .select("shingle")
     )
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("contained_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("container_id"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .groupBy("contained_id", "container_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    na = sizes.select(
-        F.col("doc_id").alias("contained_id"), F.col("n").alias("na")
-    )
-    nb = sizes.select(
-        F.col("doc_id").alias("container_id"), F.col("n").alias("nb")
-    )
+    # One-sided prefix filter + in-row array verify (round-4 verdict
+    # #5): candidates only need the contained side's rarest
+    # ceil(0.2*n)+1 shingles probed against the full index — EXACT
+    # recall at containment >= 0.8 (pigeonhole), so the oracle's full
+    # inverted-index formulation is unchanged while the candidate join
+    # drops from sum(df^2) to a df-bounded volume; the intersection is
+    # computed in-row over per-doc df-sorted shingle arrays
+    # (operators.dedup.containment_scores).
+    from ..operators.dedup import containment_scores
+
+    scored = containment_scores(sh, "doc_id", 80)
     cont = F.col("i").cast("double") / F.col("na")
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     ).cast("double")
     return (
-        inter.join(na, "contained_id")
-        .join(nb, "container_id")
+        scored
         .filter((cont >= 0.8) & (jac < 0.5))
         .select("contained_id", "container_id", cont.alias("containment"))
     )

@@ -52,8 +52,11 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
 """,
     doc="Brute-force cosine top-5 per probe (probe set: vec_id % 100 = 0): "
     "broadcast probes × streamed corpus, zip_with/aggregate JVM-side dot "
-    "products, per-probe ranking. The exact ANN baseline.",
-    tags=("similarity",),
+    "products, per-probe ranking. The exact ANN baseline — "
+    "scale:baseline-only: probes×corpus work is quadratic BY DESIGN "
+    "(sf1 probe 4.11x); it exists as the recall ground truth the "
+    "LSH/IVF/PQ scale paths are judged against, not as a scale path.",
+    tags=("similarity", "scale:baseline-only"),
     bench=True,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str):
@@ -458,8 +461,11 @@ WHERE levenshtein(a.p_name, b.p_name) <= 12
     "near-identical names. The within-block recall contract is the "
     "standard ER trade; the oracle applies the identical blocking, so "
     "the gate proves the Spark thresholded-levenshtein(-1 sentinel) "
-    "path equals the plain distance filter.",
-    tags=("similarity", "join", "fuzzy"),
+    "path equals the plain distance filter. scale:baseline-only: "
+    "OUTPUT-bound at scale (sf1 probe 5.84x is 16.9M answer pairs, not "
+    "wasted work) — use sorted-neighborhood or tighter blocking when "
+    "the pair list itself must stay bounded.",
+    tags=("similarity", "join", "fuzzy", "scale:baseline-only"),
 )
 def fuzzy_join_part_names(spark: SparkSession, sf_dir: str):
     from ..operators.similarity import blocked_fuzzy_self_join

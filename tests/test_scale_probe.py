@@ -1,0 +1,119 @@
+"""Scale-probe REGRESSION GATE (round-4 verdict #3 → round-5).
+
+The round-4 probe program caught four fixed-parameter quadratic traps
+(LSH bits, ER balance blocks, IVF centroid modulus, shingle-string
+shuffle payloads) — but only because the probes were run by hand. This
+module turns the measured 10×-data wall-clock ratios into CEILINGS so a
+new operator with a fixed blocking parameter cannot land silently: one
+command re-runs every probed family and fails on any ratio above its
+ceiling.
+
+Opt-in (slow: builds /tmp/asde_sf1 on first use, then ~40 queries at
+two scales, best-of-2 each — run on an IDLE host, ratios inflate under
+contention):
+
+    RUN_SCALE_PROBE=1 python -m pytest tests/test_scale_probe.py -v
+
+Ceilings are ~1.5× the idle-host measurements recorded in BASELINE.md
+("Scale probe — round 4" tables): generous enough for host noise
+(±10-15 % per query), far below the 4-10× signature of quadratic
+structure. By-design exceptions carry the `scale:baseline-only`
+registry tag and are NOT gated here: ann_cosine_topk (exact
+probes×corpus ground truth, measured 4.11×) and fuzzy_join_part_names
+(output-bound — 16.9 M pairs IS the answer, measured 5.84×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_SCALE_PROBE"),
+    reason="slow opt-in scale gate; set RUN_SCALE_PROBE=1 on an idle host",
+)
+
+#: query → max allowed sf1/sf0.1 wall ratio at 10× data. Sources:
+#: BASELINE.md round-4 probe tables (+ round-5 re-measures where the
+#: operator changed). A breach means super-linear structure, not noise.
+CEILINGS: dict[str, float] = {
+    # iterative graph family (round-4 measurements 1.6–2.4)
+    "graph_sssp_weighted": 3.5,
+    "dedup_connected_components": 3.0,
+    "graph_label_propagation": 3.5,
+    "graph_triangle_count": 3.0,
+    # TPC-H headline set (scan-bound, 1.0–1.7 measured)
+    "q1_pricing_summary": 2.0,
+    "q3_shipping_priority": 2.5,
+    "q5_region_volume": 2.5,
+    "q6_forecast_revenue": 2.0,
+    "q9_product_profit": 2.8,
+    "star_join_enriched": 2.5,
+    # text / dedup / ER
+    "dedup_minhash_lsh": 3.5,
+    "dedup_simhash": 2.0,
+    "dedup_prefix_jaccard": 5.5,
+    "dedup_repeated_passages": 8.5,  # shuffle-bound two-level agg: 6.19 measured, data-linear
+    "record_linkage_scores": 3.0,
+    "tfidf_top_terms": 2.5,
+    "tokenizer_oov_rate": 2.0,
+    "text_quality_score": 2.0,
+    # event-time family
+    "events_sliding_agg": 2.5,
+    "events_sessionize": 2.5,
+    "events_interval_coverage": 3.0,
+    "range_join_event_windows": 2.8,
+    # ANN family (bucketed paths; the exact baseline is tag-exempt)
+    "ann_lsh_buckets": 2.2,
+    "ann_multiprobe_lsh": 2.5,
+    "ann_two_stage_rerank": 4.5,  # stage-1 scan dominates, bounded rerank
+    "ann_ivf_topk": 2.8,
+    "dedup_sorted_neighborhood": 2.5,
+    "dedup_containment": 4.5,  # inverted-index shuffle, data-linear (3.81 measured)
+    # temporal / merge / corpus / packing
+    "asof_join_price_index": 2.5,
+    "events_cdc_apply": 2.5,
+    "merge_upsert_customers": 2.5,
+    "scd2_customer_segments": 2.8,
+    "pit_join_scd2": 2.0,
+    "rollup_incremental_merge": 3.5,
+    "corpus_mix_apply": 2.8,
+    "pack_sequences_sharded": 2.0,
+    "split_neardup_safe": 2.8,
+    "quantile_sketch_binned": 2.2,
+    "embedding_dim_stats": 2.0,
+}
+
+
+@pytest.fixture(scope="module")
+def probe_results() -> dict:
+    """One subprocess run of tools/scale_probe.py over every gated query
+    (builds the 10× corpus on first use; cached across runs)."""
+    proc = subprocess.run(
+        [sys.executable, "tools/scale_probe.py", *sorted(CEILINGS)],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)["probe"]
+
+
+@pytest.mark.parametrize("name", sorted(CEILINGS))
+def test_ratio_under_ceiling(probe_results: dict, name: str) -> None:
+    row = probe_results[name]
+    assert row["ratio"] <= CEILINGS[name], (
+        f"{name}: 10x-data ratio {row['ratio']} exceeds ceiling "
+        f"{CEILINGS[name]} (sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — "
+        "super-linear structure (fixed blocking parameter? unbounded "
+        "candidate join?), or a contended host; re-run idle before "
+        "believing it."
+    )

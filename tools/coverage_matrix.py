@@ -58,7 +58,11 @@ def main() -> int:
         "(SWEEP_RESULTS.json) — every query, every run, so it supersedes",
         "a stale driver sample.",
         "SURVEY.md §2 parity rows are mapped in README.md's coverage",
-        "table; tags group the extension families.\n",
+        "table; tags group the extension families. The",
+        "`scale:baseline-only` tag marks queries that are quadratic or",
+        "output-bound BY DESIGN (exact ground-truth baselines for the",
+        "approximate scale paths) — do not read their 10x probe ratios",
+        "as scale regressions; the rationale is in each docstring.\n",
         "| query | tags | gate | bench | driver | sweep |",
         "|---|---|---|---|---|---|",
     ]
