@@ -34,6 +34,9 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "16")
+        # default 1g driver heap OOMs on the 10x corpus (SWEEP_SF_DIR=
+        # /tmp/asde_sf1) — size it from the env for big-sf sweeps
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -52,32 +55,91 @@ def main() -> int:
     df = e.entry(spark)
     assert df.count() >= 0, "entry() returned no result"
 
+    # Full sweeps journal per-query verdicts so COVERAGE.md's sweep
+    # column reflects the latest local gate run, not just the (sampled,
+    # possibly stale) driver rounds. SWEEP_JOURNAL overrides the output
+    # file (e.g. SWEEP_SF1.json for the 10x-corpus correctness sweep);
+    # the journal is rewritten after EVERY query so a killed run still
+    # leaves its partial verdicts on disk.
+    import json
+
+    journal_path = os.environ.get("SWEEP_JOURNAL") or (
+        None
+        if sys.argv[1:]
+        else os.path.join(os.path.dirname(__file__), "..", "SWEEP_RESULTS.json")
+    )
+    # Per-query watchdog: a handful of DuckDB oracle formulations are
+    # deliberately brute-force (recursive closures, all-pairs evals) and
+    # become infeasible at 10x data — one of them must not wedge the
+    # whole sweep (the first sf1 attempt sat 20+ min / 58 GB inside one
+    # oracle). After SWEEP_QUERY_TIMEOUT seconds the watchdog interrupts
+    # DuckDB and cancels Spark jobs; the query is journaled as
+    # "timeout" (a documented infeasible-at-this-sf oracle, not a
+    # correctness failure — the sf0.01 gate still proves it).
+    import threading
+
+    q_timeout = float(os.environ.get("SWEEP_QUERY_TIMEOUT", "0") or 0)
+
+    # SWEEP_RESUME=1: reload the journal from a killed run and skip the
+    # queries it already proved green (big-sf sweeps take hours; a restart
+    # must not repay the prefix). Failures/timeouts are retried.
+    verdicts: dict[str, dict] = {}
+    if os.environ.get("SWEEP_RESUME") and journal_path and os.path.exists(journal_path):
+        with open(journal_path) as fh:
+            verdicts = json.load(fh)
+        done = [n for n, v in verdicts.items() if v.get("ok")]
+        names = [n for n in names if n not in done]
+        print(f"resume: {len(done)} green in journal, {len(names)} to run", flush=True)
+
     failed: list[str] = []
     for name in names:
         t0 = time.perf_counter()
+        timed_out = threading.Event()
+        timer = None
+        if q_timeout > 0:
+
+            def _kill() -> None:
+                timed_out.set()
+                try:
+                    duck.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+
+            timer = threading.Timer(q_timeout, _kill)
+            timer.daemon = True
+            timer.start()
         try:
             if name not in oracles:
                 n = qs[name](spark, SF_DIR).count()
                 print(f"  rows-only {name}: {n} rows", flush=True)
+                verdicts[name] = {"ok": True, "rows_only": True}
                 continue
             compare(qs[name](spark, SF_DIR), duck, oracles[name])
-            print(f"  ok {name} ({time.perf_counter() - t0:.1f}s)", flush=True)
+            dt = round(time.perf_counter() - t0, 1)
+            print(f"  ok {name} ({dt}s)", flush=True)
+            verdicts[name] = {"ok": True, "sec": dt}
         except Exception as ex:  # noqa: BLE001
-            failed.append(name)
-            print(f"  FAIL {name}: {ex}", flush=True)
+            if timed_out.is_set():
+                print(f"  TIMEOUT {name} (> {q_timeout:.0f}s)", flush=True)
+                verdicts[name] = {"ok": False, "timeout": True}
+            else:
+                failed.append(name)
+                print(f"  FAIL {name}: {ex}", flush=True)
+                verdicts[name] = {"ok": False, "err": str(ex)[:300]}
+        finally:
+            if timer is not None:
+                timer.cancel()
+        if journal_path:
+            with open(journal_path, "w") as fh:
+                json.dump(verdicts, fh, indent=0, sort_keys=True)
     print(f"{len(names) - len(failed)}/{len(names)} green; failed: {failed}")
-    if not sys.argv[1:]:
-        # Full sweep: journal per-query verdicts so COVERAGE.md's sweep
-        # column reflects the latest local gate run, not just the
-        # (sampled, possibly stale) driver rounds.
-        import json
-
-        with open(os.path.join(os.path.dirname(__file__), "..",
-                               "SWEEP_RESULTS.json"), "w") as fh:
-            json.dump(
-                {n: {"ok": n not in failed} for n in names},
-                fh, indent=0, sort_keys=True,
-            )
+    if journal_path:
+        with open(journal_path, "w") as fh:
+            json.dump(verdicts, fh, indent=0, sort_keys=True)
     spark.stop()
     return 1 if failed else 0
 
