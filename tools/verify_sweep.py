@@ -95,19 +95,27 @@ def main() -> int:
     for name in names:
         t0 = time.perf_counter()
         timed_out = threading.Event()
+        done = threading.Event()
         timer = None
         if q_timeout > 0:
 
-            def _kill() -> None:
+            def _kill(done_evt: threading.Event = done) -> None:
                 timed_out.set()
                 try:
                     duck.interrupt()
                 except Exception:  # noqa: BLE001
                     pass
-                try:
-                    spark.sparkContext.cancelAllJobs()
-                except Exception:  # noqa: BLE001
-                    pass
+                # Keep cancelling until the query thread actually returns:
+                # a single cancelAllJobs() fired BETWEEN two jobs of an
+                # iterative operator (rounds run eagerly at DataFrame
+                # construction) cancels nothing, and the next round runs
+                # unimpeded — the query escapes the watchdog entirely.
+                while not done_evt.is_set():
+                    try:
+                        spark.sparkContext.cancelAllJobs()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    done_evt.wait(5)
 
             timer = threading.Timer(q_timeout, _kill)
             timer.daemon = True
@@ -131,6 +139,7 @@ def main() -> int:
                 print(f"  FAIL {name}: {ex}", flush=True)
                 verdicts[name] = {"ok": False, "err": str(ex)[:300]}
         finally:
+            done.set()
             if timer is not None:
                 timer.cancel()
         if journal_path:
