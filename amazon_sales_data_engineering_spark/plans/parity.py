@@ -691,20 +691,22 @@ SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows FROM orders
     doc="File-metadata columns (SURVEY §2.1 S10): Spark's hidden _metadata "
     "struct replaces Snowflake metadata$filename "
     "(/root/reference/step_3_load_from_stage_to_source.py:44-46). The "
-    "Spark side reads the real _metadata.file_path and groups per file; "
-    "the oracle predicts the result from the registered view plus the "
-    "testdata layout contract (each table is exactly one parquet file "
-    "named <table>.parquet — TESTDATA.md), so it holds at ANY sf dir "
-    "instead of hardcoding one path.",
+    "Spark side reads the real _metadata.file_path per input split and "
+    "groups by the LOGICAL table file — the first '<name>.parquet' path "
+    "component — which is the same string whether the table is one "
+    "parquet file (driver testdata) or a Spark-written directory of "
+    "part files (the 10x probe corpus), so the oracle's layout "
+    "prediction holds at ANY sf dir instead of hardcoding one path "
+    "or one physical layout.",
     tags=("metadata",),
 )
 def metadata_file_stats(spark: SparkSession, sf_dir: str):
     return (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select(
-            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
-                "file_name"
-            )
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+\.parquet)", 1
+            ).alias("file_name")
         )
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -845,6 +847,20 @@ GROUP BY 1
     tags=("sql", "recursive", "hierarchy", "agg"),
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str):
+    # Spark's recursion ROW-limit guard defaults to 1M total rows across
+    # iterations — fine at the gate scales, tripped by design at 10x
+    # (6M lineitems x <=7 ancestor levels ~= 40M recursion rows). The
+    # recursion SHAPE is provably bounded (depth <= 7: l_partkey < 10^7,
+    # one row per level, no path explosion), so size the guard from the
+    # known fan-out instead of the default: 8 x input rows, computed
+    # job-free from parquet footer metadata. Raising the guard blindly
+    # (-1) would also disarm it for genuinely runaway recursions.
+    from .util import parquet_num_rows
+
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(8 * parquet_num_rows(sf_dir, "lineitem")),
+    )
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_rec")
     return spark.sql(
         """

@@ -248,7 +248,7 @@ WITH e AS (
   FROM e
 ), flagged AS (
   SELECT user_id, sec,
-         CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM g
 ), sessions AS (
@@ -270,8 +270,12 @@ GROUP BY user_id, session_idx
     "real session) runs through a streaming session_window(30 min) "
     "aggregate in append mode; the emitted sessions must equal batch "
     "gaps-islands sessionization. The oracle uses session_window's "
-    "STRICT boundary (a gap of exactly 30:00 splits — `>=`, not `>`; "
-    "the session interval is [t, t+gap)), on integer epoch seconds so "
+    "TOUCHING-MERGE boundary — a gap of exactly 30:00 MERGES (`>`, "
+    "not `>=`, splits): Spark extends a session whose [t, t+gap] "
+    "closed end an arriving event touches (verified empirically: "
+    "events at 0 and 1800 form ONE session [0, 3600), at 0 and 1801 "
+    "two). The sf1 sweep caught this — ~10 exact-1800 gaps exist in "
+    "1M events, zero at the gate scales — on integer epoch seconds so "
     "the comparison is timezone-proof and engine-exact. Gates Spark's "
     "native stateful session operator end-to-end: merge, watermark "
     "close, and emission — the one streaming shape the dedup and "

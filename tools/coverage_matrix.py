@@ -56,21 +56,33 @@ def main() -> int:
         f"sample verdict with its round ({src}); `—` = never sampled.",
         "*Sweep*: latest full local `tools/verify_sweep.py` run",
         "(SWEEP_RESULTS.json) — every query, every run, so it supersedes",
-        "a stale driver sample.",
+        "a stale driver sample. *sf1*: the 10×-corpus correctness sweep",
+        "(SWEEP_SF1.json, SWEEP_SF_DIR=/tmp/asde_sf1) — the same",
+        "oracle-differential gate re-run at 10× cardinalities, proving",
+        "decimal accumulators, sketch register widths and scale-adaptive",
+        "parameters hold past the gate scales; `timeout` = the DuckDB",
+        "oracle formulation (not the Spark query) is brute-force by",
+        "design and infeasible at this sf — the sf0.01 gate still proves",
+        "that query.",
         "SURVEY.md §2 parity rows are mapped in README.md's coverage",
         "table; tags group the extension families. The",
         "`scale:baseline-only` tag marks queries that are quadratic or",
         "output-bound BY DESIGN (exact ground-truth baselines for the",
         "approximate scale paths) — do not read their 10x probe ratios",
         "as scale regressions; the rationale is in each docstring.\n",
-        "| query | tags | gate | bench | driver | sweep |",
-        "|---|---|---|---|---|---|",
+        "| query | tags | gate | bench | driver | sweep | sf1 |",
+        "|---|---|---|---|---|---|---|",
     ]
     sweep_path = os.path.join(REPO, "SWEEP_RESULTS.json")
     sweep: dict = {}
     if os.path.exists(sweep_path):
         with open(sweep_path) as fh:
             sweep = json.load(fh)
+    sf1_path = os.path.join(REPO, "SWEEP_SF1.json")
+    sf1: dict = {}
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as fh:
+            sf1 = json.load(fh)
     n_oracle = n_rows_only = 0
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
@@ -90,9 +102,18 @@ def main() -> int:
             verdict = f"**FAIL** ({d.get('_round', '?')})"
         s = sweep.get(name)
         sweep_v = "—" if s is None else ("ok" if s.get("ok") else "**FAIL**")
+        s1 = sf1.get(name)
+        if s1 is None:
+            sf1_v = "—"
+        elif s1.get("ok"):
+            sf1_v = "ok" + (f" ({s1['sec']:.0f}s)" if s1.get("sec") else "")
+        elif s1.get("timeout"):
+            sf1_v = "timeout (oracle)"
+        else:
+            sf1_v = "**FAIL**"
         lines.append(
             f"| {name} | {', '.join(q.tags)} | {gate} "
-            f"| {'yes' if q.bench else ''} | {verdict} | {sweep_v} |"
+            f"| {'yes' if q.bench else ''} | {verdict} | {sweep_v} | {sf1_v} |"
         )
     lines.append(
         f"\n**{len(REGISTRY)} queries: {n_oracle} oracle-gated, "

@@ -80,13 +80,19 @@ def main() -> int:
 
     q_timeout = float(os.environ.get("SWEEP_QUERY_TIMEOUT", "0") or 0)
 
-    # SWEEP_RESUME=1: reload the journal from a killed run and skip the
-    # queries it already proved green (big-sf sweeps take hours; a restart
-    # must not repay the prefix). Failures/timeouts are retried.
+    # An explicitly-named journal is MERGED, never clobbered: a named-
+    # subset retry (e.g. the three fixed queries against SWEEP_SF1.json)
+    # must update three verdicts, not replace a 280-entry sweep record
+    # with three rows. SWEEP_RESUME=1 additionally SKIPS queries the
+    # journal already proved green (big-sf sweeps take hours; a restart
+    # must not repay the prefix) — failures/timeouts are always retried.
     verdicts: dict[str, dict] = {}
-    if os.environ.get("SWEEP_RESUME") and journal_path and os.path.exists(journal_path):
+    if journal_path and os.path.exists(journal_path) and (
+        os.environ.get("SWEEP_JOURNAL") or os.environ.get("SWEEP_RESUME")
+    ):
         with open(journal_path) as fh:
             verdicts = json.load(fh)
+    if os.environ.get("SWEEP_RESUME"):
         done = [n for n, v in verdicts.items() if v.get("ok")]
         names = [n for n in names if n not in done]
         print(f"resume: {len(done)} green in journal, {len(names)} to run", flush=True)
