@@ -52,14 +52,27 @@ T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
 def _mk(eid, uid, etype, minutes, value):
     return (eid, uid, etype, T0 + dt.timedelta(minutes=minutes), value)
 
+def _mks(eid, uid, etype, seconds, value):
+    return (eid, uid, etype, T0 + dt.timedelta(seconds=seconds), value)
+
 # user 1: two sessions (gap > 30 min between minute 20 and 70)
 # user 2: one session
+# user 3: gap of EXACTLY 30:00 — Spark's session_window treats the
+#   session interval end as CLOSED, so a touching event MERGES (one
+#   session); the custom stateful path (`s[0] <= last_end + gap`)
+#   must agree. This boundary was caught by the sf1 oracle sweep
+#   (~10 exact-1800s gaps per 1M events; zero at smaller scales).
+# user 4: gap of 30:01 — one second past the boundary SPLITS.
 EVENTS = [
     _mk(1, 1, "click", 0, 1.0),
     _mk(2, 1, "click", 20, 0.5),
     _mk(3, 1, "view", 70, 2.0),
     _mk(4, 2, "click", 5, 0.25),
     _mk(5, 2, "view", 25, 0.25),
+    _mks(7, 3, "click", 0, 0.25),
+    _mks(8, 3, "view", 1800, 0.5),
+    _mks(9, 4, "click", 0, 0.25),
+    _mks(10, 4, "view", 1801, 0.5),
 ]
 SENTINEL = [_mk(99, -1, "eos", 60 * 24 * 30, 0.0)]
 
@@ -121,10 +134,16 @@ def _assert_sessions(rows):
         if r.user_id != -1
     )
     m = lambda minutes: T0 + dt.timedelta(minutes=minutes)  # noqa: E731
+    s = lambda seconds: T0 + dt.timedelta(seconds=seconds)  # noqa: E731
     assert got == [
         (1, m(0), m(20), 2, 1.5),
         (1, m(70), m(70), 1, 2.0),
         (2, m(5), m(25), 2, 0.5),
+        # exact-gap (1800 s) MERGES: one session spanning both events
+        (3, s(0), s(1800), 2, 0.75),
+        # one past the gap (1801 s) SPLITS: two singleton sessions
+        (4, s(0), s(0), 1, 0.25),
+        (4, s(1801), s(1801), 1, 0.5),
     ]
 
 
@@ -206,7 +225,7 @@ def test_dedup_stream_exact(spark, dup_stream_dir):
     )
     rows = run_available_now(dedup_stream_exact(src), "dedup_exact_s", timeout_sec=180)
     ids = sorted(r.event_id for r in rows if r.user_id != -1)
-    assert ids == [1, 2, 3, 4, 5, 6]
+    assert ids == sorted({e[0] for e in EVENTS} | {6})
 
 
 @pytest.fixture(scope="module")
@@ -276,7 +295,7 @@ def test_enrich_stream_static_dim(spark, stream_dir):
         enrich_stream(src, dim, ["user_id"]), "enriched"
     )
     segs = {r.user_id: r.segment for r in rows if r.user_id > 0}
-    assert segs == {1: "gold", 2: "silver"}
+    assert segs == {1: "gold", 2: "silver", 3: None, 4: None}
     n_null = sum(1 for r in rows if r.user_id == -1 and r.segment is None)
     assert n_null == 1  # left join: unmatched sentinel passes through
 
@@ -411,7 +430,7 @@ def test_incremental_append_resumes_for_new_files_only(spark, tmp_path):
     q.awaitTermination(120)
     assert sum(seen_batches) == len(EVENTS)
 
-    late = [_mk(7, 2, "click", 90, 0.5), _mk(8, 1, "view", 95, 0.25)]
+    late = [_mk(11, 2, "click", 90, 0.5), _mk(12, 1, "view", 95, 0.25)]
     land(late, now + 2, "c")
     seen_batches.clear()
     q = incremental_append(_source(spark, str(d)), write_batch, ckpt)
