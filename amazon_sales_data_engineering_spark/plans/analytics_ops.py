@@ -582,19 +582,19 @@ WITH e AS (
   SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
 ), n AS (
   SELECT COUNT(*) AS n_nodes FROM nodes
-), pr0 AS (
+), pr0 AS MATERIALIZED (
   SELECT node, CAST(1000000000000000 AS BIGINT) // n.n_nodes AS pf
   FROM nodes, n
-), c1 AS (
+), c1 AS MATERIALIZED (
   SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
   FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
   GROUP BY 1
-), pr1 AS (
+), pr1 AS MATERIALIZED (
   SELECT nodes.node,
          (15 * CAST(1000000000000000 AS BIGINT)) // (100 * n.n_nodes)
          + (85 * COALESCE(c1.s, 0)) // 100 AS pf
   FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node
-), c2 AS (
+), c2 AS MATERIALIZED (
   SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
   FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
   GROUP BY 1
@@ -831,15 +831,21 @@ _COPURCHASE_EDGES = """
 
 @register(
     "graph_kcore_peel",
+    # Multiply-referenced CTEs carry MATERIALIZED: DuckDB 1.0 inlines
+    # CTEs per reference, so without the hint the lineitem self-join
+    # re-runs once per reference — exponentially through the chained
+    # peel rounds (e1 references e0 twice, e2 references e1 twice...).
+    # Harmless at gate scales, a >300s timeout at sf1; materialized the
+    # whole oracle runs in ~3s at 12M edges.
     oracle=f"""
-WITH e0 AS ({_COPURCHASE_EDGES}),
+WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES}),
 d1 AS (
   SELECT node, COUNT(*) AS c FROM (
     SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
   ) GROUP BY 1
 ),
 k1 AS (SELECT node FROM d1 WHERE c >= 3),
-e1 AS (
+e1 AS MATERIALIZED (
   SELECT e0.u, e0.v FROM e0
   JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v
 ),
@@ -849,7 +855,7 @@ d2 AS (
   ) GROUP BY 1
 ),
 k2 AS (SELECT node FROM d2 WHERE c >= 3),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT e1.u, e1.v FROM e1
   JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v
 )
@@ -948,16 +954,36 @@ def regression_trend_by_priority(spark: SparkSession, sf_dir: str):
 
 @register(
     "graph_edge_similarity",
+    # Oracle counts common neighbors by DEGREE-ORIENTED TRIANGLE
+    # ENUMERATION (orient every edge from the (degree, id)-smaller
+    # endpoint; wedge-join the two out-edges at each apex, close
+    # against the canonical edge list, then credit each triangle to
+    # its three edges). The earlier per-edge wedge join expanded every
+    # edge by its endpoint's full neighborhood — Σ_e d(u) ≈ 1.4e9
+    # probe rows at sf1, a >9-min DuckDB run; orientation bounds the
+    # apex out-degree by O(sqrt E) and finishes the same counts in
+    # ~90s. common(u,v) = triangles through (u,v) — an exact identity,
+    # verified value-equal to the wedge formulation at the gate scale.
     oracle=f"""
-WITH e0 AS ({_COPURCHASE_EDGES}),
-und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
-common AS (
-  SELECT e.u, e.v, COUNT(*) AS c
-  FROM e0 e
-  JOIN und a ON a.u = e.u
-  JOIN und b ON b.u = e.v AND b.v = a.v
-  GROUP BY 1, 2
+WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES}),
+und AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (du.d, x.u) < (dv.d, x.v) THEN x.u ELSE x.v END AS a,
+         CASE WHEN (du.d, x.u) < (dv.d, x.v) THEN x.v ELSE x.u END AS b
+  FROM e0 x JOIN deg du ON du.node = x.u JOIN deg dv ON dv.node = x.v
+),
+tri AS MATERIALIZED (
+  SELECT p.a AS x, p.b AS y, q.b AS z
+  FROM o p JOIN o q ON q.a = p.a AND p.b < q.b
+  JOIN e0 w ON w.u = p.b AND w.v = q.b
+),
+common AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS c FROM (
+    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM tri
+    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri
+  ) GROUP BY 1, 2
 )
 SELECT e.u, e.v,
        COALESCE(c.c, 0) AS common,
@@ -973,9 +999,9 @@ JOIN deg dv ON dv.node = e.v
     doc="Link-prediction features per co-purchase edge: common-neighbor "
     "count and neighborhood Jaccard (operators.graph."
     "edge_neighborhood_similarity — in-row adjacency intersection, the "
-    "triangle_count shape reused). Oracle: wedge-join common-neighbor "
-    "counting, a genuinely different plan. Integer counts + one "
-    "division; 0/0 edges yield NULL identically.",
+    "triangle_count shape reused). Oracle: degree-oriented triangle "
+    "enumeration credited back to edges, a genuinely different plan. "
+    "Integer counts + one division; 0/0 edges yield NULL identically.",
     tags=("graph", "join", "ml"),
 )
 def graph_edge_similarity(spark: SparkSession, sf_dir: str):
@@ -2991,39 +3017,42 @@ def quantile_sketch_binned(spark: SparkSession, sf_dir: str):
 
 @register(
     "graph_personalized_pagerank",
+    # MATERIALIZED on every multiply-referenced CTE: DuckDB 1.0 inlines
+    # per reference, so the unrolled two-round chain re-ran the edge
+    # self-join exponentially (>300s at sf1; ~4s materialized).
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
 ), seeds AS (
   SELECT src AS node FROM (
     SELECT src, row_number() OVER (ORDER BY COUNT(*) DESC, src ASC) AS rn
     FROM e GROUP BY src
   ) WHERE rn <= 3
-), pr0 AS (
+), pr0 AS MATERIALIZED (
   SELECT n.node, s.node IS NOT NULL AS is_seed,
          CASE WHEN s.node IS NOT NULL
               THEN CAST(1000000000000000 AS BIGINT) // 3
               ELSE CAST(0 AS BIGINT) END AS pf
   FROM nodes n LEFT JOIN seeds s ON s.node = n.node
-), c1 AS (
+), c1 AS MATERIALIZED (
   SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
   FROM e JOIN pr0 p ON p.node = e.src AND p.pf > 0
          JOIN deg d ON d.src = e.src
   GROUP BY 1
-), pr1 AS (
+), pr1 AS MATERIALIZED (
   SELECT p.node, p.is_seed,
          CASE WHEN p.is_seed
               THEN (15 * CAST(1000000000000000 AS BIGINT)) // 300
               ELSE CAST(0 AS BIGINT) END
          + (85 * COALESCE(c1.s, 0)) // 100 AS pf
   FROM pr0 p LEFT JOIN c1 ON c1.node = p.node
-), c2 AS (
+), c2 AS MATERIALIZED (
   SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
   FROM e JOIN pr1 p ON p.node = e.src AND p.pf > 0
          JOIN deg d ON d.src = e.src
@@ -3187,22 +3216,28 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str):
 
 @register(
     "graph_hits_bipartite",
+    # MATERIALIZED on the edge list and every state table referenced by
+    # both the next half-round and its MAX-normalizer — DuckDB 1.0
+    # inlines CTEs per reference, so the unrolled four-half-round chain
+    # re-ran the orders-lineitem join exponentially (>300s at sf1; ~3s
+    # materialized). The SQL-side twin of the lineage-cut rule the
+    # Spark operator applies via localCheckpoint.
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS c, l_partkey AS p
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 a0 AS (SELECT DISTINCT p, CAST(1000 AS BIGINT) AS score FROM e),
-h1s AS (SELECT e.c, SUM(a0.score) AS s FROM e JOIN a0 ON a0.p = e.p GROUP BY 1),
+h1s AS MATERIALIZED (SELECT e.c, SUM(a0.score) AS s FROM e JOIN a0 ON a0.p = e.p GROUP BY 1),
 h1m AS (SELECT GREATEST(MAX(s), 1) AS m FROM h1s),
-h1 AS (SELECT c, CAST((s * 1000) // h1m.m AS BIGINT) AS score FROM h1s, h1m),
-a1s AS (SELECT e.p, SUM(h1.score) AS s FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
+h1 AS MATERIALIZED (SELECT c, CAST((s * 1000) // h1m.m AS BIGINT) AS score FROM h1s, h1m),
+a1s AS MATERIALIZED (SELECT e.p, SUM(h1.score) AS s FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
 a1m AS (SELECT GREATEST(MAX(s), 1) AS m FROM a1s),
-a1 AS (SELECT p, CAST((s * 1000) // a1m.m AS BIGINT) AS score FROM a1s, a1m),
-h2s AS (SELECT e.c, SUM(a1.score) AS s FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
+a1 AS MATERIALIZED (SELECT p, CAST((s * 1000) // a1m.m AS BIGINT) AS score FROM a1s, a1m),
+h2s AS MATERIALIZED (SELECT e.c, SUM(a1.score) AS s FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
 h2m AS (SELECT GREATEST(MAX(s), 1) AS m FROM h2s),
-h2 AS (SELECT c, CAST((s * 1000) // h2m.m AS BIGINT) AS score FROM h2s, h2m),
-a2s AS (SELECT e.p, SUM(h2.score) AS s FROM e JOIN h2 ON h2.c = e.c GROUP BY 1),
+h2 AS MATERIALIZED (SELECT c, CAST((s * 1000) // h2m.m AS BIGINT) AS score FROM h2s, h2m),
+a2s AS MATERIALIZED (SELECT e.p, SUM(h2.score) AS s FROM e JOIN h2 ON h2.c = e.c GROUP BY 1),
 a2m AS (SELECT GREATEST(MAX(s), 1) AS m FROM a2s),
 a2 AS (SELECT p, CAST((s * 1000) // a2m.m AS BIGINT) AS score FROM a2s, a2m)
 SELECT 'hub' AS side, c AS id, score AS score_milli FROM h2
