@@ -819,3 +819,157 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "id_a", "id_b").collect()
     }
     assert got == want
+
+
+pair_edges_st = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(edges=pair_edges_st)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented in-row triangle counting vs brute force over all
+    node triples (each triangle found exactly once at its lowest-
+    (deg, id) edge — the claim the orientation argument makes)."""
+    from itertools import combinations
+
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        triangle_count,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nodes = {n for e in und for n in e}
+    n_tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes),
+        len(und),
+        n_tri,
+    )
+
+
+@SETTINGS
+@given(edges=pair_edges_st, k=st.integers(1, 4), rounds=st.integers(1, 3))
+def test_kcore_peel_matches_python(spark, edges, k, rounds):
+    """Bounded-round peeling vs a literal Python replay: same surviving
+    node set and residual degrees after every round count."""
+    from amazon_sales_data_engineering_spark.operators.graph import kcore_peel
+
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not cur:
+        return
+    for _ in range(rounds):
+        deg = Counter([u for u, _ in cur] + [v for _, v in cur])
+        keep = {n for n, c in deg.items() if c >= k}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    want = dict(Counter([u for u, _ in cur] + [v for _, v in cur]))
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.deg for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == want
+
+
+@SETTINGS
+@given(edges=pair_edges_st, rounds=st.integers(1, 3))
+def test_pagerank_matches_python_fixed_point(spark, edges, rounds):
+    """pagerank_rounds vs a bit-exact Python replica of the fixed-point
+    recurrence (integer DIV, multi-edges counted as given) — the
+    'bit-identical on any engine' claim, checked on pr_fixed."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        pagerank_rounds,
+    )
+
+    e = [(a, b) for a, b in edges if True]  # operator takes rows as-is
+    nodes = sorted({n for p in e for n in p})
+    scale, d = 10**15, 85
+    n = len(nodes)
+    outdeg = Counter(a for a, _ in e)
+    pr = {x: scale // n for x in nodes}
+    teleport = (100 - d) * scale // (100 * n)
+    for _ in range(rounds):
+        s = Counter()
+        for a, b in e:
+            s[b] += pr[a] // outdeg[a]
+        pr = {x: teleport + d * s.get(x, 0) // 100 for x in nodes}
+
+    df = spark.createDataFrame(e, "src int, dst int")
+    got = {
+        r.node: r.pr_fixed for r in pagerank_rounds(df, n_rounds=rounds).collect()
+    }
+    assert got == pr
+
+
+@SETTINGS
+@given(edges=pair_edges_st, rounds=st.integers(1, 3))
+def test_bipartite_hits_matches_python(spark, edges, rounds):
+    """bipartite_hits_rounds vs a bit-exact Python replay of the
+    mutual-reinforcement half-rounds with integer max-normalization."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        bipartite_hits_rounds,
+    )
+
+    a_score = {p: 1000 for _, p in edges}
+    h_score = {}
+    for _ in range(rounds):
+        hs = Counter()
+        for c, p in edges:
+            hs[c] += a_score[p]
+        m = max(max(hs.values()), 1)
+        h_score = {c: s * 1000 // m for c, s in hs.items()}
+        as_ = Counter()
+        for c, p in edges:
+            as_[p] += h_score[c]
+        m = max(max(as_.values()), 1)
+        a_score = {p: s * 1000 // m for p, s in as_.items()}
+    want = {("hub", c): s for c, s in h_score.items()}
+    want.update({("authority", p): s for p, s in a_score.items()})
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r.side, r.id): r.score_milli
+        for r in bipartite_hits_rounds(df, n_rounds=rounds).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(edges=pair_edges_st)
+def test_edge_similarity_matches_bruteforce(spark, edges):
+    """Per-edge common-neighbor count / neighborhood Jaccard vs brute
+    force set intersection; the single division makes the double
+    IEEE-identical, so floats compare exactly (0/0 edges -> NULL)."""
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        edge_neighborhood_similarity,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nbrs = defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    want = {}
+    for u, v in und:
+        common = len(nbrs[u] & nbrs[v])
+        du, dv = len(nbrs[u]), len(nbrs[v])
+        denom = du + dv - 2 - common
+        want[(u, v)] = (common, du, dv, common / denom if denom > 0 else None)
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r.u, r.v): (r.common, r.deg_u, r.deg_v, r.nb_jaccard)
+        for r in edge_neighborhood_similarity(df).collect()
+    }
+    assert got == want
