@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     packing_ops,
     parity,
     pipeline_ops,
+    pretrain_ops,
     quality_ops,
     reshape_ops,
     rules_ops,

@@ -1,0 +1,608 @@
+"""Pre-training data-curation operators from the published LLM-pipeline
+literature, each re-expressed Spark-first and DuckDB-oracled:
+
+- ``semdedup_prune``       — SemDeDup (Abbas et al. 2023): k-means
+  clustering + intra-cluster cosine pruning.
+- ``dsir_importance_ppm``  — DSIR (Xie et al. 2023): hashed-n-gram
+  importance weighting + deterministic weighted resampling.
+- ``ccnet_perplexity_buckets`` — CCNet (Wenzek et al. 2020): per-language
+  head/middle/tail LM-score bucketing.
+- ``bpe_train_merges``     — BPE tokenizer TRAINING (Sennrich et al.
+  2016): iterative most-frequent-pair merges over the word-frequency
+  table.
+
+Every op follows the registry's determinism contract (exact integer /
+fixed-point arithmetic, identical IEEE fold orders, pinned tie-breaks)
+so the DuckDB oracle is value-identical at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import norm
+from .registry import register
+from .util import parquet_num_rows, t_cpu
+
+_NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: Rolling polynomial hash parameters shared by the Spark and SQL sides:
+#: h = fold over char codes of ((h * 31 + code) mod _HASH_P); both engines
+#: see pure-ASCII lowercase words, so ascii()/ord() agree, and the fold's
+#: zero seed equals DuckDB list_reduce's first-element seed because
+#: (0 * 31 + c) mod p == c for c < p.
+_HASH_P = 1000003
+_N_BUCKETS = 1024
+
+
+def _auto_centroid_modulus(n: int) -> int:
+    """Same √n-scaled modulus ann_ivf_topk uses: the smallest power-of-4
+    cap >= n gives m = max(50, 2^k), so both centroid count (n/m) and
+    mean cluster size (m) grow as √n — intra-cluster pair work stays
+    O(n^1.5), never quadratic. Computed from parquet footer metadata
+    (zero Spark jobs) and replayed exactly by the oracle's integer CTE."""
+    k, cap = 0, 1
+    while cap < n:
+        cap <<= 2
+        k += 1
+    return max(50, 1 << k)
+
+
+_SEMDEDUP_M_SQL = """
+nn AS (SELECT count(*) AS n FROM embeddings),
+par AS (
+  SELECT greatest(50, 1::BIGINT << (
+    SELECT min(k) FROM range(0, 32) t(k)
+    WHERE (1::BIGINT << (2 * k)) >= (SELECT n FROM nn))) AS m
+  FROM nn
+)"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+WITH {_SEMDEDUP_M_SQL},
+m0 AS MATERIALIZED (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid, e AS cvec, nrm AS cnrm
+  FROM m0 WHERE vec_id % (SELECT m FROM par) = 0
+),
+asg AS MATERIALIZED (
+  SELECT m0.vec_id, m0.e, m0.nrm,
+         CAST((min([
+           -(list_sum(list_transform(range(1, len(m0.e) + 1),
+                                     j -> m0.e[j] * c.cvec[j]))
+             / (m0.nrm * c.cnrm)),
+           CAST(c.cid AS DOUBLE)]))[2] AS BIGINT) AS cid
+  FROM m0, cent c
+  GROUP BY 1, 2, 3
+),
+dup AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                                j -> a.e[j] * b.e[j]))
+        / (a.nrm * b.nrm) >= 0.3
+  GROUP BY 1
+)
+SELECT v.vec_id, v.cid, d.dup_of,
+       d.dup_of IS NULL AS keep
+FROM asg v LEFT JOIN dup d USING (vec_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the "
+    "embedding table, then inside each cluster drop every vector whose "
+    "cosine similarity to an earlier-kept vector exceeds tau = 0.3 "
+    "(p99 of the corpus pairwise-cosine distribution) — semantic "
+    "near-duplicate pruning, the step AFTER MinHash catches lexical "
+    "dups. Deterministic variant: one Lloyd assignment round against "
+    "√n-scaled id-modulus centroids (the ann_ivf_topk formula, sized "
+    "job-free from parquet footers and replayed by the oracle's "
+    "integer CTE), 'earlier' = lower vec_id, so keepers are unique and "
+    "reproducible — no random cluster seeds. Scale shape: centroids "
+    "broadcast (k x d), assignment is one narrow map pass, and the "
+    "only join is cluster-keyed with √n-bounded clusters → O(n^1.5) "
+    "pair work, never a cartesian; cosines are identical left-to-right "
+    "IEEE folds with norms computed once per vector on both engines.",
+    tags=("dedup", "similarity", "embedding"),
+    bench=True,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str):
+    m = _auto_centroid_modulus(parquet_num_rows(sf_dir, "embeddings"))
+    v = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    m0 = v.select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+    cent = m0.filter(F.col("vec_id") % m == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        m0.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.array(
+                -(dot / (F.col("nrm") * F.col("cnrm"))),
+                F.col("cid").cast("double"),
+            ).alias("rank_key"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", "rank_key").alias("cid"))
+        .join(m0, "vec_id")
+        # referenced three times (both pair sides + the final projection):
+        # without a persist the n×√n assignment cross-join re-executes per
+        # reference — the round-4 double-reference trap.
+        .persist()
+    )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cid",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cid",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_dot / (F.col("na") * F.col("nb")) >= 0.3)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return asg.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+_WORD_HASH_SQL = (
+    "list_reduce(list_transform(range(1, length(w) + 1), "
+    "i -> CAST(ord(substr(w, i, 1)) AS BIGINT)), "
+    f"(a, b) -> (a * 31 + b) % {_HASH_P})"
+)
+
+
+def _word_hash_spark(w):
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.ascii(F.substr(w, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(_HASH_P),
+    )
+
+
+@register(
+    "dsir_importance_ppm",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE length({_NORM_SQL}) > 0
+),
+hs AS (
+  SELECT doc_id, lang,
+         list_transform(ws, w -> {_WORD_HASH_SQL}) AS h
+  FROM docs
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           list_transform(h, x -> x % {_N_BUCKETS}),
+           list_transform(range(1, len(h)),
+             i -> ((h[i] * 131 + h[i + 1]) % {_HASH_P}) % {_N_BUCKETS})
+         )) AS b
+  FROM hs
+),
+cnts AS MATERIALIZED (
+  SELECT b,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM feats GROUP BY 1
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM cnts),
+ratio AS (
+  SELECT b,
+         CAST((1000000::HUGEINT * (ct + 1) * (ts + {_N_BUCKETS}))
+              // ((cs + 1)::HUGEINT * (tt + {_N_BUCKETS})) AS BIGINT) AS rp
+  FROM cnts, tot
+),
+sc AS (
+  SELECT f.doc_id, f.lang,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(SUM(rp) AS BIGINT) AS score
+  FROM feats f JOIN ratio USING (b)
+  WHERE f.lang <> 'en'
+  GROUP BY 1, 2
+),
+mx AS (SELECT max(score) AS ms FROM sc)
+SELECT doc_id, lang, n_feats, score,
+       CAST((score::HUGEINT * 1000000) // ms AS BIGINT) AS accept_ppm,
+       ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000000
+         < CAST((score::HUGEINT * 1000000) // ms AS BIGINT) AS selected
+FROM sc, mx
+""",
+    doc="DSIR (Xie et al. 2023, arXiv:2302.03169): score every pool "
+    "document by how much its hashed-n-gram profile resembles a target "
+    "domain (here lang='en' is the target, everything else the raw "
+    "pool), then resample proportional to the importance weight. "
+    "Features are word unigrams + bigrams hashed into 1024 buckets "
+    "(rolling 31-polynomial over char codes mod 1000003 — identical "
+    "integer fold on both engines); per-feature weight is the add-1 "
+    "smoothed frequency ratio in ppm, floor((c_t+1)(T_s+B)*1e6 / "
+    "((c_s+1)(T_t+B))) in exact >int64 arithmetic (DECIMAL(38,0) div / "
+    "HUGEINT //), the gate-exact surrogate for the log-ratio (per-"
+    "feature monotone, log-free — the same trick search_bm25_rational "
+    "uses for idf); a document's score sums the weight per feature "
+    "OCCURRENCE. Resampling is deterministic: accept when a Knuth "
+    "multiplicative hash of doc_id (mod 1e6) falls below the doc's "
+    "score/max_score in ppm — probability proportional to weight, "
+    "reproducible under retries, no rand(). Scale shape: the feature "
+    "table is <= 1024 rows (broadcast), totals are one 1-row cross "
+    "join, per-doc scoring is one map-side-combinable aggregate — no "
+    "global sort, no quadratic stage.",
+    tags=("corpus", "sampling", "text"),
+    bench=True,
+)
+def dsir_importance_ppm(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    docs = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select("doc_id", "lang", F.split(nrm, " ").alias("ws"))
+    )
+    hs = docs.select(
+        "doc_id", "lang",
+        F.transform("ws", _word_hash_spark).alias("h"),
+    )
+    bigrams = F.when(F.size("h") < 2, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - 1),
+            lambda i: (
+                (F.element_at("h", i) * F.lit(131) + F.element_at("h", i + 1))
+                % F.lit(_HASH_P)
+            )
+            % F.lit(_N_BUCKETS),
+        )
+    )
+    feats = hs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.concat(
+                F.transform("h", lambda x: x % F.lit(_N_BUCKETS)), bigrams
+            )
+        ).alias("b"),
+    )
+    # Reduce to per-doc bucket counts ONCE and persist: the char-level
+    # hash fold is the expensive narrow stage, and the stream is needed
+    # twice (global target/source counts + per-doc scoring). The reduced
+    # form is per-doc-DISTINCT sized, far smaller than the occurrence
+    # stream, and the map-side combine happens doc-locally.
+    fc = (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .persist()
+    )
+    cnts = fc.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0))
+        .cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", F.col("k")).otherwise(0))
+        .cast("bigint").alias("cs"),
+    )
+    tot = cnts.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    ratio = cnts.join(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (ct + 1) * (ts + {_N_BUCKETS}))"
+            f" div ((cs + 1) * (tt + {_N_BUCKETS})) AS BIGINT)"
+        ).alias("rp"),
+    )
+    sc = (
+        fc.filter(F.col("lang") != "en")
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_feats"),
+            F.sum(F.col("k") * F.col("rp")).cast("bigint").alias("score"),
+        )
+    )
+    mx = sc.agg(F.max("score").alias("ms"))
+    accept = F.expr(
+        "CAST((CAST(score AS DECIMAL(38,0)) * 1000000) div ms AS BIGINT)"
+    )
+    return sc.join(F.broadcast(mx)).select(
+        "doc_id", "lang", "n_feats", "score",
+        accept.alias("accept_ppm"),
+        (
+            ((F.col("doc_id") % 2147483648) * 2654435761) % 4294967296
+            % 1000000
+            < accept
+        ).alias("selected"),
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH n0 AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS s
+  FROM documents WHERE length({_NORM_SQL}) >= 3
+),
+tg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(s) - 1),
+                               i -> substr(s, i, 3))) AS g
+  FROM n0
+),
+cg AS MATERIALIZED (
+  SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM cg),
+sc AS (
+  SELECT tg.doc_id, tg.lang,
+         CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(SUM(c) AS BIGINT) AS sum_c
+  FROM tg JOIN cg USING (g)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, lang, n_tri,
+         CAST((sum_c * 1000000) // ((SELECT tt FROM tot) * n_tri) AS BIGINT)
+           AS score_ppm
+  FROM sc
+)
+SELECT doc_id, lang, n_tri, score_ppm,
+       CASE NTILE(3) OVER (PARTITION BY lang
+                           ORDER BY score_ppm DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+""",
+    doc="CCNet-style LM bucketing (Wenzek et al. 2020, arXiv:1911.00359): "
+    "score every document by a corpus character-trigram language model "
+    "and split each language into head / middle / tail terciles — the "
+    "filtering signal CCNet derives from a KenLM perplexity, here the "
+    "gate-exact log-free twin: score_ppm = floor(mean corpus-frequency "
+    "of the doc's trigrams, in ppm of the trigram total) — higher = "
+    "more typical = head (low perplexity), all integer arithmetic "
+    "(sum_c*1e6 and tt*n_tri both bounded well inside int64 at any "
+    "tested sf). Docs shorter than 3 normalized chars carry no trigram "
+    "and are excluded, matching CCNet's empty-after-cleanup drop. "
+    "Scale shape: the trigram vocabulary is bounded by the normalized "
+    "alphabet (|Σ|³), so counts BROADCAST back to the stream — two "
+    "map-side-combinable aggregates total; the tercile is a per-"
+    "language NTILE with a doc_id tie-break (identical semantics both "
+    "engines; at extreme scale the cutoffs would come from a quantile "
+    "sketch, cf. quantile_sketch_binned).",
+    tags=("corpus", "text", "quality"),
+    bench=True,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    n0 = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) >= 3)
+        .select("doc_id", "lang", nrm.alias("s"))
+    )
+    tg = n0.select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 2),
+                lambda i: F.substr(F.col("s"), i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    # Per-doc-distinct trigram counts, computed once and persisted: the
+    # normalize+explode stream feeds BOTH the global counts and the
+    # per-doc scores — without the persist the regex normalization and
+    # explode re-execute per reference (round-4 double-reference rule).
+    tgc = (
+        tg.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .persist()
+    )
+    cg = tgc.groupBy("g").agg(F.sum("k").cast("bigint").alias("c"))
+    tot = cg.agg(F.sum("c").cast("bigint").alias("tt"))
+    sc = (
+        tgc.join(F.broadcast(cg), "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tri"),
+            F.sum(F.col("k") * F.col("c")).cast("bigint").alias("sum_c"),
+        )
+    )
+    scored = sc.join(F.broadcast(tot)).select(
+        "doc_id", "lang", "n_tri",
+        F.expr("(sum_c * 1000000) div (tt * n_tri)").alias("score_ppm"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "n_tri", "score_ppm",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+_BPE_ROUNDS = 6
+_SEP = "\x1f"
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE-training oracle: one (pairs, best, state) CTE trio per
+    round, every CTE MATERIALIZED — DuckDB inlines multiply-referenced
+    CTEs, and the round chain references each state twice (pair counts +
+    merge apply): the SQL twin of the Spark-side per-round lineage cut."""
+    sep2 = "chr(31) || chr(31)"
+    parts = [
+        f"""WITH w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents WHERE length({_NORM_SQL}) > 0)
+  GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT cnt,
+         chr(31) || array_to_string(list_append(string_split(word, ''), '$'),
+                                    {sep2}) || chr(31) AS s
+  FROM w
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT tk[i] AS lhs, tk[i + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+  FROM (SELECT cnt, tk, unnest(range(1, len(tk))) AS i
+        FROM (SELECT cnt,
+                     string_split(substr(s, 2, length(s) - 2), {sep2}) AS tk
+              FROM {prev}))
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_cnt FROM p{r}
+  ORDER BY pair_cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT cnt,
+         replace(s, chr(31) || lhs || {sep2} || rhs || chr(31),
+                 chr(31) || lhs || rhs || chr(31)) AS s
+  FROM {prev}, b{r}
+)"""
+        )
+        if r < rounds:
+            parts.append("")  # keep commas regular via join below
+    body = ",\n".join(p for p in parts if p)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, lhs, rhs, pair_cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"{body}\n{finals}"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    doc="BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909): "
+    "learn the first 6 merge rules over the corpus — per round, count "
+    "every adjacent symbol pair weighted by word frequency, merge the "
+    "most frequent pair (ties: lexicographic lhs, rhs — fully pinned) "
+    "in all words, repeat. Classic trainers run on exactly this "
+    "aggregated word-frequency representation, so the engine does too: "
+    "the state is one vocabulary-sized table (word count + symbol "
+    "sequence), each round is one map-side-combinable pair aggregate + "
+    "a global top-1 (TakeOrderedAndProject) + a broadcast 1-row merge "
+    "applied as a narrow map — per round one shuffle, nothing scales "
+    "with corpus size after the initial word count. The symbol "
+    "sequence is encoded as unit-separator-wrapped tokens "
+    "('\\x1fa\\x1f\\x1fb\\x1f...') so the merge is a plain string "
+    "replace: both engines scan leftmost, non-overlapping, continuing "
+    "after each replacement — exactly BPE's greedy left-to-right pass "
+    "(verified on the 'aaa'/'aaaa' overlap cases). Each round's state "
+    "is referenced twice (pair counts + merge apply), so the Spark "
+    "side cuts lineage per round (localCheckpoint) and the oracle "
+    "MATERIALIZEs every CTE — the two engines' instances of the same "
+    "double-reference re-execution trap (round-4 rule / round-5 sf1 "
+    "sweep finding). End-of-word marker '$' cannot collide: corpus "
+    "words are lowercase alphanumerics.",
+    tags=("text", "tokenizer", "iterative"),
+    bench=True,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    sep2 = _SEP + _SEP
+    w = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select(F.explode(F.split(nrm, " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    state = w.select(
+        "cnt",
+        F.concat(
+            F.lit(_SEP),
+            F.array_join(
+                F.concat(F.split("word", ""), F.array(F.lit("$"))), sep2
+            ),
+            F.lit(_SEP),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+        tk = state.select("cnt", toks.alias("tk"))
+        pairs = tk.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size("tk") < 2,
+                    F.array().cast("array<struct<lhs:string,rhs:string>>"),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 1),
+                        lambda i: F.struct(
+                            F.element_at("tk", i).alias("lhs"),
+                            F.element_at("tk", i + 1).alias("rhs"),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        ).select("cnt", "p.lhs", "p.rhs")
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_cnt"))
+            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best.select(F.lit(r).alias("round"), "lhs", "rhs", "pair_cnt"))
+        state = (
+            state.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                "cnt",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(_SEP), F.col("lhs"), F.lit(sep2),
+                        F.col("rhs"), F.lit(_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_SEP), F.col("lhs"), F.col("rhs"), F.lit(_SEP)
+                    ),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -1,0 +1,144 @@
+"""Behavioral pins for the pre-training curation ops (pretrain_ops):
+bit-exact Python replicas + structural invariants, beyond the registry's
+DuckDB differential gate.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+SEP = "\x1f"
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _python_bpe(word_counts: Counter, rounds: int):
+    """Pure-Python BPE trainer: greedy left-to-right non-overlapping merge
+    of the most frequent pair, ties (count desc, lhs asc, rhs asc)."""
+    state = {w: tuple(list(w) + ["$"]) for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, toks in state.items():
+            cnt = word_counts[w]
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += cnt
+        (lhs, rhs), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, lhs, rhs, c))
+        new_state = {}
+        for w, toks in state.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_state[w] = tuple(out)
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    wc = Counter()
+    for t in texts:
+        n = _norm(t)
+        if n:
+            wc.update(n.split(" "))
+    want = _python_bpe(wc, 6)
+    got = sorted(
+        (r.round, r.lhs, r.rhs, r.pair_cnt)
+        for r in REGISTRY["bpe_train_merges"].spark_fn(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_bpe_wrapped_replace_is_greedy_left_to_right(spark):
+    # The unit-separator-wrapped string replace must reproduce the greedy
+    # fold on the overlap cases ('aaa' -> [aa, a], 'aaaa' -> [aa, aa]) —
+    # the encoding property the whole operator rests on.
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("aba",)], ["w"])
+    wrapped = F.concat(
+        F.lit(SEP),
+        F.array_join(F.split("w", ""), SEP + SEP),
+        F.lit(SEP),
+    )
+    merged = F.replace(
+        wrapped,
+        F.lit(SEP + "a" + SEP + SEP + "a" + SEP),
+        F.lit(SEP + "aa" + SEP),
+    )
+    toks = F.split(F.expr("substring(m, 2, length(m) - 2)"), SEP + SEP)
+    rows = {
+        r.w: r.t
+        for r in df.select("w", merged.alias("m"))
+        .select("w", toks.alias("t"))
+        .collect()
+    }
+    assert rows["aaa"] == ["aa", "a"]
+    assert rows["aaaa"] == ["aa", "aa"]
+    assert rows["aba"] == ["a", "b", "a"]
+
+
+def test_semdedup_invariants(spark):
+    rows = REGISTRY["semdedup_prune"].spark_fn(spark, SF_DIR).collect()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n  # every vector classified exactly once
+    assert len({r.vec_id for r in rows}) == n
+    cluster = {r.vec_id: r.cid for r in rows}
+    for r in rows:
+        assert r.keep == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id  # keeper is the earliest id
+            assert cluster[r.dup_of] == r.cid  # pruning is intra-cluster
+
+
+def test_dsir_invariants(spark):
+    rows = REGISTRY["dsir_importance_ppm"].spark_fn(spark, SF_DIR).collect()
+    assert rows and all(r.lang != "en" for r in rows)  # pool excludes target
+    assert all(0 <= r.accept_ppm <= 1_000_000 for r in rows)
+    top = max(rows, key=lambda r: (r.score, -r.doc_id))
+    assert top.accept_ppm == 1_000_000  # max-weight doc always accepted
+    assert top.selected
+
+
+def test_ccnet_terciles_partition_each_language(spark):
+    rows = REGISTRY["ccnet_perplexity_buckets"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = Counter(r.bucket for r in rs)
+        assert set(sizes) <= {"head", "middle", "tail"}
+        if len(rs) >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+            # score ordering across buckets (non-strict under ties)
+            assert min(r.score_ppm for r in rs if r.bucket == "head") >= max(
+                r.score_ppm for r in rs if r.bucket == "middle"
+            )
+            assert min(r.score_ppm for r in rs if r.bucket == "middle") >= max(
+                r.score_ppm for r in rs if r.bucket == "tail"
+            )

@@ -88,6 +88,11 @@ CEILINGS: dict[str, float] = {
     "split_neardup_safe": 2.8,
     "quantile_sketch_binned": 2.2,
     "embedding_dim_stats": 2.0,
+    # pre-training curation ops (round-5 measurements 0.83–1.51)
+    "semdedup_prune": 2.0,
+    "dsir_importance_ppm": 2.0,
+    "ccnet_perplexity_buckets": 2.5,
+    "bpe_train_merges": 2.0,
 }
 
 
