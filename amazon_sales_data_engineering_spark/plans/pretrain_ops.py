@@ -455,12 +455,15 @@ _BPE_ROUNDS = 6
 _SEP = "\x1f"
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled BPE-training oracle: one (pairs, best, state) CTE trio per
+def _bpe_cte_chain(rounds: int, carry_word: bool = False) -> str:
+    """Unrolled BPE-training CTE chain: one (pairs, best, state) trio per
     round, every CTE MATERIALIZED — DuckDB inlines multiply-referenced
     CTEs, and the round chain references each state twice (pair counts +
-    merge apply): the SQL twin of the Spark-side per-round lineage cut."""
+    merge apply): the SQL twin of the Spark-side per-round lineage cut.
+    With ``carry_word`` the word column rides along every state, so the
+    final state doubles as the word → token-sequence encoding table."""
     sep2 = "chr(31) || chr(31)"
+    wcol = "word, " if carry_word else ""
     parts = [
         f"""WITH w AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt
@@ -469,7 +472,7 @@ def _bpe_oracle(rounds: int) -> str:
   GROUP BY 1
 ),
 s0 AS MATERIALIZED (
-  SELECT cnt,
+  SELECT {wcol}cnt,
          chr(31) || array_to_string(list_append(string_split(word, ''), '$'),
                                     {sep2}) || chr(31) AS s
   FROM w
@@ -491,7 +494,7 @@ b{r} AS MATERIALIZED (
   ORDER BY pair_cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 s{r} AS MATERIALIZED (
-  SELECT cnt,
+  SELECT {wcol}cnt,
          replace(s, chr(31) || lhs || {sep2} || rhs || chr(31),
                  chr(31) || lhs || rhs || chr(31)) AS s
   FROM {prev}, b{r}
@@ -499,12 +502,15 @@ s{r} AS MATERIALIZED (
         )
         if r < rounds:
             parts.append("")  # keep commas regular via join below
-    body = ",\n".join(p for p in parts if p)
+    return ",\n".join(p for p in parts if p)
+
+
+def _bpe_oracle(rounds: int) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, lhs, rhs, pair_cnt FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return f"{body}\n{finals}"
+    return f"{_bpe_cte_chain(rounds)}\n{finals}"
 
 
 @register(
@@ -536,8 +542,24 @@ s{r} AS MATERIALIZED (
     bench=True,
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str):
+    merges, _ = _bpe_train(spark, sf_dir, _BPE_ROUNDS)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int, keep_word: bool = False
+):
+    """Run ``rounds`` BPE merge rounds over the corpus word-frequency
+    table. Returns ``(merges, state)``: one 1-row DataFrame per learned
+    rule, and the final state — each word's symbol sequence after all
+    merges, i.e. the trained tokenizer's encoding of the vocabulary
+    (carried only when ``keep_word``)."""
     nrm = _NORM_SPARK(F.col("text"))
     sep2 = _SEP + _SEP
+    keep = ["word"] if keep_word else []
     w = (
         t_cpu(spark, sf_dir, "documents")
         .filter(F.length(nrm) > 0)
@@ -546,6 +568,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     state = w.select(
+        *keep,
         "cnt",
         F.concat(
             F.lit(_SEP),
@@ -557,7 +580,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=True)
 
     merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
         tk = state.select("cnt", toks.alias("tk"))
         pairs = tk.select(
@@ -588,6 +611,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
         state = (
             state.crossJoin(F.broadcast(best.select("lhs", "rhs")))
             .select(
+                *keep,
                 "cnt",
                 F.replace(
                     F.col("s"),
@@ -602,7 +626,70 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=True)
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionByName(mdf)
-    return out
+    return merges, state
+
+
+@register(
+    "bpe_encode_fertility",
+    oracle=f"""
+{_bpe_cte_chain(_BPE_ROUNDS, carry_word=True)},
+enc AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(substr(s, 2, length(s) - 2),
+                               chr(31) || chr(31))) AS BIGINT) AS n_tok
+  FROM s{_BPE_ROUNDS}
+),
+dw AS (
+  SELECT doc_id, lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+  FROM documents WHERE length({_NORM_SQL}) > 0
+)
+SELECT dw.doc_id, dw.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tok) * 1000000) // count(*) AS BIGINT) AS fertility_ppm
+FROM dw JOIN enc USING (word)
+GROUP BY 1, 2
+""",
+    doc="BPE ENCODING with the trained merges (the inference half of "
+    "bpe_train_merges): after the 6 training rounds, the training "
+    "state is exactly each vocabulary word's token sequence under the "
+    "learned tokenizer — classic trainers exploit the same identity, "
+    "so encoding costs zero extra merge passes. Per document: word "
+    "count, BPE token count, and fertility (tokens per word, integer "
+    "ppm) — THE tokenizer-quality metric data teams track per corpus "
+    "slice (cf. tokenizer_fertility_by_lang, which proxies fertility "
+    "from a fixed regex rather than a trained tokenizer). Scale shape: "
+    "training state is vocabulary-bounded; the doc-side join "
+    "broadcasts the word → token-count table (vocab is Zipf-bounded; "
+    "at web scale the tail would hash-join by word — same plan minus "
+    "the broadcast hint); one map-side-combinable per-doc aggregate. "
+    "Determinism: all integer; fertility uses bigint `div`, operands "
+    "non-negative so Spark truncation == DuckDB floor.",
+    tags=("text", "tokenizer", "corpus"),
+    bench=True,
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str):
+    _, state = _bpe_train(spark, sf_dir, _BPE_ROUNDS, keep_word=True)
+    sep2 = _SEP + _SEP
+    toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+    vocab = state.select(
+        "word", F.size(toks).cast("bigint").alias("n_tok")
+    )
+    nrm = _NORM_SPARK(F.col("text"))
+    dw = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select("doc_id", "lang", F.explode(F.split(nrm, " ")).alias("word"))
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "lang", "n_words", "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias("fertility_ppm"),
+        )
+    )

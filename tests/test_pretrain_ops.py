@@ -49,7 +49,7 @@ def _python_bpe(word_counts: Counter, rounds: int):
                     i += 1
             new_state[w] = tuple(out)
         state = new_state
-    return merges
+    return merges, state
 
 
 def test_bpe_train_matches_python_reference(spark):
@@ -64,11 +64,39 @@ def test_bpe_train_matches_python_reference(spark):
         n = _norm(t)
         if n:
             wc.update(n.split(" "))
-    want = _python_bpe(wc, 6)
+    want, _ = _python_bpe(wc, 6)
     got = sorted(
         (r.round, r.lhs, r.rhs, r.pair_cnt)
         for r in REGISTRY["bpe_train_merges"].spark_fn(spark, SF_DIR).collect()
     )
+    assert got == want
+
+
+def test_bpe_encode_fertility_matches_python_reference(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    wc = Counter()
+    normed = []
+    for doc_id, lang, t in docs:
+        n = _norm(t)
+        if n:
+            ws = n.split(" ")
+            wc.update(ws)
+            normed.append((doc_id, lang, ws))
+    _, state = _python_bpe(wc, 6)
+    want = {}
+    for doc_id, lang, ws in normed:
+        n_tokens = sum(len(state[w]) for w in ws)
+        want[doc_id] = (
+            lang, len(ws), n_tokens, n_tokens * 1_000_000 // len(ws)
+        )
+    got = {
+        r.doc_id: (r.lang, r.n_words, r.n_tokens, r.fertility_ppm)
+        for r in REGISTRY["bpe_encode_fertility"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
     assert got == want
 
 

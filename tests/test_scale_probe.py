@@ -93,6 +93,7 @@ CEILINGS: dict[str, float] = {
     "dsir_importance_ppm": 2.0,
     "ccnet_perplexity_buckets": 2.5,
     "bpe_train_merges": 2.0,
+    "bpe_encode_fertility": 2.0,
 }
 
 
