@@ -27,7 +27,7 @@ operations a 100 TB pre-training pipeline runs between "raw crawl" and
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -1133,4 +1133,99 @@ def corpus_dedup_inflation(spark: SparkSession, sf_dir: str):
             ).cast("bigint")
         )
         .alias("dup_overhead_ppm"),
+    )
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, CAST(SUM(len(string_split(nrm, ' '))) AS BIGINT) AS tokens
+  FROM (SELECT source, {_NORM_SQL} AS nrm FROM documents)
+  WHERE length(nrm) > 0 GROUP BY 1
+),
+tot AS (SELECT CAST((5 * SUM(tokens)) // 2 AS BIGINT) AS budget FROM toks),
+steps AS (
+  SELECT source, tokens, CAST(e AS INT) AS e,
+         tokens * (1::BIGINT << (4 - e)) AS marginal_x8
+  FROM toks, (SELECT unnest(range(1, 5)) AS e)
+),
+ordered AS (
+  SELECT *, SUM(tokens) OVER (ORDER BY marginal_x8 DESC, source ASC, e ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM steps
+),
+sel AS (SELECT * FROM ordered, tot WHERE cum <= budget)
+SELECT t.source, t.tokens,
+       CAST(count(s.e) AS BIGINT) AS epochs,
+       CAST(COALESCE(SUM(s.marginal_x8), 0) AS BIGINT) AS effective_x8,
+       (SELECT budget FROM tot) AS budget_tokens
+FROM toks t LEFT JOIN sel s USING (source)
+GROUP BY 1, 2
+""",
+    doc="Data-constrained epoch/repeat planning (Muennighoff et al. 2023, "
+    "arXiv:2305.16264 'Scaling Data-Constrained Language Models'): when "
+    "the token budget exceeds the unique corpus, sources are REPEATED, "
+    "but each extra epoch is worth less — their fitted decay is modeled "
+    "here as marginal value halving per epoch (epoch e of a source is "
+    "worth tokens * 2^(4-e) in x8 fixed-point), capped at 4 epochs "
+    "(their R* ~ 4 'repeats are as good as new data up to ~4 epochs' "
+    "regime boundary). The plan is the exact greedy optimum for a "
+    "budget of floor(2.5x total unique tokens): explode every (source, "
+    "epoch<=4) step, order globally by marginal value (ties: source, "
+    "epoch — fully pinned), take the running-cost prefix under budget — "
+    "within a source marginals strictly decrease, so the greedy prefix "
+    "always buys epoch e before e+1 and the per-source epoch count is "
+    "well-formed. Everything after the per-source token count (one "
+    "map-side-combinable aggregate over the corpus) runs on a "
+    "#sources x 4 row table — driver-tiny at any corpus scale, so the "
+    "single-partition ordering window is safe by construction; the "
+    "integer x8 fixed-point keeps both engines bit-identical.",
+    tags=("corpus", "sampling", "composition"),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    toks = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select("source", F.size(F.split(nrm, " ")).alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("bigint").alias("tokens"))
+    )
+    tot = toks.agg(
+        F.expr("CAST((5 * SUM(tokens)) div 2 AS BIGINT)").alias("budget")
+    )
+    steps = toks.select(
+        "source",
+        "tokens",
+        F.explode(F.array([F.lit(e) for e in (1, 2, 3, 4)])).alias("e"),
+    ).withColumn(
+        "marginal_x8",
+        F.expr("tokens * shiftleft(CAST(1 AS BIGINT), 4 - e)"),
+    )
+    w = (
+        Window.orderBy(F.desc("marginal_x8"), F.asc("source"), F.asc("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        steps.withColumn("cum", F.sum("tokens").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") <= F.col("budget"))
+    )
+    agg = sel.groupBy("source").agg(
+        F.count("e").cast("bigint").alias("epochs"),
+        F.sum("marginal_x8").cast("bigint").alias("effective_x8"),
+    )
+    return (
+        toks.join(agg, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.coalesce(F.col("epochs"), F.lit(0)).cast("bigint").alias("epochs"),
+            F.coalesce(F.col("effective_x8"), F.lit(0))
+            .cast("bigint")
+            .alias("effective_x8"),
+            F.col("budget").alias("budget_tokens"),
+        )
     )

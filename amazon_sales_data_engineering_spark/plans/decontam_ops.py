@@ -538,3 +538,100 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str):
         )
         .alias("boost_ppm"),
     )
+
+
+_SIGN_BUCKET_SQL = """CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS INT)"""
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+WITH raw AS (
+  SELECT vec_id, {_SIGN_BUCKET_SQL} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ev AS (SELECT vec_id AS eval_id, bucket, e AS pe FROM raw WHERE vec_id % 50 = 0),
+tr AS (SELECT vec_id, bucket, e FROM raw WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * e[i]))
+         / (sqrt(list_sum(list_transform(pe, x -> x * x)))
+            * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos_sim
+  FROM tr JOIN ev USING (bucket)
+),
+flagged AS (
+  SELECT vec_id, eval_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, eval_id ASC) AS rn
+  FROM scored WHERE cos_sim >= 0.4
+)
+SELECT vec_id, eval_id, cos_sim FROM flagged WHERE rn = 1
+""",
+    doc="SEMANTIC decontamination — the embedding-space twin of "
+    "decontaminate_ngram_overlap: n-gram overlap misses paraphrased or "
+    "translated benchmark leakage, so modern pipelines (e.g. the "
+    "GPT-4/Llama-3 eval-hygiene reports, and Yang et al. 2023 "
+    "arXiv:2311.04850 on rephrased contamination) additionally flag "
+    "training items whose EMBEDDING sits too close to any held-out "
+    "eval item. Eval split: vec_id % 50 = 0 (deterministic ~2% "
+    "carve-out, same idiom as the n-gram op's doc_id % 101). Candidate "
+    "generation is sign-bucket LSH on the first 8 dims (the "
+    "ann_lsh_buckets hyperplane family) — train x eval pairs meet only "
+    "inside a bucket, never as a cartesian — then exact cosine at "
+    "threshold 0.4, keeping each train vector's single closest eval "
+    "neighbor (ties: lower eval_id). Scale shape: the eval side is "
+    "tiny by construction (benchmarks are thousands of rows, the "
+    "corpus billions) and BROADCASTS; the train side stays a pure "
+    "map-side scan — per-bucket eval lists bound the per-row work, so "
+    "the pass is one narrow stage at any corpus size. Determinism: "
+    "cosines are the registry's sequential left-folds; ties resolved "
+    "by id before any float leaves the row.",
+    tags=("corpus", "decontam", "similarity", "embedding"),
+    bench=True,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    emb = F.col("embedding")
+    bucket = sum(
+        (
+            F.when(F.element_at(emb, j + 1) >= 0, F.lit(1 << j)).otherwise(0)
+            for j in range(8)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    raw = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        bucket.alias("bucket"),
+        F.transform(emb, lambda x: x.cast("double")).alias("e"),
+    )
+    ev = raw.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        "bucket",
+        F.col("e").alias("pe"),
+    )
+    tr = raw.filter(F.col("vec_id") % 50 != 0)
+    scored = tr.join(F.broadcast(ev), "bucket").select(
+        "vec_id",
+        "eval_id",
+        cosine(F.col("pe"), F.col("e")).alias("cos_sim"),
+    )
+    flagged = scored.filter(F.col("cos_sim") >= 0.4).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("cos_sim"), F.asc("eval_id")
+            )
+        ),
+    )
+    return flagged.filter(F.col("rn") == 1).select("vec_id", "eval_id", "cos_sim")

@@ -6,7 +6,7 @@ md5-based sketches — see functions.hashing).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1093,4 +1093,102 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_suffix_spans",
+    oracle=f"""
+WITH winpos AS MATERIALIZED (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+),
+wh AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i+7], ' ')) AS h
+  FROM winpos
+),
+dup AS (SELECT h FROM wh GROUP BY 1 HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+""",
+    doc="MAXIMAL duplicated-span extraction — the Spark-first shape of "
+    "suffix-array exact-substring dedup (Lee et al. 2022, "
+    "arXiv:2107.06499 'Deduplicating Training Data Makes Language "
+    "Models Better'): any substring of >= k tokens that occurs twice "
+    "anywhere in the corpus (INCLUDING within one document — the "
+    "suffix-array semantics, vs dedup_repeated_passages' cross-doc-"
+    "only count) is covered by duplicated k=8 windows; merging "
+    "adjacent duplicated window START positions per document "
+    "(pos - row_number islands trick) recovers each maximal span's "
+    "[start, end] token range — the exact byte ranges ExactSubstr "
+    "deletes. A true suffix array needs global suffix sort; the "
+    "windowed form is the standard scalable surrogate: one hash "
+    "aggregate for the duplicate set (never pairwise — a boilerplate "
+    "window that occurs 1M times is ONE row with count 1M), one "
+    "equi-join back, one per-doc window. All stages hash-partition "
+    "on content or doc_id; nothing is corpus-quadratic, and span "
+    "merging touches only duplicated positions (a small fraction of "
+    "the corpus by construction).",
+    tags=("dedup", "corpus", "window"),
+    bench=True,
+)
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str):
+    docs = t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("ws"),
+    )
+    win = F.when(
+        F.size("ws") < 8,
+        F.array().cast("array<struct<pos:bigint,h:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 7),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.array_join(F.slice("ws", i, 8), " ")).alias("h"),
+            ),
+        )
+    )
+    # The window stream feeds BOTH the duplicate-set aggregate and the
+    # position join-back — persist the reduced (doc_id, pos, h) form so
+    # the normalize+explode+md5 narrow stage runs exactly once
+    # (round-4 double-reference rule).
+    wh = docs.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", "w.pos", "w.h"
+    ).persist()
+    dup = (
+        wh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hits = wh.join(dup, "h").select("doc_id", "pos")
+    isl = hits.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + 7).cast("bigint").alias("span_end"),
+            (F.max("pos") + 8 - F.min("pos")).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
     )

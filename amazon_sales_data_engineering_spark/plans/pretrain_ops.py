@@ -693,3 +693,267 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str):
             F.expr("(n_tokens * 1000000) div n_words").alias("fertility_ppm"),
         )
     )
+
+
+@register(
+    "quality_classifier_logodds",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         source IN ('src0', 'src1', 'src2', 'src3') AS pos,
+         string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents WHERE length({_NORM_SQL}) > 0
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, source, pos, word, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, source, pos, unnest(ws) AS word FROM docs)
+  GROUP BY 1, 2, 3, 4
+),
+wc AS MATERIALIZED (
+  SELECT word,
+         CAST(SUM(CASE WHEN pos THEN k ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE k END) AS BIGINT) AS cn
+  FROM dw GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn,
+               CAST(count(*) AS BIGINT) AS v
+        FROM wc),
+wt AS (
+  SELECT word, CAST((1000000::HUGEINT * (cp + 1) * (tn + v))
+                    // ((cn + 1)::HUGEINT * (tp + v)) AS BIGINT) AS wt_ppm
+  FROM wc, tot
+),
+scored AS (
+  SELECT dw.doc_id, dw.source, dw.word, dw.k, wt.wt_ppm,
+         row_number() OVER (PARTITION BY dw.doc_id
+                            ORDER BY wt.wt_ppm DESC, dw.word ASC) AS rn
+  FROM dw JOIN wt USING (word)
+),
+ds AS (
+  SELECT doc_id, source,
+         CAST(SUM(k) AS BIGINT) AS n_tokens,
+         CAST(SUM(k * wt_ppm) AS BIGINT) AS score,
+         max(CASE WHEN rn = 1 THEN word END) AS top_token
+  FROM scored GROUP BY 1, 2
+),
+gl AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+              CAST(SUM(score) AS HUGEINT) AS ts
+       FROM ds)
+SELECT doc_id, source, n_tokens, score, top_token,
+       score::HUGEINT * nd >= ts AS above_mean
+FROM ds, gl
+""",
+    doc="Quality-classifier filtering, the GPT-3/PaLM recipe (Brown et "
+    "al. 2020 §A appendix; popularized as the fastText linear "
+    "classifier of Joulin et al. 2016, arXiv:1607.01759): train a "
+    "bag-of-words classifier where the POSITIVE class is a trusted "
+    "curated slice (here sources src0-src3, standing in for "
+    "WebText/Wikipedia/books) and the negative class is the raw rest, "
+    "then score every document and keep the high scorers. Linear "
+    "text classifiers reduce to per-token weights; here the weight is "
+    "the add-1-smoothed Naive-Bayes frequency ratio in exact integer "
+    "ppm — floor(1e6*(cp+1)(Tn+V) / ((cn+1)(Tp+V))), the same "
+    "log-free monotone surrogate dsir_importance_ppm uses (per-token "
+    "monotone in the NB log-odds; no libm ln can drift a rank). "
+    "Output per doc: token count, additive score (sum of occurrence-"
+    "weighted token weights), the top discriminative token (the "
+    "classifier's 'why' — interpretability column), and the keep "
+    "decision above_mean, computed by exact cross-multiplication "
+    "(score*N >= total) so no float mean exists anywhere. Scale "
+    "shape: vocabulary table broadcasts (Zipf-bounded; hash-join by "
+    "word past driver size); two map-side-combinable aggregates + one "
+    "per-doc window over per-doc-distinct rows; weights stay in "
+    "int64 while corpus tokens*1e6 fits 2^63 (~9e12 tokens), past "
+    "which the decimal(38,0) form both engines already compute in "
+    "stays exact.",
+    tags=("corpus", "quality", "text", "ml"),
+)
+def quality_classifier_logodds(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    docs = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select("doc_id", "source", pos.alias("pos"), F.split(nrm, " ").alias("ws"))
+    )
+    dw = (
+        docs.select("doc_id", "source", "pos", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "source", "pos", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        # feeds the vocabulary counts AND the per-doc scoring join —
+        # persist the reduced form (round-4 double-reference rule)
+        .persist()
+    )
+    wc = dw.groupBy("word").agg(
+        F.sum(F.when(F.col("pos"), F.col("k")).otherwise(0))
+        .cast("bigint").alias("cp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(F.col("k")))
+        .cast("bigint").alias("cn"),
+    )
+    tot = wc.agg(
+        F.sum("cp").cast("bigint").alias("tp"),
+        F.sum("cn").cast("bigint").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    wt = wc.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (cp + 1) * (tn + v))"
+            " div (CAST(cn + 1 AS DECIMAL(38,0)) * (tp + v)) AS BIGINT)"
+        ).alias("wt_ppm"),
+    )
+    scored = dw.join(F.broadcast(wt), "word").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("wt_ppm"), F.asc("word")
+            )
+        ),
+    )
+    ds = scored.groupBy("doc_id", "source").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("k") * F.col("wt_ppm")).cast("bigint").alias("score"),
+        F.max(F.when(F.col("rn") == 1, F.col("word"))).alias("top_token"),
+    )
+    gl = ds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.col("score").cast("decimal(38,0)")).alias("ts"),
+    )
+    return ds.crossJoin(F.broadcast(gl)).select(
+        "doc_id", "source", "n_tokens", "score", "top_token",
+        F.expr("CAST(score AS DECIMAL(38,0)) * nd >= ts").alias("above_mean"),
+    )
+
+
+_KC_ROUNDS = 8
+_SQD_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {c}[i]) * ({a}[i] - {c}[i])))"
+)
+
+
+def _kcenter_oracle(rounds: int) -> str:
+    parts = [
+        """WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c1 AS MATERIALIZED (
+  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id ASC LIMIT 1
+),
+s1 AS MATERIALIZED (
+  SELECT v.vec_id, v.e, """
+        + _SQD_SQL.format(a="v.e", c="ce")
+        + """ AS d
+  FROM v, c1
+)"""
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id AS cid, e AS ce, d FROM s{r - 1}
+  ORDER BY d DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""s{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.e, least(s.d, """
+                + _SQD_SQL.format(a="s.e", c="c.ce")
+                + f""") AS d
+  FROM s{r - 1} s, c{r} c
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        ["SELECT CAST(1 AS INT) AS round, cid AS center_id, CAST(0.0 AS DOUBLE) AS radius FROM c1"]
+        + [
+            f"SELECT CAST({r} AS INT) AS round, cid AS center_id, d AS radius FROM c{r}"
+            for r in range(2, rounds + 1)
+        ]
+    )
+    return ",\n".join(parts) + "\n" + finals
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(_KC_ROUNDS),
+    doc="Greedy k-center CORESET selection over the embedding table "
+    "(Gonzalez 1985 farthest-point traversal; Sener & Savarese 2018, "
+    "arXiv:1708.00489, as the data-selection strategy): pick the "
+    "point farthest (squared L2) from all chosen centers, repeat — "
+    "the classic 2-approximation of the k-center cover, used in "
+    "curation to pick a maximally-diverse training subset instead of "
+    "a uniform sample (cf. semdedup_prune, which REMOVES the "
+    "redundant points this op would never pick). Deterministic: seed "
+    "= lowest vec_id, ties on distance broken by vec_id, so the "
+    "8-center trace (center id + covering radius at selection, the "
+    "k-center objective value per k) is unique. Scale shape per "
+    "round: broadcast ONE center vector, one narrow map updates each "
+    "point's min-distance in place (no shuffle at all), and the "
+    "argmax is a TakeOrderedAndProject (per-partition top-1, driver "
+    "merge) — O(k) passes over the corpus, the optimal exact shape; "
+    "the state is re-referenced every round, so each round cuts "
+    "lineage (localCheckpoint), and the oracle MATERIALIZEs every "
+    "CTE (the engines' twin double-reference traps). Distances are "
+    "identical left-fold IEEE sums; least() and max-compare are "
+    "exact, so ranks never drift.",
+    tags=("corpus", "sampling", "embedding", "iterative"),
+    bench=True,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str):
+    def sqd(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    c1 = (
+        v.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
+    rows = [
+        c1.select(
+            F.lit(1).alias("round"),
+            F.col("cid").alias("center_id"),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    state = (
+        v.crossJoin(F.broadcast(c1.select("ce")))
+        .select("vec_id", "e", sqd(F.col("e"), F.col("ce")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, _KC_ROUNDS + 1):
+        nc = (
+            state.orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            nc.select(
+                F.lit(r).alias("round"),
+                F.col("vec_id").alias("center_id"),
+                F.col("d").alias("radius"),
+            )
+        )
+        if r < _KC_ROUNDS:
+            state = (
+                state.crossJoin(F.broadcast(nc.select(F.col("e").alias("ce"))))
+                .select(
+                    "vec_id",
+                    "e",
+                    F.least(F.col("d"), sqd(F.col("e"), F.col("ce"))).alias("d"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out

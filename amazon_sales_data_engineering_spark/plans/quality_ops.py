@@ -485,3 +485,63 @@ def data_freshness_audit(spark: SparkSession, sf_dir: str):
         F.datediff(F.col("freshest"), F.col("max_date")).cast("bigint")
         .alias("lag_days_behind_freshest"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS mktsegment,
+         o.o_orderpriority AS sensitive
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT nationkey, mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct
+  FROM joined GROUP BY 1, 2
+)
+SELECT nationkey, mktsegment, n, l_distinct,
+       l_distinct < 3 AS violates_l3
+FROM cells
+""",
+    doc="l-diversity audit (Machanavajjhala et al. 2007), the k-anonymity "
+    "companion: a quasi-identifier class can satisfy k-anonymity yet "
+    "still leak — if all k rows share the SAME sensitive value, knowing "
+    "someone is in the class reveals their attribute (homogeneity "
+    "attack). Here the QI is (nationkey, mktsegment) on the joined "
+    "customer-orders release and the sensitive attribute is the order "
+    "priority: every class must carry at least l=3 distinct sensitive "
+    "values. Sits beside privacy_k_anonymity (class size) in the "
+    "compliance family; together they gate a release the way "
+    "text_scrub_pii gates a column. One join + one aggregate with an "
+    "exact COUNT(DISTINCT) over a 5-value domain — Spark plans the "
+    "distinct as a two-level Expand aggregate, map-side combinable, "
+    "and the QI key is the shuffle key, so the audit runs unchanged "
+    "on a 100 TB fact table.",
+    tags=("quality", "privacy", "compliance", "agg"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str):
+    joined = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    return (
+        joined.groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("sensitive").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "nationkey", "mktsegment", "n", "l_distinct",
+            (F.col("l_distinct") < 3).alias("violates_l3"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Behavioral pins for the round-6 curation ops: bit-exact Python/numpy
+replicas + structural invariants, beyond the registry's DuckDB
+differential gate (which compares engine-vs-oracle, not engine-vs-spec).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+
+from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, source, lang, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+
+def _vecs():
+    return duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+
+def test_suffix_spans_match_python_replica(spark):
+    """Maximal duplicated-span extraction == windows-with-count>=2 merged
+    into islands, computed independently in Python."""
+    k = 8
+    windows = defaultdict(list)  # (doc_id) -> positions of dup windows
+    counts = Counter()
+    per_doc = {}
+    for doc_id, _src, _lang, text in _docs():
+        ws = _norm(text).split(" ") if _norm(text) else []
+        hs = []
+        for i in range(len(ws) - k + 1):
+            h = hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            hs.append(h)
+            counts[h] += 1
+        per_doc[doc_id] = hs
+    want = set()
+    for doc_id, hs in per_doc.items():
+        dup_pos = [i + 1 for i, h in enumerate(hs) if counts[h] >= 2]
+        run = []
+        for p in dup_pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add(
+                        (doc_id, run[0], run[-1] + 7, run[-1] + 8 - run[0], len(run))
+                    )
+                run = [p]
+        if run:
+            want.add((doc_id, run[0], run[-1] + 7, run[-1] + 8 - run[0], len(run)))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in REGISTRY["dedup_suffix_spans"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise at least one duplicated span"
+
+
+def test_epoch_plan_greedy_optimal(spark):
+    rows = REGISTRY["corpus_epoch_plan"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    budget = rows[0].budget_tokens
+    total = sum(r.tokens for r in rows)
+    assert budget == (5 * total) // 2
+    spent = sum(r.tokens * r.epochs for r in rows)
+    assert spent <= budget
+    for r in rows:
+        assert 0 <= r.epochs <= 4
+        # effective value = tokens * (8 + 4 + 2 + ...) for the epochs taken
+        weights = [8, 4, 2, 1][: r.epochs]
+        assert r.effective_x8 == r.tokens * sum(weights)
+    # greedy optimality: replay the global marginal-ordered prefix in Python
+    steps = sorted(
+        (
+            (-r.tokens * (1 << (4 - e)), r.source, e, r.tokens)
+            for r in rows
+            for e in (1, 2, 3, 4)
+        )
+    )
+    cum, want = 0, Counter()
+    for _neg, src, _e, tok in steps:
+        cum += tok
+        if cum <= budget:
+            want[src] += 1
+    got = {r.source: r.epochs for r in rows}
+    assert got == {r.source: want.get(r.source, 0) for r in rows}
+
+
+def test_quality_classifier_matches_python_replica(spark):
+    pos_sources = {"src0", "src1", "src2", "src3"}
+    docs = [
+        (d, s, _norm(t).split(" "))
+        for d, s, _l, t in _docs()
+        if _norm(t)
+    ]
+    cp, cn = Counter(), Counter()
+    for _d, src, ws in docs:
+        (cp if src in pos_sources else cn).update(ws)
+    vocab = set(cp) | set(cn)
+    tp, tn, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    wt = {
+        w: (1_000_000 * (cp[w] + 1) * (tn + v)) // ((cn[w] + 1) * (tp + v))
+        for w in vocab
+    }
+    want = {}
+    scores = {}
+    for d, src, ws in docs:
+        k = Counter(ws)
+        score = sum(c * wt[w] for w, c in k.items())
+        top = min(k, key=lambda w: (-wt[w], w))
+        want[d] = (src, len(ws), score, top)
+        scores[d] = score
+    nd, ts = len(scores), sum(scores.values())
+    got = REGISTRY["quality_classifier_logodds"].spark_fn(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        src, n_tokens, score, top = want[r.doc_id]
+        assert (r.source, r.n_tokens, r.score, r.top_token) == (
+            src, n_tokens, score, top,
+        )
+        assert r.above_mean == (score * nd >= ts)
+    assert any(r.above_mean for r in got) and not all(r.above_mean for r in got)
+
+
+def test_decontaminate_embedding_matches_numpy_replica(spark):
+    vecs = {vid: np.array(e, dtype=np.float64) for vid, e in _vecs()}
+    buckets = defaultdict(lambda: ([], []))  # bucket -> (train ids, eval ids)
+    for vid, e in vecs.items():
+        b = sum((1 << j) for j in range(8) if e[j] >= 0)
+        buckets[b][1 if vid % 50 == 0 else 0].append(vid)
+    want = {}
+    for b, (train, evals) in buckets.items():
+        for t_ in train:
+            best = None
+            for ev in sorted(evals):
+                a, c = vecs[t_], vecs[ev]
+                cos = float(a @ c) / (np.sqrt(a @ a) * np.sqrt(c @ c))
+                if cos >= 0.4 and (best is None or cos > best[1]):
+                    best = (ev, cos)
+            if best:
+                want[t_] = best[0]
+    got = {
+        r.vec_id: r.eval_id
+        for r in REGISTRY["decontaminate_embedding"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert all(e % 50 == 0 for e in got.values())
+    assert all(t_ % 50 != 0 for t_ in got)
+
+
+def test_kcenter_coreset_matches_numpy_replica(spark):
+    ids = [vid for vid, _ in _vecs()]
+    X = np.array([e for _, e in _vecs()], dtype=np.float64)
+    centers = [0]  # index of min vec_id (rows sorted by vec_id)
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    want = [(1, ids[0], 0.0)]
+    for r in range(2, 9):
+        # argmax with vec_id tiebreak (ids sorted ascending, so first argmax)
+        i = int(np.argmax(d))
+        want.append((r, ids[i], float(d[i])))
+        centers.append(i)
+        d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
+    got = sorted(
+        (r.round, r.center_id, r.radius)
+        for r in REGISTRY["sample_kcenter_coreset"].spark_fn(spark, SF_DIR).collect()
+    )
+    assert [(r, c) for r, c, _ in got] == [(r, c) for r, c, _ in want]
+    # radii agree to float tolerance (numpy sums in a different order than
+    # the engines' sequential fold — the ENGINE sides are pinned bit-exact
+    # by the DuckDB oracle; numpy is a semantic check only)
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+
+
+def test_l_diversity_flags_are_consistent(spark):
+    rows = REGISTRY["privacy_l_diversity"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.l_distinct <= min(r.n, 5)  # 5 priority values exist
+        assert r.violates_l3 == (r.l_distinct < 3)
