@@ -571,7 +571,7 @@ flagged AS (
   SELECT vec_id, eval_id, cos_sim,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos_sim DESC, eval_id ASC) AS rn
-  FROM scored WHERE cos_sim >= 0.4
+  FROM scored WHERE cos_sim >= 0.2
 )
 SELECT vec_id, eval_id, cos_sim FROM flagged WHERE rn = 1
 """,
@@ -586,7 +586,9 @@ SELECT vec_id, eval_id, cos_sim FROM flagged WHERE rn = 1
     "generation is sign-bucket LSH on the first 8 dims (the "
     "ann_lsh_buckets hyperplane family) — train x eval pairs meet only "
     "inside a bucket, never as a cartesian — then exact cosine at "
-    "threshold 0.4, keeping each train vector's single closest eval "
+    "threshold 0.2 (the highest threshold with flagged pairs at every "
+    "gate scale — 0.4 returned zero rows everywhere, a trivially-"
+    "passing gate), keeping each train vector's single closest eval "
     "neighbor (ties: lower eval_id). Scale shape: the eval side is "
     "tiny by construction (benchmarks are thousands of rows, the "
     "corpus billions) and BROADCASTS; the train side stays a pure "
@@ -626,7 +628,7 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str):
         "eval_id",
         cosine(F.col("pe"), F.col("e")).alias("cos_sim"),
     )
-    flagged = scored.filter(F.col("cos_sim") >= 0.4).withColumn(
+    flagged = scored.filter(F.col("cos_sim") >= 0.2).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("vec_id").orderBy(

@@ -1641,3 +1641,102 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("longest_click_run"),
     )
+
+
+@register(
+    "events_drift_tvd",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END AS w
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+        FROM c),
+term AS (
+  SELECT event_type, n_a, n_b,
+         CAST((n_a::HUGEINT * 1000000) // ta AS BIGINT) AS share_a_ppm,
+         CAST((n_b::HUGEINT * 1000000) // tb AS BIGINT) AS share_b_ppm,
+         abs(n_a::HUGEINT * tb - n_b::HUGEINT * ta) AS dterm,
+         ta, tb
+  FROM c, tot
+),
+g AS (
+  SELECT CAST((1000000::HUGEINT * SUM(dterm))
+              // (2::HUGEINT * (SELECT ta FROM tot) * (SELECT tb FROM tot))
+         AS BIGINT) AS tvd_ppm
+  FROM term
+)
+SELECT event_type, n_a, n_b, share_a_ppm, share_b_ppm,
+       CAST((1000000::HUGEINT * dterm) // (2::HUGEINT * ta * tb) AS BIGINT)
+         AS contrib_ppm,
+       (SELECT tvd_ppm FROM g) AS tvd_ppm
+FROM term
+""",
+    doc="Distribution-drift monitor over the event stream: split events "
+    "into a reference window and a comparison window (day-of-month <= "
+    "15 vs the rest — a wall-clock field, timezone-independent on NTZ "
+    "data) and measure how far the event-type mix moved. The drift "
+    "statistic is TOTAL VARIATION DISTANCE, TVD = (1/2) sum_t "
+    "|p_t - q_t| — chosen over the industry-default PSI deliberately: "
+    "PSI needs ln(p/q) (cross-engine libm, last-ulp rank drift — the "
+    "registry's no-log rule) while TVD cross-multiplies to exact "
+    "integers: |n_a*T_b - n_b*T_a| summed, then one floor division to "
+    "ppm. Output per event type: window counts, shares (ppm), the "
+    "type's contribution to the drift, and the global tvd_ppm "
+    "(constant column — the alert threshold a monitor pages on, e.g. "
+    "tvd_ppm > 100000 = 10 points of distribution shift). Scale "
+    "shape: one map-side-combinable aggregate keyed by event type + "
+    "a 1-row total broadcast — the same two-pass shape at any stream "
+    "volume; the windowed-HLL / quantile-sketch streaming twins show "
+    "how the same signal runs incrementally.",
+    tags=("events", "drift", "monitoring", "agg"),
+)
+def events_drift_tvd(spark: SparkSession, sf_dir: str):
+    base = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b").alias("w"),
+    )
+    c = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("w") == "a", 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("w") == "b", 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    term = c.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_a", "n_b",
+        F.expr(
+            "CAST((CAST(n_a AS DECIMAL(38,0)) * 1000000) div ta AS BIGINT)"
+        ).alias("share_a_ppm"),
+        F.expr(
+            "CAST((CAST(n_b AS DECIMAL(38,0)) * 1000000) div tb AS BIGINT)"
+        ).alias("share_b_ppm"),
+        F.expr(
+            "abs(CAST(n_a AS DECIMAL(38,0)) * tb - CAST(n_b AS DECIMAL(38,0)) * ta)"
+        ).alias("dterm"),
+        "ta", "tb",
+    ).persist()  # feeds both the global TVD and the per-type projection
+    g = term.agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(dterm))"
+            " div (CAST(2 AS DECIMAL(38,0)) * first(ta) * first(tb)) AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return term.crossJoin(F.broadcast(g)).select(
+        "event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * dterm)"
+            " div (CAST(2 AS DECIMAL(38,0)) * ta * tb) AS BIGINT)"
+        ).alias("contrib_ppm"),
+        "tvd_ppm",
+    )

@@ -94,6 +94,14 @@ CEILINGS: dict[str, float] = {
     "ccnet_perplexity_buckets": 2.5,
     "bpe_train_merges": 2.0,
     "bpe_encode_fertility": 2.0,
+    # round-6 curation ops (measured 0.85–2.47 idle)
+    "dedup_suffix_spans": 3.5,
+    "corpus_epoch_plan": 2.0,
+    "quality_classifier_logodds": 2.0,
+    "privacy_l_diversity": 2.5,
+    "decontaminate_embedding": 2.5,
+    "sample_kcenter_coreset": 2.5,
+    "events_drift_tvd": 2.5,
 }
 
 
