@@ -957,3 +957,190 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str):
     for rdf in rows[1:]:
         out = out.unionByName(rdf)
     return out
+
+
+_UNI_MAX_LEN = 12
+
+
+def _unigram_oracle(max_len: int) -> str:
+    """Unrolled per-position Viterbi DP: dp{i} holds, for every vocabulary
+    word of length >= i, the lexicographic-best (piece_count, -score) over
+    segmentations of the first i characters. Each dp{i} joins dp{i-j} for
+    piece lengths j=1..4 — all MATERIALIZED (multiply-referenced CTEs)."""
+    head = f"""WITH w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents WHERE length({_NORM_SQL}) > 0)
+  WHERE length(word) <= {max_len}
+  GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT word, cnt, CAST(i AS INT) AS e, CAST(j AS INT) AS l,
+         substr(word, CAST(i - j + 1 AS INT), CAST(j AS INT)) AS piece
+  FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i FROM w),
+       (SELECT unnest([1, 2, 3, 4]) AS j)
+  WHERE j <= i
+),
+inv AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pc FROM cand GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS total FROM inv),
+keep AS MATERIALIZED (
+  SELECT piece, pc FROM inv, tot
+  WHERE length(piece) = 1 OR pc * 1000 >= total
+),
+edges AS MATERIALIZED (
+  SELECT cand.word, cand.e, cand.l, keep.pc
+  FROM cand JOIN keep USING (piece)
+),
+dp0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS INT) AS np, CAST(0 AS BIGINT) AS nsc FROM w
+)"""
+    parts = [head]
+    for i in range(1, max_len + 1):
+        branches = "\n      UNION ALL\n".join(
+            f"""      SELECT d.word, {{'np': d.np + 1, 'nsc': d.nsc - ed.pc}} AS s
+      FROM dp{i - j} d JOIN edges ed
+        ON ed.word = d.word AND ed.e = {i} AND ed.l = {j}"""
+            for j in range(1, 5)
+            if j <= i
+        )
+        parts.append(
+            f"""dp{i} AS MATERIALIZED (
+  SELECT word, struct_extract(m, 'np') AS np, struct_extract(m, 'nsc') AS nsc
+  FROM (
+    SELECT word, min(s) AS m FROM (
+{branches}
+    ) GROUP BY word
+  )
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT w.word, w.cnt, CAST(dp{i}.np AS BIGINT) AS n_pieces,"
+        f" CAST(-dp{i}.nsc AS BIGINT) AS piece_score"
+        f" FROM dp{i} JOIN w USING (word) WHERE length(w.word) = {i}"
+        for i in range(1, max_len + 1)
+    )
+    return ",\n".join(parts) + "\n" + finals
+
+
+@register(
+    "tokenizer_unigram_viterbi",
+    oracle=_unigram_oracle(_UNI_MAX_LEN),
+    doc="Unigram-LM / WordPiece-style Viterbi SEGMENTATION (Kudo 2018, "
+    "arXiv:1804.10959 'Subword Regularization'; SentencePiece's unigram "
+    "trainer runs exactly this DP in its E-step): given a piece "
+    "inventory scored by corpus frequency, segment every vocabulary "
+    "word into the optimal piece sequence. Inventory: all substrings "
+    "of length 1-4 weighted by word frequency, pruned to pieces "
+    "carrying >= 0.1% of the total substring mass (single characters "
+    "always kept, so every word stays segmentable — SentencePiece's "
+    "required-character rule). Objective, made integer-exact instead "
+    "of the usual sum of log-probs (libm ln is banned by the registry "
+    "determinism contract): lexicographic (minimize piece count, then "
+    "maximize total piece frequency) — the same shape WordPiece's "
+    "longest-match-first greedy approximates, solved exactly by "
+    "forward DP over (min_pieces, -sum_freq) pairs; dp values are "
+    "unique even when argmax segmentations tie, so the output (word, "
+    "count, n_pieces, piece_score) is fully pinned. Spark side: one "
+    "fold — aggregate() over the position sequence threading an "
+    "array<struct> DP table, edges pre-joined per word (<= 4L rows) "
+    "and carried as an in-row array, so the whole DP is a narrow "
+    "JVM-side map over the VOCABULARY (not the corpus): two "
+    "map-side-combinable aggregates + one broadcast join feed it, and "
+    "nothing downstream scales with corpus size. Oracle: the same DP "
+    "unrolled as 12 chained MATERIALIZED CTEs (per-position min over "
+    "length-1..4 back-references). Words longer than 12 chars are "
+    "excluded by contract on BOTH sides (corpus max is 8; a real "
+    "tokenizer bounds candidate word length the same way).",
+    tags=("text", "tokenizer", "corpus"),
+    bench=True,
+)
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str):
+    nrm = _NORM_SPARK(F.col("text"))
+    w = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select(F.explode(F.split(nrm, " ")).alias("word"))
+        .filter(F.length("word") <= _UNI_MAX_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cand = (
+        w.select(
+            "word",
+            "cnt",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(4)),
+                                lambda j: F.when(
+                                    j <= i,
+                                    F.struct(
+                                        i.cast("int").alias("e"),
+                                        j.cast("int").alias("l"),
+                                        F.substring(
+                                            F.col("word"), (i - j + 1), j
+                                        ).alias("piece"),
+                                    ),
+                                ),
+                            ),
+                            lambda x: x.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("c"),
+        )
+        .select("word", "cnt", "c.e", "c.l", "c.piece")
+        # feeds the inventory aggregate AND the edge join-back
+        # (round-4 double-reference rule)
+        .persist()
+    )
+    inv = cand.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("pc"))
+    tot = inv.agg(F.sum("pc").cast("bigint").alias("total"))
+    keep = inv.crossJoin(F.broadcast(tot)).filter(
+        (F.length("piece") == 1) | (F.col("pc") * 1000 >= F.col("total"))
+    ).select("piece", "pc")
+    edges = (
+        cand.join(F.broadcast(keep), "piece")
+        .groupBy("word", "cnt")
+        .agg(
+            F.collect_list(F.struct("e", "l", "pc")).alias("edges")
+        )
+    )
+
+    def step(acc, i):
+        def back(e):
+            prev = F.element_at(acc, (i - e["l"] + 1).cast("int"))
+            return F.struct(
+                (prev["np"] + F.lit(1)).cast("int").alias("np"),
+                (prev["nsc"] - e["pc"]).cast("bigint").alias("nsc"),
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("edges"), lambda e: e["e"] == i), back
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("np"),
+                F.lit(0).cast("bigint").alias("nsc"),
+            )
+        ),
+        step,
+    )
+    final = F.element_at(dp, F.length("word") + 1)
+    return edges.select(
+        "word",
+        "cnt",
+        final["np"].cast("bigint").alias("n_pieces"),
+        (-final["nsc"]).cast("bigint").alias("piece_score"),
+    )

@@ -193,3 +193,38 @@ def test_l_diversity_flags_are_consistent(spark):
     for r in rows:
         assert 1 <= r.l_distinct <= min(r.n, 5)  # 5 priority values exist
         assert r.violates_l3 == (r.l_distinct < 3)
+
+
+def test_unigram_viterbi_matches_python_replica(spark):
+    wc = Counter()
+    for _d, _s, _l, t_ in _docs():
+        n = _norm(t_)
+        if n:
+            wc.update(w for w in n.split(" ") if len(w) <= 12)
+    pc = Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for j in range(1, 5):
+                if i + j <= len(w):
+                    pc[w[i : i + j]] += c
+    total = sum(pc.values())
+    keep = {p: c for p, c in pc.items() if len(p) == 1 or c * 1000 >= total}
+    want = {}
+    for w, c in wc.items():
+        dp = [(0, 0)] + [None] * len(w)  # (n_pieces, -score)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(1, min(4, i) + 1):
+                piece = w[i - j : i]
+                if piece in keep:
+                    np_, nsc = dp[i - j]
+                    cands.append((np_ + 1, nsc - keep[piece]))
+            dp[i] = min(cands)
+        want[w] = (c, dp[len(w)][0], -dp[len(w)][1])
+    got = {
+        r.word: (r.cnt, r.n_pieces, r.piece_score)
+        for r in REGISTRY["tokenizer_unigram_viterbi"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the DP must genuinely beat single-char segmentation somewhere
+    assert any(np_ < len(w) for w, (_c, np_, _s) in want.items() if len(w) > 1)

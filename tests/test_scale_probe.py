@@ -102,6 +102,7 @@ CEILINGS: dict[str, float] = {
     "decontaminate_embedding": 2.5,
     "sample_kcenter_coreset": 2.5,
     "events_drift_tvd": 2.5,
+    "tokenizer_unigram_viterbi": 2.0,
 }
 
 
