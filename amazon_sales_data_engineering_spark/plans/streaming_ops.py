@@ -776,3 +776,115 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_count").cast("bigint").alias("bin_count"),
         F.col("cum_le").cast("bigint").alias("cum_le"),
     )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle="""
+WITH keys AS (SELECT user_id AS k FROM events),
+counters AS (
+  SELECT 0 AS d, (((k % 2147483647) * 2654435761) % 2147483647) % 4092 % 1024
+         AS idx, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY 2
+  UNION ALL
+  SELECT 1 AS d, (((k % 2147483647) * 2246822519) % 2147483647) % 4092 % 1024
+         AS idx, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY 2
+  UNION ALL
+  SELECT 2 AS d, (((k % 2147483647) * 3266489917) % 2147483647) % 4092 % 1024
+         AS idx, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY 2
+),
+merged AS (SELECT d, idx, CAST(SUM(c) AS BIGINT) AS c FROM counters GROUP BY 1, 2),
+exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keys GROUP BY 1),
+top AS (SELECT k, true_cnt FROM exact ORDER BY true_cnt DESC, k ASC LIMIT 20),
+probe AS (
+  SELECT k, true_cnt, 0 AS d,
+         (((k % 2147483647) * 2654435761) % 2147483647) % 4092 % 1024 AS idx
+  FROM top
+  UNION ALL
+  SELECT k, true_cnt, 1 AS d,
+         (((k % 2147483647) * 2246822519) % 2147483647) % 4092 % 1024 AS idx
+  FROM top
+  UNION ALL
+  SELECT k, true_cnt, 2 AS d,
+         (((k % 2147483647) * 3266489917) % 2147483647) % 4092 % 1024 AS idx
+  FROM top
+),
+est AS (
+  SELECT p.k, p.true_cnt, CAST(MIN(m.c) AS BIGINT) AS cms_est
+  FROM probe p JOIN merged m ON m.d = p.d AND m.idx = p.idx
+  GROUP BY 1, 2
+)
+SELECT k AS user_id, true_cnt, cms_est,
+       cms_est - true_cnt AS overestimate
+FROM est
+""",
+    doc="Streaming/batch equivalence #9 — heavy hitters over a live "
+    "stream: the events table replays as a bounded file stream "
+    "(3 time-ordered files, maxFilesPerTrigger=1) and each micro-batch "
+    "folds its user_id keys into the SAME depth-3 x width-1024 "
+    "count-min grid cms_heavy_hitters builds in batch (identical "
+    "multiplicative hashes) — a streaming groupBy on the 3072 "
+    "(row, col) cells in complete mode, i.e. fixed 24 KB of state no "
+    "matter how long the stream runs, the production shape for "
+    "'top talkers right now' dashboards (vs streaming_windowed_dedup's "
+    "per-key state, which grows with distinct keys until the "
+    "watermark evicts). The drained registers are then probed by the "
+    "exact top-20 keys (computed batch-side from the same rows) and "
+    "the query reports estimate vs truth per key — the CMS one-sided "
+    "guarantee (est >= true) as auditable integers, and the DuckDB "
+    "oracle rebuilds the identical grid from the batch table, proving "
+    "incremental register folding == one-shot construction (sketch "
+    "mergeability, the property that also makes the grid "
+    "shard-mergeable at 1000-executor scale).",
+    tags=("streaming", "sketch", "heavy-hitters"),
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+    from .analytics_ops import _BLOOM_BITS, _BLOOM_HASHES, _CMS_W
+
+    def cms_cells(df):
+        cells = [
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.pmod(
+                        F.pmod(F.col("k"), F.lit(2147483647)) * F.lit(a),
+                        F.lit(2147483647),
+                    )
+                    % F.lit(_BLOOM_BITS) % F.lit(_CMS_W)
+                ).alias("idx"),
+            )
+            for d, a in enumerate(_BLOOM_HASHES)
+        ]
+        return df.select("*", F.explode(F.array(*cells)).alias("cell")).select(
+            *df.columns, F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx")
+        )
+
+    src = stream_source(
+        spark,
+        _write_replay(spark, sf_dir, owner="cms"),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    registers = (
+        cms_cells(src.select(F.col("user_id").alias("k")))
+        .groupBy("d", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = _drain(registers, "complete")
+
+    keys = t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    top = exact.orderBy(F.col("true_cnt").desc(), F.col("k").asc()).limit(20)
+    est = (
+        cms_cells(top)
+        .join(merged, ["d", "idx"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("user_id"),
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+    )

@@ -228,3 +228,13 @@ def test_unigram_viterbi_matches_python_replica(spark):
     assert got == want
     # the DP must genuinely beat single-char segmentation somewhere
     assert any(np_ < len(w) for w, (_c, np_, _s) in want.items() if len(w) > 1)
+
+
+def test_streaming_cms_heavy_hitters_one_sided(spark):
+    """CMS guarantee: stream-built registers never undercount, and the
+    top keys' estimates are exact unless a hash collision adds mass."""
+    rows = REGISTRY["streaming_cms_heavy_hitters"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.true_cnt
+        assert r.overestimate == r.cms_est - r.true_cnt
