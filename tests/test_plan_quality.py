@@ -307,3 +307,72 @@ def test_lpa_shuffle_diet_idioms(spark):
         assert len(ex_ids) <= 2, cached[:2000]
     finally:
         e.unpersist()
+
+
+def test_decontaminate_embedding_broadcasts_eval_side(spark):
+    """The eval carve-out is benchmark-sized and must broadcast; a
+    SortMergeJoin on bucket would shuffle the whole train corpus."""
+    plan = _plan(spark, "decontaminate_embedding")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_suffix_spans_joins_on_hash_never_cartesian(spark):
+    """The duplicate-set join back onto window positions is an equi-join
+    on the content hash — no nested loop, no cartesian."""
+    plan = _plan(spark, "dedup_suffix_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_broadcasts_vocab_weights(spark):
+    """Token weights are vocabulary-sized and must broadcast back onto
+    the per-doc token stream."""
+    plan = _plan(spark, "quality_classifier_logodds")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kcenter_round_idioms_shuffle_free(spark):
+    """sample_kcenter_coreset checkpoints each round eagerly, so the
+    final plan is only RDD scans (assert that below); the round idioms
+    are pinned here on a synthetic frame: (1) the min-distance update —
+    broadcast ONE center vector, narrow map, zero Exchange; (2) the
+    argmax is TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import functions as F
+
+    v = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("e"),
+        F.lit(0.0).alias("d"),
+    )
+    c = spark.range(1).select(F.array(F.lit(0.5), F.lit(1.0)).alias("ce"))
+    sq = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    upd = v.crossJoin(F.broadcast(c)).select(
+        "vec_id", "e", F.least(F.col("d"), sq).alias("d")
+    )
+    plan = upd._jdf.queryExecution().executedPlan().toString()
+    # the one-row center arrives by BroadcastExchange; what must NOT
+    # appear is any shuffle of the corpus side
+    for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                    "Exchange SinglePartition"):
+        assert shuffle not in plan
+    argmax = v.orderBy(F.desc("d"), F.asc("vec_id")).limit(1)
+    aplan = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in aplan
+    # and the gated query's output really is the checkpointed trace
+    final = _plan(spark, "sample_kcenter_coreset")
+    assert "Scan ExistingRDD" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_unigram_viterbi_dp_is_vocab_sized(spark):
+    """The DP runs over collect_list'd in-row edges: no join in the DP
+    stage, piece weights broadcast, nothing corpus-quadratic."""
+    plan = _plan(spark, "tokenizer_unigram_viterbi")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
