@@ -1099,14 +1099,15 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
 @register(
     "dedup_suffix_spans",
     oracle=f"""
-WITH winpos AS MATERIALIZED (
-  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+WITH wh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(unnest(CASE WHEN len(ws) >= 8 THEN range(1, len(ws) - 6)
+                          ELSE [] END) AS BIGINT) AS pos,
+         unnest(CASE WHEN len(ws) >= 8
+                     THEN [md5(array_to_string(ws[i:i+7], ' '))
+                           FOR i IN range(1, len(ws) - 6)]
+                     ELSE [] END) AS h
   FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
-),
-wh AS MATERIALIZED (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         md5(array_to_string(ws[i:i+7], ' ')) AS h
-  FROM winpos
 ),
 dup AS (SELECT h FROM wh GROUP BY 1 HAVING count(*) >= 2),
 hits AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
@@ -1191,4 +1192,142 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+    )
+
+
+@register(
+    "dedup_suffix_apply",
+    oracle=f"""
+WITH wh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(unnest(CASE WHEN len(ws) >= 8 THEN range(1, len(ws) - 6)
+                          ELSE [] END) AS BIGINT) AS pos,
+         unnest(CASE WHEN len(ws) >= 8
+                     THEN [md5(array_to_string(ws[i:i+7], ' '))
+                           FOR i IN range(1, len(ws) - 6)]
+                     ELSE [] END) AS h
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+        FROM documents WHERE length({_NORM}) > 0)
+),
+agg AS MATERIALIZED (
+  SELECT h, count(*) AS n,
+         min(doc_id::HUGEINT * 4294967296 + pos) AS fk
+  FROM wh GROUP BY 1
+),
+nonfirst AS (
+  SELECT wh.doc_id, wh.pos
+  FROM wh JOIN agg USING (h)
+  WHERE agg.n >= 2
+    AND wh.doc_id::HUGEINT * 4294967296 + wh.pos <> fk
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + o AS tp
+  FROM nonfirst, (SELECT unnest(range(0, 8)) AS o)
+),
+toks AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS tp,
+         unnest(ws) AS tok,
+         CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+        FROM documents WHERE length({_NORM}) > 0)
+),
+kept AS (
+  SELECT t.doc_id, t.n_tokens, t.tp, t.tok
+  FROM toks t LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.tp = t.tp
+  WHERE r.tp IS NULL
+)
+SELECT doc_id,
+       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_tokens) - count(*) AS BIGINT) AS n_removed,
+       md5(string_agg(tok, ' ' ORDER BY tp)) AS kept_hash
+FROM kept GROUP BY doc_id
+""",
+    doc="APPLY side of exact-substring dedup (Lee et al. 2022, "
+    "arXiv:2107.06499 — their ExactSubstr tool DELETES all but one "
+    "occurrence of every duplicated span; dedup_suffix_spans only "
+    "reports them): every corpus position covered by a duplicated "
+    "k=8 window whose occurrence is NOT the canonical first one "
+    "(first = lexicographic min (doc_id, pos) over the window's "
+    "occurrences — fully pinned; the ORACLE packs the pair into one "
+    "integer, min(doc_id*2^32 + pos), because DuckDB's struct-min "
+    "aggregate took 83s and gigabytes at 2.3M groups where the packed "
+    "min takes under a second — the Spark side keeps the struct min) is dropped, and each document is "
+    "reassembled from its surviving tokens. Output per doc: original/"
+    "kept/removed token counts and the md5 of the reassembled text — "
+    "the content-addressable handle a downstream shard writer would "
+    "dedup on. Docs left with zero tokens vanish entirely (they were "
+    "pure duplicate) — correct corpus semantics on both engines. "
+    "Scale shape: one content-hash aggregate carrying (count, argmin "
+    "occurrence) — a struct-min, map-side combinable — one equi-join "
+    "back, an 8-row bounded explode of only the non-canonical "
+    "positions, one anti-join on (doc, position), one per-doc "
+    "reassembly aggregate. Nothing pairwise anywhere: a span "
+    "duplicated a million times is ONE aggregate row, and only its "
+    "occurrences (the data to delete) ever travel.",
+    tags=("dedup", "corpus", "composition"),
+)
+def dedup_suffix_apply(spark: SparkSession, sf_dir: str):
+    nrm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    docs = (
+        t_cpu(spark, sf_dir, "documents")
+        .filter(F.length(nrm) > 0)
+        .select("doc_id", F.split(nrm, " ").alias("ws"))
+        # window stream + token stream both derive from the split —
+        # persist so normalize+split runs once (double-reference rule)
+        .persist()
+    )
+    win = F.when(
+        F.size("ws") < 8,
+        F.array().cast("array<struct<pos:bigint,h:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 7),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.array_join(F.slice("ws", i, 8), " ")).alias("h"),
+            ),
+        )
+    )
+    wh = docs.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", "w.pos", "w.h"
+    ).persist()
+    agg = wh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias("f"),
+    )
+    nonfirst = (
+        wh.join(agg.filter(F.col("n") >= 2), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("f.d"))
+                & (F.col("pos") == F.col("f.p"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    removed = nonfirst.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tp"),
+    ).distinct()
+    toks = docs.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.posexplode("ws").alias("p0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).cast("bigint").alias("tp"), "tok")
+    kept = toks.join(removed, ["doc_id", "tp"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.min("n_tokens") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
     )

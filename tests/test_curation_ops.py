@@ -238,3 +238,55 @@ def test_streaming_cms_heavy_hitters_one_sided(spark):
     for r in rows:
         assert r.cms_est >= r.true_cnt
         assert r.overestimate == r.cms_est - r.true_cnt
+
+
+def test_suffix_apply_matches_python_replica(spark):
+    """ExactSubstr apply: delete every token covered by a non-canonical
+    duplicated-window occurrence, reassemble, compare counts + md5."""
+    k = 8
+    occ = defaultdict(list)  # h -> [(doc_id, pos)]
+    words = {}
+    for doc_id, _s, _l, text in _docs():
+        n = _norm(text)
+        if not n:
+            continue
+        ws = n.split(" ")
+        words[doc_id] = ws
+        for i in range(len(ws) - k + 1):
+            h = hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            occ[h].append((doc_id, i + 1))
+    removed = defaultdict(set)
+    for h, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            if (d, p) != first:
+                removed[d].update(range(p, p + k))
+    want = {}
+    for d, ws in words.items():
+        kept = [w for i, w in enumerate(ws, 1) if i not in removed[d]]
+        if kept:
+            want[d] = (
+                len(ws), len(kept), len(ws) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.kept_hash)
+        for r in REGISTRY["dedup_suffix_apply"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values()), "fixture must remove something"
+
+
+def test_phash_dedup_groups_cover_all_docs(spark):
+    """dHash dedup must partition the corpus: group sizes sum to the doc
+    count, keepers are members of their group, and the stubbed decode
+    yields ~50 distinct images (doc_id % 50 keying)."""
+    rows = REGISTRY["multimodal_phash_dedup"].spark_fn(spark, SF_DIR).collect()
+    n_docs = len(_docs())
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert len(rows) <= 50
+    assert all(r.n_docs >= 1 for r in rows)
+    # hashes are two 32-bit words
+    assert all(0 <= r.h0 < 2**32 and 0 <= r.h1 < 2**32 for r in rows)

@@ -103,6 +103,7 @@ CEILINGS: dict[str, float] = {
     "sample_kcenter_coreset": 2.5,
     "events_drift_tvd": 2.5,
     "tokenizer_unigram_viterbi": 2.0,
+    "dedup_suffix_apply": 2.5,
 }
 
 
