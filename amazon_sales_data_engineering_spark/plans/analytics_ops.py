@@ -3270,3 +3270,208 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return bipartite_hits_rounds(edges, n_rounds=2)
+
+
+_KMV_K = 64
+_KMV_SPACE = 1 << 48
+
+
+def _hex48_sql(h: str) -> str:
+    """First 12 hex chars of md5 column ``h`` as a 48-bit integer —
+    the same instr() parse the portable HLL uses."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "kmv_set_intersection",
+    oracle=f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+dv AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         {_hex48_sql("md5(CAST(user_id AS VARCHAR))")} AS v
+  FROM u
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM dv
+),
+kmv AS MATERIALIZED (SELECT event_type, v FROM ranked WHERE rn <= {_KMV_K}),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(v) AS BIGINT) AS vk
+  FROM kmv GROUP BY 1
+),
+est1 AS (
+  SELECT event_type,
+         CASE WHEN n_kept < {_KMV_K} THEN n_kept
+              ELSE ({_KMV_K - 1} * CAST({_KMV_SPACE} AS HUGEINT))
+                   // greatest(vk, 1) END AS est
+  FROM stats
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM dv) a,
+       (SELECT DISTINCT event_type FROM dv) b
+  WHERE a.event_type < b.event_type
+),
+merged AS (
+  SELECT p.type_a, p.type_b, k.v,
+         row_number() OVER (PARTITION BY p.type_a, p.type_b ORDER BY k.v) AS rn
+  FROM pairs p
+  JOIN kmv k ON k.event_type = p.type_a OR k.event_type = p.type_b
+  GROUP BY 1, 2, 3
+),
+ustats AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS n_merged,
+         CAST(max(CASE WHEN rn <= {_KMV_K} THEN v END) AS BIGINT) AS vku
+  FROM merged WHERE rn <= {_KMV_K} GROUP BY 1, 2
+),
+estu AS (
+  SELECT type_a, type_b,
+         CASE WHEN n_merged < {_KMV_K} THEN n_merged
+              ELSE ({_KMV_K - 1} * CAST({_KMV_SPACE} AS HUGEINT))
+                   // greatest(vku, 1) END AS est_union
+  FROM ustats
+),
+exact_i AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM u a JOIN u b ON b.user_id = a.user_id
+                   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(ea.est AS BIGINT) AS est_a,
+       CAST(eb.est AS BIGINT) AS est_b,
+       CAST(eu.est_union AS BIGINT) AS est_union,
+       CAST(greatest(ea.est + eb.est - eu.est_union, 0) AS BIGINT) AS est_inter,
+       COALESCE(x.exact_inter, 0) AS exact_inter
+FROM pairs p
+JOIN est1 ea ON ea.event_type = p.type_a
+JOIN est1 eb ON eb.event_type = p.type_b
+JOIN estu eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b
+LEFT JOIN exact_i x ON x.type_a = p.type_a AND x.type_b = p.type_b
+""",
+    doc="K-Minimum-Values sketch with SET-INTERSECTION estimation "
+    "(Bar-Yossef et al. 2002; the theta-sketch family's core idea) — "
+    "the fourth portable sketch beside Bloom (membership), CMS "
+    "(frequency) and HLL (distinct count): HLL registers can union "
+    "but cannot INTERSECT, while two KMV lists merge by 'union the "
+    "k-smallest lists, re-take the k smallest' (provably the KMV of "
+    "the union, since each side's k-minima contain every candidate) "
+    "— giving |A u B|, and |A n B| by inclusion-exclusion. Values "
+    "are 48-bit md5 slices (lexicographic uniformity, the same "
+    "instr-parse integers as the portable HLL); the estimator "
+    "(k-1) * 2^48 / v_k is one truncating integer division, exact on "
+    "both engines, and sets with fewer than k values are counted "
+    "exactly (their list IS the set). Per event-type pair the query "
+    "reports both single-set estimates, the merged-union estimate, "
+    "the intersection estimate, and the exact intersection as the "
+    "audit column (the eval pattern of cms_heavy_hitters). Scale "
+    "shape: per-key state is k 8-byte values — map-side combinable "
+    "top-k per partition then k-merge, 512 bytes per set at any "
+    "cardinality; the pair stage runs on #types^2 x k driver-sized "
+    "rows. The exact-intersection audit column is the only "
+    "data-sized join and exists to grade the sketch, not to run at "
+    "100 TB.",
+    tags=("agg", "sketch", "approx", "eval"),
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    K, SPACE = _KMV_K, _KMV_SPACE
+    u = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    v48 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    dv = u.select("event_type", v48.alias("v")).distinct().persist()
+    ranked = dv.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("v")),
+    )
+    kmv = ranked.filter(F.col("rn") <= K).select("event_type", "v").persist()
+    est_expr = F.when(
+        F.col("n_kept") < K, F.col("n_kept").cast("decimal(38,0)")
+    ).otherwise(
+        F.expr(
+            f"CAST({K - 1} AS DECIMAL(38,0)) * {SPACE} div greatest(vk, 1)"
+        )
+    )
+    est1 = (
+        kmv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("v").alias("vk"),
+        )
+        .select("event_type", est_expr.cast("bigint").alias("est"))
+    )
+    types = dv.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            kmv,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "v")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("type_a", "type_b").orderBy("v")
+            ),
+        )
+        .filter(F.col("rn") <= K)
+    )
+    estu_expr = F.when(
+        F.col("n_merged") < K, F.col("n_merged").cast("decimal(38,0)")
+    ).otherwise(
+        F.expr(
+            f"CAST({K - 1} AS DECIMAL(38,0)) * {SPACE} div greatest(vku, 1)"
+        )
+    )
+    estu = (
+        merged.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+            F.max("v").alias("vku"),
+        )
+        .select("type_a", "type_b", estu_expr.cast("bigint").alias("est_union"))
+    )
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_i = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    ea = est1.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    eb = est1.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    return (
+        pairs.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(estu), ["type_a", "type_b"])
+        .join(F.broadcast(exact_i), ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b", "est_a", "est_b", "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            ).cast("bigint").alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint")
+            .alias("exact_inter"),
+        )
+    )

@@ -290,3 +290,27 @@ def test_phash_dedup_groups_cover_all_docs(spark):
     assert all(r.n_docs >= 1 for r in rows)
     # hashes are two 32-bit words
     assert all(0 <= r.h0 < 2**32 and 0 <= r.h1 < 2**32 for r in rows)
+
+
+def test_kmv_exact_in_small_regime(spark):
+    """Sets smaller than k=64 are counted exactly (their KMV list IS the
+    set), so at the test scale every estimate with a small exact side
+    must reproduce DuckDB's exact distinct counts."""
+    rows = REGISTRY["kmv_set_intersection"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) "
+            f"FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.est_inter >= 0
+        assert r.exact_inter >= 0
+        if exact[r.type_a] < 64:
+            assert r.est_a == exact[r.type_a]
+        if exact[r.type_b] < 64:
+            assert r.est_b == exact[r.type_b]
+        if exact[r.type_a] < 64 and exact[r.type_b] < 64 and r.est_union < 64:
+            # both lists exhaustive -> union exact -> inclusion-exclusion exact
+            assert r.est_inter == r.exact_inter

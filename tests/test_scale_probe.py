@@ -104,6 +104,9 @@ CEILINGS: dict[str, float] = {
     "events_drift_tvd": 2.5,
     "tokenizer_unigram_viterbi": 2.0,
     "dedup_suffix_apply": 2.5,
+    "kmv_set_intersection": 2.0,
+    "multimodal_phash_dedup": 2.0,
+    "streaming_cms_heavy_hitters": 2.5,
 }
 
 
