@@ -549,17 +549,39 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
     return out
 
 
+#: (applicationId, sf_dir, rounds) -> (merges, word-carrying state):
+#: bpe_train_merges and bpe_encode_fertility learn the SAME merge table,
+#: so the 6-round training loop runs once per session and both queries
+#: reuse it (the t_copurchase_edges amortization pattern — round-5
+#: verdict #2 applied to the tokenizer family). Safe to cache: every
+#: round's state and merge row is eagerly localCheckpointed.
+_BPE_CACHE: dict = {}
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str, rounds: int, keep_word: bool = False
 ):
     """Run ``rounds`` BPE merge rounds over the corpus word-frequency
-    table. Returns ``(merges, state)``: one 1-row DataFrame per learned
-    rule, and the final state — each word's symbol sequence after all
-    merges, i.e. the trained tokenizer's encoding of the vocabulary
-    (carried only when ``keep_word``)."""
+    table (cached per session+sf_dir+rounds). Returns ``(merges,
+    state)``: one 1-row DataFrame per learned rule, and the final state
+    — each word's symbol sequence after all merges, i.e. the trained
+    tokenizer's encoding of the vocabulary (``word`` column projected
+    away unless ``keep_word``; merges are independent of it)."""
+    key = (spark.sparkContext.applicationId, sf_dir, rounds)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        hit = _bpe_train_impl(spark, sf_dir, rounds)
+        _BPE_CACHE[key] = hit
+    merges, state = hit
+    if not keep_word:
+        state = state.drop("word")
+    return merges, state
+
+
+def _bpe_train_impl(spark: SparkSession, sf_dir: str, rounds: int):
     nrm = _NORM_SPARK(F.col("text"))
     sep2 = _SEP + _SEP
-    keep = ["word"] if keep_word else []
+    keep = ["word"]
     w = (
         t_cpu(spark, sf_dir, "documents")
         .filter(F.length(nrm) > 0)
