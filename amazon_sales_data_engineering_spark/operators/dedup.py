@@ -730,3 +730,119 @@ def sorted_neighborhood_pairs(
             F.col("nb.pos_gap").alias("pos_gap"),
         )
     )
+
+
+def suffix_window_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Positioned k-token window hashes: one row per window start,
+    ``(id, pos, h)`` with 1-based ``pos`` and ``h = md5`` of the k
+    space-joined tokens of the whitespace-normalized text. The shared
+    front end of the exact-substring dedup pair (suffix_dup_spans /
+    suffix_apply_dedup — Lee et al. 2022 arXiv:2107.06499). Docs
+    shorter than ``k`` tokens produce no windows. Narrow map-only."""
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    win = F.when(
+        F.size(ws) < k,
+        F.array().cast("array<struct<pos:bigint,h:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.array_join(F.slice(ws, i, k), " ")).alias("h"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(win).alias("w"))
+        .select(id_col, "w.pos", "w.h")
+    )
+
+
+def suffix_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """MAXIMAL duplicated-span extraction (detect half of ExactSubstr):
+    windows whose hash occurs >= 2 times anywhere in the corpus
+    (including within one document) are merged per doc into maximal
+    [span_start, span_end] token ranges via the pos - row_number islands
+    trick. Returns (id, span_start, span_end, span_tokens, n_windows).
+    One content-hash aggregate + one equi-join + one per-doc window —
+    nothing pairwise."""
+    wh = suffix_window_hashes(df, text_col, id_col, k).persist()
+    dup = (
+        wh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hits = wh.join(dup, "h").select(id_col, "pos")
+    isl = hits.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+    )
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens", "n_windows")
+    )
+
+
+def suffix_apply_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """APPLY half of ExactSubstr: drop every token covered by a
+    duplicated k-window occurrence that is not the canonical first one
+    (lexicographic min (id, pos) per window hash), reassemble each doc.
+    Returns (id, n_tokens, n_kept, n_removed, kept_hash); docs reduced
+    to zero tokens vanish. See dedup_suffix_apply for the scale notes."""
+    docs = df.select(
+        F.col(id_col), F.split(normalized_text(F.col(text_col)), " ").alias("ws")
+    ).persist()
+    wh = suffix_window_hashes(
+        docs.select(id_col, F.array_join("ws", " ").alias("__t")), "__t", id_col, k
+    ).persist()
+    agg = wh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"),
+    )
+    nonfirst = (
+        wh.join(agg.filter(F.col("n") >= 2), "h")
+        .filter(
+            ~((F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p")))
+        )
+        .select(id_col, "pos")
+    )
+    removed = nonfirst.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tp"),
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col),
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.posexplode("ws").alias("p0", "tok"),
+    ).select(
+        id_col, "n_tokens", (F.col("p0") + 1).cast("bigint").alias("tp"), "tok"
+    )
+    kept = toks.join(removed, [id_col, "tp"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.min("n_tokens") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )

@@ -1146,52 +1146,10 @@ GROUP BY doc_id, grp
     bench=True,
 )
 def dedup_suffix_spans(spark: SparkSession, sf_dir: str):
-    docs = t_cpu(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-        ).alias("ws"),
-    )
-    win = F.when(
-        F.size("ws") < 8,
-        F.array().cast("array<struct<pos:bigint,h:string>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 7),
-            lambda i: F.struct(
-                i.cast("bigint").alias("pos"),
-                F.md5(F.array_join(F.slice("ws", i, 8), " ")).alias("h"),
-            ),
-        )
-    )
-    # The window stream feeds BOTH the duplicate-set aggregate and the
-    # position join-back — persist the reduced (doc_id, pos, h) form so
-    # the normalize+explode+md5 narrow stage runs exactly once
-    # (round-4 double-reference rule).
-    wh = docs.select("doc_id", F.explode(win).alias("w")).select(
-        "doc_id", "w.pos", "w.h"
-    ).persist()
-    dup = (
-        wh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("h")
-    )
-    hits = wh.join(dup, "h").select("doc_id", "pos")
-    isl = hits.withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
-    )
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + 7).cast("bigint").alias("span_end"),
-            (F.max("pos") + 8 - F.min("pos")).cast("bigint").alias("span_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        )
-        .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+    from ..operators.dedup import suffix_dup_spans
+
+    return suffix_dup_spans(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id", k=8
     )
 
 
@@ -1269,65 +1227,10 @@ FROM kept GROUP BY doc_id
     tags=("dedup", "corpus", "composition"),
 )
 def dedup_suffix_apply(spark: SparkSession, sf_dir: str):
-    nrm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    docs = (
-        t_cpu(spark, sf_dir, "documents")
-        .filter(F.length(nrm) > 0)
-        .select("doc_id", F.split(nrm, " ").alias("ws"))
-        # window stream + token stream both derive from the split —
-        # persist so normalize+split runs once (double-reference rule)
-        .persist()
+    from ..functions.text import normalized_text
+    from ..operators.dedup import suffix_apply_dedup
+
+    docs = t_cpu(spark, sf_dir, "documents").filter(
+        F.length(normalized_text(F.col("text"))) > 0
     )
-    win = F.when(
-        F.size("ws") < 8,
-        F.array().cast("array<struct<pos:bigint,h:string>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 7),
-            lambda i: F.struct(
-                i.cast("bigint").alias("pos"),
-                F.md5(F.array_join(F.slice("ws", i, 8), " ")).alias("h"),
-            ),
-        )
-    )
-    wh = docs.select("doc_id", F.explode(win).alias("w")).select(
-        "doc_id", "w.pos", "w.h"
-    ).persist()
-    agg = wh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias("f"),
-    )
-    nonfirst = (
-        wh.join(agg.filter(F.col("n") >= 2), "h")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("f.d"))
-                & (F.col("pos") == F.col("f.p"))
-            )
-        )
-        .select("doc_id", "pos")
-    )
-    removed = nonfirst.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tp"),
-    ).distinct()
-    toks = docs.select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("n_tokens"),
-        F.posexplode("ws").alias("p0", "tok"),
-    ).select("doc_id", "n_tokens", (F.col("p0") + 1).cast("bigint").alias("tp"), "tok")
-    kept = toks.join(removed, ["doc_id", "tp"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.min("n_tokens").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        (F.min("n_tokens") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            )
-        ).alias("kept_hash"),
-    )
+    return suffix_apply_dedup(docs, "text", "doc_id", k=8)

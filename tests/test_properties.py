@@ -973,3 +973,90 @@ def test_edge_similarity_matches_bruteforce(spark, edges):
         for r in edge_neighborhood_similarity(df).collect()
     }
     assert got == want
+
+
+def _py_suffix(docs: list[tuple[int, str]], k: int = 4):
+    """Independent Python implementation of suffix_dup_spans +
+    suffix_apply_dedup on (id, text) rows; returns (spans, applied)."""
+    import hashlib
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    occ = defaultdict(list)
+    words = {}
+    for d, t in docs:
+        ws = norm(t).split(" ") if norm(t) else []
+        words[d] = ws
+        for i in range(len(ws) - k + 1):
+            h = hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            occ[h].append((d, i + 1))
+    spans = set()
+    dup_pos = defaultdict(list)
+    removed = defaultdict(set)
+    for h, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            dup_pos[d].append(p)
+            if (d, p) != first:
+                removed[d].update(range(p, p + k))
+    for d, ps in dup_pos.items():
+        run = []
+        for p in sorted(ps):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    spans.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+                run = [p]
+        if run:
+            spans.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+    applied = {}
+    for d, ws in words.items():
+        if not ws:
+            continue
+        kept = [w for i, w in enumerate(ws, 1) if i not in removed[d]]
+        if kept:
+            applied[d] = (
+                len(ws), len(kept), len(ws) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+    return spans, applied
+
+
+# Tiny vocabulary so duplicated windows arise naturally; k=4 keeps docs
+# short enough for hypothesis while exercising island merges and the
+# canonical-first tiebreak across docs.
+docs_st = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=14).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=8,
+).map(lambda texts: [(i, t) for i, t in enumerate(texts)])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_st)
+def test_suffix_ops_match_python_oracle(spark, docs):
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        suffix_apply_dedup,
+        suffix_dup_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    want_spans, want_applied = _py_suffix(docs, k=4)
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in suffix_dup_spans(df, "text", "doc_id", k=4).collect()
+    }
+    assert got_spans == want_spans
+    nonempty = df.filter(F.length(F.trim(F.col("text"))) > 0)
+    got_applied = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.kept_hash)
+        for r in suffix_apply_dedup(nonempty, "text", "doc_id", k=4).collect()
+    }
+    assert got_applied == want_applied
