@@ -730,3 +730,73 @@ def multiprobe_lsh_topk(
             "probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def kcenter_trace(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset trace: ``k`` rows of
+    (round, center_id, radius) — see plans.pretrain_ops.
+    sample_kcenter_coreset for the literature + scale notes. Fully
+    deterministic: seed = lowest id, distance ties break on id. Each
+    round broadcasts ONE vector, updates per-point min-distances in a
+    shuffle-free narrow map (localCheckpoint lineage cut), and takes
+    the argmax via TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sqd(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e")
+    )
+    c1 = (
+        v.orderBy(F.asc(id_col))
+        .limit(1)
+        .select(F.col(id_col).alias("cid"), F.col("e").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
+    rows = [
+        c1.select(
+            F.lit(1).alias("round"),
+            F.col("cid").alias("center_id"),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    state = (
+        v.crossJoin(F.broadcast(c1.select("ce")))
+        .select(id_col, "e", sqd(F.col("e"), F.col("ce")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        nc = (
+            state.orderBy(F.desc("d"), F.asc(id_col))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            nc.select(
+                F.lit(r).alias("round"),
+                F.col(id_col).alias("center_id"),
+                F.col("d").alias("radius"),
+            )
+        )
+        if r < k:
+            state = (
+                state.crossJoin(F.broadcast(nc.select(F.col("e").alias("ce"))))
+                .select(
+                    id_col,
+                    "e",
+                    F.least(F.col("d"), sqd(F.col("e"), F.col("ce"))).alias("d"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out

@@ -923,62 +923,11 @@ s1 AS MATERIALIZED (
     bench=True,
 )
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str):
-    def sqd(a, c):
-        return F.aggregate(
-            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from ..operators.similarity import kcenter_trace
 
-    v = t_cpu(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    return kcenter_trace(
+        t_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_KC_ROUNDS
     )
-    c1 = (
-        v.orderBy(F.asc("vec_id"))
-        .limit(1)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-        .localCheckpoint(eager=True)
-    )
-    rows = [
-        c1.select(
-            F.lit(1).alias("round"),
-            F.col("cid").alias("center_id"),
-            F.lit(0.0).alias("radius"),
-        )
-    ]
-    state = (
-        v.crossJoin(F.broadcast(c1.select("ce")))
-        .select("vec_id", "e", sqd(F.col("e"), F.col("ce")).alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    for r in range(2, _KC_ROUNDS + 1):
-        nc = (
-            state.orderBy(F.desc("d"), F.asc("vec_id"))
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        rows.append(
-            nc.select(
-                F.lit(r).alias("round"),
-                F.col("vec_id").alias("center_id"),
-                F.col("d").alias("radius"),
-            )
-        )
-        if r < _KC_ROUNDS:
-            state = (
-                state.crossJoin(F.broadcast(nc.select(F.col("e").alias("ce"))))
-                .select(
-                    "vec_id",
-                    "e",
-                    F.least(F.col("d"), sqd(F.col("e"), F.col("ce"))).alias("d"),
-                )
-                .localCheckpoint(eager=True)
-            )
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionByName(rdf)
-    return out
 
 
 _UNI_MAX_LEN = 12

@@ -1060,3 +1060,39 @@ def test_suffix_ops_match_python_oracle(spark, docs):
         for r in suffix_apply_dedup(nonempty, "text", "doc_id", k=4).collect()
     }
     assert got_applied == want_applied
+
+
+vecs_st = st.lists(
+    st.lists(st.integers(-4, 4).map(float), min_size=3, max_size=3),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=vecs_st)
+def test_kcenter_trace_matches_python_oracle(spark, vecs):
+    """Greedy farthest-point selection on random small-integer vectors
+    (distances are exact in floats) vs an independent Python greedy."""
+    from amazon_sales_data_engineering_spark.operators.similarity import (
+        kcenter_trace,
+    )
+
+    k = min(4, len(vecs))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = sorted(
+        (r.round, r.center_id, r.radius)
+        for r in kcenter_trace(df, "vec_id", "embedding", k=k).collect()
+    )
+    d = [sum((a - b) ** 2 for a, b in zip(v, vecs[0])) for v in vecs]
+    want = [(1, 0, 0.0)]
+    for rnd in range(2, k + 1):
+        best = max(range(len(vecs)), key=lambda i: (d[i], -i))
+        want.append((rnd, best, d[best]))
+        d = [
+            min(d[i], sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[best])))
+            for i in range(len(vecs))
+        ]
+    assert got == want
