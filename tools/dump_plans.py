@@ -45,6 +45,16 @@ SHOWCASE = [
     "json_variant_native",
     "sql_recursive_hierarchy",
     "events_max_concurrency",
+    # round-6 additions
+    "dedup_suffix_spans",
+    "dedup_suffix_apply",
+    "decontaminate_embedding",
+    "quality_classifier_logodds",
+    "tokenizer_unigram_viterbi",
+    "kmv_set_intersection",
+    "multimodal_phash_dedup",
+    "events_drift_tvd",
+    "corpus_epoch_plan",
 ]
 
 
