@@ -3419,13 +3419,16 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str):
         .crossJoin(types.select(F.col("event_type").alias("type_b")))
         .filter(F.col("type_a") < F.col("type_b"))
     )
+    # pair membership as an explode + equi-join (a disjunctive join
+    # condition compiles to BroadcastNestedLoopJoin; the exploded form
+    # is a hash join and stays one even with a huge type inventory)
+    pair_members = pairs.select(
+        "type_a", "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
     merged = (
-        F.broadcast(pairs)
-        .join(
-            kmv,
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        F.broadcast(pair_members)
+        .join(kmv, "event_type")
         .select("type_a", "type_b", "v")
         .distinct()
         .withColumn(
