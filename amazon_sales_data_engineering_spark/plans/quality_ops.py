@@ -545,3 +545,98 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str):
             (F.col("l_distinct") < 3).alias("violates_l3"),
         )
     )
+
+
+#: Truncated discrete-Laplace (two-sided geometric) inverse-CDF
+#: thresholds for epsilon = 1, support z in [-8, 8], renormalized after
+#: truncation: a uniform 32-bit value u maps to z = (#thresholds <= u)
+#: - 8. Precomputed ONCE in Python floats and shared VERBATIM by both
+#: engines (the hll_portable_distinct linear-counting-table idiom), so
+#: no libm exp() ever runs inside a query.
+_DP_THRESHOLDS = [
+    665939, 2476148, 7396809, 20772552, 57131592, 155965707, 424624687,
+    1154915510, 3140051785, 3870342608, 4139001588, 4237835703,
+    4274194743, 4287570486, 4292491147, 4294301356,
+]
+_DP_U32_SQL = (
+    "CAST(("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(__h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") AS BIGINT)"
+)
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+hashed AS (
+  SELECT nationkey, mktsegment, n,
+         md5(CAST(nationkey AS VARCHAR) || '|' || mktsegment) AS __h
+  FROM cells
+),
+noise AS (
+  SELECT nationkey, mktsegment, n,
+         ({" + ".join(f"(CASE WHEN {_DP_U32_SQL} >= {t} THEN 1 ELSE 0 END)" for t in _DP_THRESHOLDS)})
+           - 8 AS z
+  FROM hashed
+)
+SELECT nationkey, mktsegment, n, CAST(z AS BIGINT) AS z,
+       CAST(greatest(n + z, 0) AS BIGINT) AS noisy_n,
+       CAST(1000 AS BIGINT) AS epsilon_milli
+FROM noise
+""",
+    doc="Differentially-private count release — the mechanism side of "
+    "the privacy family (k-anonymity/l-diversity audit the release, "
+    "DP perturbs it): per quasi-identifier cell, add discrete-Laplace "
+    "noise calibrated to epsilon = 1 (sensitivity 1 for counting "
+    "queries) and clamp at zero. The noise draw is an inverse-CDF "
+    "walk over a 16-threshold integer table (truncated two-sided "
+    "geometric, support ±8, precomputed once in Python and embedded "
+    "verbatim in both engines — the hll_portable_distinct table "
+    "idiom, so no libm exp() runs in-query), driven by a uniform "
+    "32-bit md5 slice of the CELL KEY. The keyed-hash draw is a "
+    "DETERMINISTIC STAND-IN for the gate (reproducible, retry-safe — "
+    "the multimodal-stub convention): production DP swaps exactly "
+    "this one expression for a SecureRandom draw per release and "
+    "keeps everything else, including the epsilon accounting column "
+    "downstream budget trackers consume. Scale shape: one map-side-"
+    "combinable aggregate + a pure map — the release costs the same "
+    "as the raw GROUP BY at any table size.",
+    tags=("quality", "privacy", "compliance", "agg"),
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str):
+    cells = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    h = F.md5(
+        F.concat_ws("|", F.col("nationkey").cast("string"), F.col("mktsegment"))
+    )
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    z = (
+        sum(
+            (
+                F.when(u32 >= t, 1).otherwise(0)
+                for t in _DP_THRESHOLDS
+            ),
+            start=F.lit(0),
+        )
+        - 8
+    )
+    return cells.select(
+        "nationkey", "mktsegment", "n",
+        z.cast("bigint").alias("z"),
+        F.greatest(F.col("n") + z, F.lit(0)).cast("bigint").alias("noisy_n"),
+        F.lit(1000).cast("bigint").alias("epsilon_milli"),
+    )

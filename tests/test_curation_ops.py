@@ -314,3 +314,30 @@ def test_kmv_exact_in_small_regime(spark):
         if exact[r.type_a] < 64 and exact[r.type_b] < 64 and r.est_union < 64:
             # both lists exhaustive -> union exact -> inclusion-exclusion exact
             assert r.est_inter == r.exact_inter
+
+
+def test_dp_noisy_counts_mechanism_properties(spark):
+    """Noise is bounded by the truncated support, zero-clamped, and the
+    threshold table is a valid inverse CDF (checked against a fresh
+    float computation of the epsilon=1 discrete Laplace)."""
+    import math
+
+    rows = REGISTRY["privacy_dp_noisy_counts"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -8 <= r.z <= 8
+        assert r.noisy_n == max(r.n + r.z, 0)
+        assert r.epsilon_milli == 1000
+    # table re-derivation (independent of the embedded literal)
+    from amazon_sales_data_engineering_spark.plans.quality_ops import (
+        _DP_THRESHOLDS,
+    )
+
+    a = math.exp(-1.0)
+    probs = [(1 - a) / (1 + a) * a ** abs(zz) for zz in range(-8, 9)]
+    tot = sum(probs)
+    acc, want = 0.0, []
+    for p in probs[:-1]:
+        acc += p / tot
+        want.append(int(acc * (1 << 32)))
+    assert want == _DP_THRESHOLDS
