@@ -107,6 +107,7 @@ CEILINGS: dict[str, float] = {
     "kmv_set_intersection": 2.0,
     "multimodal_phash_dedup": 2.0,
     "streaming_cms_heavy_hitters": 2.5,
+    "privacy_dp_noisy_counts": 2.0,
 }
 
 
