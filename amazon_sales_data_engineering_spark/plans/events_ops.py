@@ -1643,9 +1643,46 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "events_drift_tvd",
-    oracle="""
+def tvd_report(c):
+    """Exact total-variation drift report from per-type window counts
+    ``(event_type, n_a, n_b)`` — the shared tail of events_drift_tvd
+    (batch) and streaming_drift_tvd (stream-folded counts): shares in
+    ppm, per-type contribution, and the global tvd_ppm, in exact
+    cross-multiplied integer arithmetic (DECIMAL(38,0) intermediates)."""
+    tot = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    term = c.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_a", "n_b",
+        F.expr(
+            "CAST((CAST(n_a AS DECIMAL(38,0)) * 1000000) div ta AS BIGINT)"
+        ).alias("share_a_ppm"),
+        F.expr(
+            "CAST((CAST(n_b AS DECIMAL(38,0)) * 1000000) div tb AS BIGINT)"
+        ).alias("share_b_ppm"),
+        F.expr(
+            "abs(CAST(n_a AS DECIMAL(38,0)) * tb - CAST(n_b AS DECIMAL(38,0)) * ta)"
+        ).alias("dterm"),
+        "ta", "tb",
+    ).persist()  # feeds both the global TVD and the per-type projection
+    g = term.agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(dterm))"
+            " div (CAST(2 AS DECIMAL(38,0)) * first(ta) * first(tb)) AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return term.crossJoin(F.broadcast(g)).select(
+        "event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * dterm)"
+            " div (CAST(2 AS DECIMAL(38,0)) * ta * tb) AS BIGINT)"
+        ).alias("contrib_ppm"),
+        "tvd_ppm",
+    )
+
+
+_TVD_ORACLE = """
 WITH base AS (
   SELECT event_type,
          CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END AS w
@@ -1678,7 +1715,12 @@ SELECT event_type, n_a, n_b, share_a_ppm, share_b_ppm,
          AS contrib_ppm,
        (SELECT tvd_ppm FROM g) AS tvd_ppm
 FROM term
-""",
+"""
+
+
+@register(
+    "events_drift_tvd",
+    oracle=_TVD_ORACLE,
     doc="Distribution-drift monitor over the event stream: split events "
     "into a reference window and a comparison window (day-of-month <= "
     "15 vs the rest — a wall-clock field, timezone-independent on NTZ "
@@ -1709,34 +1751,4 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str):
         F.sum(F.when(F.col("w") == "b", 1).otherwise(0))
         .cast("bigint").alias("n_b"),
     )
-    tot = c.agg(
-        F.sum("n_a").cast("bigint").alias("ta"),
-        F.sum("n_b").cast("bigint").alias("tb"),
-    )
-    term = c.crossJoin(F.broadcast(tot)).select(
-        "event_type", "n_a", "n_b",
-        F.expr(
-            "CAST((CAST(n_a AS DECIMAL(38,0)) * 1000000) div ta AS BIGINT)"
-        ).alias("share_a_ppm"),
-        F.expr(
-            "CAST((CAST(n_b AS DECIMAL(38,0)) * 1000000) div tb AS BIGINT)"
-        ).alias("share_b_ppm"),
-        F.expr(
-            "abs(CAST(n_a AS DECIMAL(38,0)) * tb - CAST(n_b AS DECIMAL(38,0)) * ta)"
-        ).alias("dterm"),
-        "ta", "tb",
-    ).persist()  # feeds both the global TVD and the per-type projection
-    g = term.agg(
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(dterm))"
-            " div (CAST(2 AS DECIMAL(38,0)) * first(ta) * first(tb)) AS BIGINT)"
-        ).alias("tvd_ppm")
-    )
-    return term.crossJoin(F.broadcast(g)).select(
-        "event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * dterm)"
-            " div (CAST(2 AS DECIMAL(38,0)) * ta * tb) AS BIGINT)"
-        ).alias("contrib_ppm"),
-        "tvd_ppm",
-    )
+    return tvd_report(c)

@@ -32,6 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .events_ops import _TVD_ORACLE
 from .registry import register
 from .util import t
 
@@ -888,3 +889,54 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
     )
+
+
+@register(
+    "streaming_drift_tvd",
+    oracle=_TVD_ORACLE,  # the batch op's oracle VERBATIM
+    doc="Streaming/batch equivalence #10 — the drift monitor run where "
+    "it actually runs in production, ON the stream: the replayed event "
+    "stream folds per-(event_type, window) counts incrementally "
+    "(streaming groupBy, complete mode — state is #types x 2 counters, "
+    "fixed at any stream length), the drained counts feed the SAME "
+    "exact-integer TVD tail as events_drift_tvd (shared tvd_report "
+    "helper), and the DuckDB oracle is the batch op's oracle VERBATIM "
+    "— proving stream-folded window counts == batch counts == the "
+    "same drift number. The reference/comparison window split is "
+    "computed timezone-free from the replay's integer epoch seconds "
+    "(days-since-epoch date arithmetic, no session-zone dayofmonth "
+    "on an LTZ value — the NTZ trap the hostile-TZ gate exists to "
+    "catch).",
+    tags=("streaming", "drift", "monitoring"),
+)
+def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_source
+    from .events_ops import tvd_report
+
+    src = stream_source(
+        spark,
+        _write_replay(spark, sf_dir, owner="drift"),
+        _REPLAY_SCHEMA,
+        fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    dom = F.dayofmonth(
+        F.date_add(F.to_date(F.lit("1970-01-01")), (F.col("sec") / 86400).cast("int"))
+    )
+    counts = (
+        src.select(
+            "event_type",
+            F.when(dom <= 15, "a").otherwise("b").alias("w"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    final = _drain(counts, "complete")
+    c = final.groupBy("event_type").agg(
+        F.sum(F.when(F.col("w") == "a", F.col("k")).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("w") == "b", F.col("k")).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    return tvd_report(c)
+

@@ -108,6 +108,7 @@ CEILINGS: dict[str, float] = {
     "multimodal_phash_dedup": 2.0,
     "streaming_cms_heavy_hitters": 2.5,
     "privacy_dp_noisy_counts": 2.0,
+    "streaming_drift_tvd": 2.5,
 }
 
 
