@@ -854,7 +854,18 @@ _SQD_SQL = (
 )
 
 
+def _kcenter_cte_chain(rounds: int) -> str:
+    """The WITH-chain portion (v, c1..ck, s1..s{k-1}) of the k-center
+    oracle, reusable by sample_coreset_coverage_eval."""
+    return _kcenter_oracle_parts(rounds)[0]
+
+
 def _kcenter_oracle(rounds: int) -> str:
+    chain, finals = _kcenter_oracle_parts(rounds)
+    return chain + "\n" + finals
+
+
+def _kcenter_oracle_parts(rounds: int):
     parts = [
         """WITH v AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -893,7 +904,7 @@ s1 AS MATERIALIZED (
             for r in range(2, rounds + 1)
         ]
     )
-    return ",\n".join(parts) + "\n" + finals
+    return ",\n".join(parts), finals
 
 
 @register(
@@ -1114,4 +1125,122 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str):
         "cnt",
         final["np"].cast("bigint").alias("n_pieces"),
         (-final["nsc"]).cast("bigint").alias("piece_score"),
+    )
+
+
+_COVERAGE_THRESHOLDS = (1.0, 1.4, 1.8, 2.2)
+
+
+@register(
+    "sample_coreset_coverage_eval",
+    oracle=f"""
+{_kcenter_cte_chain(_KC_ROUNDS)},
+cent AS ({" UNION ALL ".join(f"SELECT cid FROM c{r}" for r in range(1, _KC_ROUNDS + 1))}),
+cvec AS (SELECT v.e AS ce FROM cent JOIN v ON v.vec_id = cent.cid),
+dk AS (
+  SELECT v.vec_id, min({_SQD_SQL.format(a="v.e", c="ce")}) AS d
+  FROM v, cvec GROUP BY 1
+),
+r8 AS (SELECT vec_id FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_KC_ROUNDS}),
+rvec AS (SELECT v.e AS ce FROM r8 JOIN v ON v.vec_id = r8.vec_id),
+dr AS (
+  SELECT v.vec_id, min({_SQD_SQL.format(a="v.e", c="ce")}) AS d
+  FROM v, rvec GROUP BY 1
+),
+thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _COVERAGE_THRESHOLDS)}]) AS DOUBLE) AS thr),
+ck AS (
+  SELECT 'kcenter' AS method, thr,
+         CAST(SUM(CASE WHEN d <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM dk, thr GROUP BY 1, 2
+),
+cr AS (
+  SELECT 'hash8' AS method, thr,
+         CAST(SUM(CASE WHEN d <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM dr, thr GROUP BY 1, 2
+)
+SELECT method, thr, n_covered, n_total,
+       CAST((n_covered * 1000000) // n_total AS BIGINT) AS covered_ppm
+FROM (SELECT * FROM ck UNION ALL SELECT * FROM cr)
+""",
+    doc="Coverage evaluation of the k-center coreset — the audit that "
+    "justifies paying for farthest-point selection over a cheap "
+    "sample: for every corpus point, squared L2 distance to its "
+    "nearest of the 8 k-center picks vs the 8 hash-picked baseline "
+    "points (deterministic 'random': lowest md5(vec_id) — the "
+    "registry's rand()-free sampling idiom), then coverage counts at "
+    "fixed radius thresholds. k-center's guarantee is exactly a "
+    "covering-radius bound, so its coverage curve must dominate at "
+    "tight radii — materialized here as auditable integer counts and "
+    "ppm (no float means anywhere; threshold comparisons are exact "
+    "IEEE on identically-folded distances). The eval pattern of "
+    "cms_heavy_hitters / dedup_lsh_recall_eval applied to the "
+    "sampling family. Scale shape: both distance passes broadcast 8 "
+    "vectors and stay narrow; the count is one map-side-combinable "
+    "aggregate per method — the eval costs two corpus scans at any "
+    "size.",
+    tags=("corpus", "sampling", "eval", "embedding"),
+)
+def sample_coreset_coverage_eval(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import kcenter_trace
+
+    def sqd(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = t_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).persist()
+    trace = kcenter_trace(v, "vec_id", "e", k=_KC_ROUNDS).select(
+        F.col("center_id").alias("cid")
+    )
+    r8 = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_KC_ROUNDS)
+        .select(F.col("vec_id").alias("cid"))
+    )
+
+    def min_dist(picks):
+        cs = picks.join(v, picks.cid == v.vec_id).select(F.col("e").alias("ce"))
+        carr = cs.agg(F.collect_list("ce").alias("cs"))
+        return v.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            F.array_min(
+                F.transform(F.col("cs"), lambda c: sqd(F.col("e"), c))
+            ).alias("d"),
+        )
+
+    thr = F.broadcast(
+        t_cpu(spark, sf_dir, "embeddings")
+        .sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(t) for t in _COVERAGE_THRESHOLDS])
+            ).alias("thr")
+        )
+    )
+
+    def coverage(dists, method):
+        return (
+            dists.crossJoin(thr)
+            .groupBy("thr")
+            .agg(
+                F.sum(F.when(F.col("d") <= F.col("thr"), 1).otherwise(0))
+                .cast("bigint").alias("n_covered"),
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            )
+            .select(
+                F.lit(method).alias("method"), "thr", "n_covered", "n_total",
+                F.expr("CAST((n_covered * 1000000) div n_total AS BIGINT)")
+                .alias("covered_ppm"),
+            )
+        )
+
+    return coverage(min_dist(trace), "kcenter").unionByName(
+        coverage(min_dist(r8), "hash8")
     )

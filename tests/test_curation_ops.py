@@ -341,3 +341,18 @@ def test_dp_noisy_counts_mechanism_properties(spark):
         acc += p / tot
         want.append(int(acc * (1 << 32)))
     assert want == _DP_THRESHOLDS
+
+
+def test_coreset_coverage_dominates_hash_baseline(spark):
+    """k-center's covering-radius guarantee: at every threshold its
+    coverage must be >= the hash-picked baseline's (ties allowed at the
+    saturated ends)."""
+    rows = REGISTRY["sample_coreset_coverage_eval"].spark_fn(spark, SF_DIR).collect()
+    by = {(r.method, r.thr): r for r in rows}
+    thrs = sorted({r.thr for r in rows})
+    assert len(thrs) == 4 and len(rows) == 8
+    for t_ in thrs:
+        kc, h8 = by[("kcenter", t_)], by[("hash8", t_)]
+        assert kc.n_total == h8.n_total
+        assert kc.n_covered >= h8.n_covered
+        assert kc.covered_ppm == kc.n_covered * 1_000_000 // kc.n_total

@@ -109,6 +109,7 @@ CEILINGS: dict[str, float] = {
     "streaming_cms_heavy_hitters": 2.5,
     "privacy_dp_noisy_counts": 2.0,
     "streaming_drift_tvd": 2.5,
+    "sample_coreset_coverage_eval": 2.0,
 }
 
 
