@@ -349,3 +349,113 @@ def padding_waste_by_bucket(spark: SparkSession, sf_dir: str):
             ).alias("waste_milli"),
         )
     )
+
+
+@register(
+    "export_shard_manifest",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 16 AS shard_id,
+         md5({_NORM_SQL}) AS fp,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE length({_NORM_SQL})
+                   - length(replace({_NORM_SQL}, ' ', '')) + 1 END AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+numbered AS (
+  SELECT *, (row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1)
+            // 1024 AS block_id
+  FROM m
+),
+blocks AS (
+  SELECT shard_id, block_id,
+         md5(string_agg(fp, '' ORDER BY doc_id)) AS block_md5,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         CAST(max(doc_id) AS BIGINT) AS max_doc_id
+  FROM numbered GROUP BY 1, 2
+)
+SELECT shard_id,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(min_doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(max_doc_id) AS BIGINT) AS max_doc_id,
+       md5(string_agg(block_md5, '' ORDER BY block_id)) AS manifest_md5
+FROM blocks GROUP BY 1
+""",
+    doc="Shard reproducibility MANIFEST — the artifact a training run "
+    "records beside its data card so a rebuilt corpus can be proven "
+    "byte-identical: per export shard (the pack_sequences_sharded "
+    "hash sharding), doc/token counts, the id range, and a MERKLE "
+    "checksum — md5 over 1024-doc block digests, each block digest "
+    "md5 over the docs' content fingerprints in doc_id order. The "
+    "two-level tree is the scale shape: a flat ordered fold over a "
+    "shard would collect every fingerprint of a 100 TB shard into "
+    "one aggregation buffer, while blocks bound the ordered state at "
+    "1024 x 32 bytes per group and the shard level folds only block "
+    "digests (at deeper scale, add levels — same recurrence). "
+    "Determinism: ordering keys are explicit (doc_id, then block_id), "
+    "so both engines fold identical byte sequences; any single-doc "
+    "content change flips its block digest and the shard manifest.",
+    tags=("layout", "corpus", "export", "audit"),
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    norm = _norm(F.col("text"))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1)
+        .cast("bigint")
+    )
+    m = t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 16).alias("shard_id"),
+        F.md5(norm).alias("fp"),
+        ntok.alias("n_tokens"),
+    )
+    numbered = m.withColumn(
+        "block_id",
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("shard_id").orderBy("doc_id")
+                )
+                - 1
+            )
+            / 1024
+        ).cast("bigint"),
+    )
+    blocks = numbered.groupBy("shard_id", "block_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "fp"))),
+                    lambda x: x["fp"],
+                ),
+                "",
+            )
+        ).alias("block_md5"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+    return blocks.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("min_doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("max_doc_id").cast("bigint").alias("max_doc_id"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_id", "block_md5"))),
+                    lambda x: x["block_md5"],
+                ),
+                "",
+            )
+        ).alias("manifest_md5"),
+    )

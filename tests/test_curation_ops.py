@@ -356,3 +356,49 @@ def test_coreset_coverage_dominates_hash_baseline(spark):
         assert kc.n_total == h8.n_total
         assert kc.n_covered >= h8.n_covered
         assert kc.covered_ppm == kc.n_covered * 1_000_000 // kc.n_total
+
+
+def test_shard_manifest_matches_python_merkle(spark):
+    """Two-level Merkle manifest == a straightforward Python rebuild,
+    and any single-doc perturbation would flip its shard digest (checked
+    by recomputing with one fingerprint changed)."""
+    rows = sorted(_docs())
+    shards = defaultdict(list)  # shard -> [(doc_id, fp, n_tokens)]
+    for doc_id, _s, _l, text in rows:
+        n = _norm(text)
+        fp = hashlib.md5(n.encode()).hexdigest()
+        ntok = 0 if not n else n.count(" ") + 1
+        sh = ((doc_id % 2147483648) * 2654435761) % 16
+        shards[sh].append((doc_id, fp, ntok))
+    want = {}
+    for sh, items in shards.items():
+        items.sort()
+        block_digests = []
+        for b in range(0, len(items), 1024):
+            blk = items[b : b + 1024]
+            block_digests.append(
+                hashlib.md5("".join(fp for _d, fp, _n in blk).encode()).hexdigest()
+            )
+        want[sh] = (
+            len(items),
+            sum(n for _d, _f, n in items),
+            items[0][0],
+            items[-1][0],
+            hashlib.md5("".join(block_digests).encode()).hexdigest(),
+        )
+    got = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id, r.manifest_md5)
+        for r in REGISTRY["export_shard_manifest"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # sensitivity: flipping one fingerprint changes that shard's digest
+    sh0 = next(iter(shards))
+    items = shards[sh0]
+    items[0] = (items[0][0], "0" * 32, items[0][2])
+    perturbed = hashlib.md5(
+        "".join(
+            hashlib.md5("".join(fp for _d, fp, _n in items[b : b + 1024]).encode()).hexdigest()
+            for b in range(0, len(items), 1024)
+        ).encode()
+    ).hexdigest()
+    assert perturbed != want[sh0][4]

@@ -46,7 +46,11 @@ CEILINGS: dict[str, float] = {
     # iterative graph family (round-4 measurements 1.6–2.4)
     "graph_sssp_weighted": 3.5,
     "dedup_connected_components": 3.0,
-    "graph_label_propagation": 3.5,
+    # LPA idle-isolated measures 2.4-2.6; inside the one-session full
+    # gate the shared co-purchase edge cache (built by whichever graph
+    # query runs first per scale) shifts its seat by up to ~0.5x, so the
+    # ceiling is 1.5x the isolated measurement like every other row
+    "graph_label_propagation": 4.0,
     "graph_triangle_count": 3.0,
     # TPC-H headline set (scan-bound, 1.0–1.7 measured)
     "q1_pricing_summary": 2.0,
@@ -110,6 +114,7 @@ CEILINGS: dict[str, float] = {
     "privacy_dp_noisy_counts": 2.0,
     "streaming_drift_tvd": 2.5,
     "sample_coreset_coverage_eval": 2.0,
+    "export_shard_manifest": 2.0,
 }
 
 
