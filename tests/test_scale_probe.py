@@ -134,13 +134,30 @@ def probe_results() -> dict:
     return json.loads(last)["probe"]
 
 
+def _isolated_ratio(name: str) -> dict:
+    """Fresh-subprocess re-probe of one query. The batch fixture runs
+    all ~50 probes in ONE Spark session; individual seats inherit that
+    session's GC/cache state and a different query breaches on each
+    sitting (rounds 5 and 6 both observed this). A breach is only REAL
+    if it reproduces isolated — this automates the 're-measure idle'
+    protocol the module docstring prescribes."""
+    proc = subprocess.run(
+        [sys.executable, "tools/scale_probe.py", name],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)["probe"][name]
+
+
 @pytest.mark.parametrize("name", sorted(CEILINGS))
 def test_ratio_under_ceiling(probe_results: dict, name: str) -> None:
     row = probe_results[name]
+    if row["ratio"] > CEILINGS[name]:
+        row = _isolated_ratio(name)
     assert row["ratio"] <= CEILINGS[name], (
         f"{name}: 10x-data ratio {row['ratio']} exceeds ceiling "
-        f"{CEILINGS[name]} (sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — "
-        "super-linear structure (fixed blocking parameter? unbounded "
-        "candidate join?), or a contended host; re-run idle before "
-        "believing it."
+        f"{CEILINGS[name]} even in an ISOLATED re-probe "
+        f"(sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — super-linear "
+        "structure: fixed blocking parameter? unbounded candidate join?"
     )
