@@ -802,9 +802,19 @@ def suffix_apply_dedup(
     duplicated k-window occurrence that is not the canonical first one
     (lexicographic min (id, pos) per window hash), reassemble each doc.
     Returns (id, n_tokens, n_kept, n_removed, kept_hash); docs reduced
-    to zero tokens vanish. See dedup_suffix_apply for the scale notes."""
+    to zero tokens vanish. See dedup_suffix_apply for the scale notes.
+
+    Empty-normalized docs are mapped to an EMPTY token array here (not
+    the [''] that split('') yields), so the public operator never
+    reports a phantom n_tokens=1 / kept_hash=md5('') — such docs simply
+    vanish, matching the zero-tokens-vanish contract, without relying
+    on any plan-level length>0 pre-filter."""
+    nrm = normalized_text(F.col(text_col))
     docs = df.select(
-        F.col(id_col), F.split(normalized_text(F.col(text_col)), " ").alias("ws")
+        F.col(id_col),
+        F.when(F.length(nrm) > 0, F.split(nrm, " "))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ws"),
     ).persist()
     wh = suffix_window_hashes(
         docs.select(id_col, F.array_join("ws", " ").alias("__t")), "__t", id_col, k

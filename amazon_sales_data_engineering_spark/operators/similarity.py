@@ -741,7 +741,13 @@ def kcenter_trace(
     deterministic: seed = lowest id, distance ties break on id. Each
     round broadcasts ONE vector, updates per-point min-distances in a
     shuffle-free narrow map (localCheckpoint lineage cut), and takes
-    the argmax via TakeOrderedAndProject."""
+    the argmax via TakeOrderedAndProject. Only the LATEST round's
+    corpus-sized state checkpoint is retained — the prior round's is
+    unpersisted as soon as its successor materializes, so executor
+    storage holds O(1) copies of the state, not O(k). NOTE for bench
+    accounting: the eager checkpoints mean the k rounds execute at
+    DataFrame-CONSTRUCTION time; the returned trace plan is a cheap
+    union of 1-row checkpoints."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -787,6 +793,7 @@ def kcenter_trace(
             )
         )
         if r < k:
+            prev = state
             state = (
                 state.crossJoin(F.broadcast(nc.select(F.col("e").alias("ce"))))
                 .select(
@@ -796,6 +803,9 @@ def kcenter_trace(
                 )
                 .localCheckpoint(eager=True)
             )
+            # eager=True above means the new state's blocks exist before
+            # we drop the old round's — safe to release immediately.
+            prev.unpersist()
     out = rows[0]
     for rdf in rows[1:]:
         out = out.unionByName(rdf)

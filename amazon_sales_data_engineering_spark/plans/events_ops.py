@@ -1648,10 +1648,16 @@ def tvd_report(c):
     ``(event_type, n_a, n_b)`` — the shared tail of events_drift_tvd
     (batch) and streaming_drift_tvd (stream-folded counts): shares in
     ppm, per-type contribution, and the global tvd_ppm, in exact
-    cross-multiplied integer arithmetic (DECIMAL(38,0) intermediates)."""
+    cross-multiplied integer arithmetic (DECIMAL(38,0) intermediates).
+
+    Window totals are guarded with greatest(total, 1) — the KMV
+    estimator's idiom — so a degenerate input where every event lands
+    in one window yields defined 0 shares/tvd instead of Spark's
+    non-ANSI NULL-on-div-by-zero diverging from DuckDB's // error
+    (every numerator is 0 whenever its total is)."""
     tot = c.agg(
-        F.sum("n_a").cast("bigint").alias("ta"),
-        F.sum("n_b").cast("bigint").alias("tb"),
+        F.greatest(F.sum("n_a"), F.lit(1)).cast("bigint").alias("ta"),
+        F.greatest(F.sum("n_b"), F.lit(1)).cast("bigint").alias("tb"),
     )
     term = c.crossJoin(F.broadcast(tot)).select(
         "event_type", "n_a", "n_b",
@@ -1694,7 +1700,8 @@ c AS (
          CAST(SUM(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
   FROM base GROUP BY 1
 ),
-tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+tot AS (SELECT CAST(greatest(SUM(n_a), 1) AS BIGINT) AS ta,
+               CAST(greatest(SUM(n_b), 1) AS BIGINT) AS tb
         FROM c),
 term AS (
   SELECT event_type, n_a, n_b,

@@ -554,7 +554,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str):
 #: so the 6-round training loop runs once per session and both queries
 #: reuse it (the t_copurchase_edges amortization pattern — round-5
 #: verdict #2 applied to the tokenizer family). Safe to cache: every
-#: round's state and merge row is eagerly localCheckpointed.
+#: round's state and merge row is eagerly localCheckpointed. Entries
+#: for DEAD sessions are evicted on each lookup (any cached key whose
+#: applicationId differs from the caller's) so a long-lived process
+#: that cycles Spark sessions doesn't retain checkpointed DataFrames
+#: for sessions that no longer exist.
 _BPE_CACHE: dict = {}
 
 
@@ -567,7 +571,10 @@ def _bpe_train(
     — each word's symbol sequence after all merges, i.e. the trained
     tokenizer's encoding of the vocabulary (``word`` column projected
     away unless ``keep_word``; merges are independent of it)."""
-    key = (spark.sparkContext.applicationId, sf_dir, rounds)
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[stale]
+    key = (app_id, sf_dir, rounds)
     hit = _BPE_CACHE.get(key)
     if hit is None:
         hit = _bpe_train_impl(spark, sf_dir, rounds)

@@ -402,3 +402,30 @@ def test_shard_manifest_matches_python_merkle(spark):
         ).encode()
     ).hexdigest()
     assert perturbed != want[sh0][4]
+
+
+def test_suffix_apply_empty_doc_vanishes(spark):
+    """ADVICE r6: a doc whose normalized text is empty must vanish from
+    suffix_apply_dedup's output (not report a phantom n_tokens=1 with
+    kept_hash=md5('')) — the public operator is safe without any
+    plan-level length>0 pre-filter."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        suffix_apply_dedup,
+        suffix_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "   \t  \n "),  # normalizes to empty
+            ("d2", ""),
+            ("d3", "a b c d e f g h a b c d e f g h x"),
+        ],
+        "id string, text string",
+    )
+    out = suffix_apply_dedup(df, "text", "id", k=8).collect()
+    ids = {r.id for r in out}
+    assert "d1" not in ids and "d2" not in ids
+    d3 = next(r for r in out if r.id == "d3")
+    assert d3.n_tokens == 17 and d3.n_removed > 0
+    spans = suffix_dup_spans(df, "text", "id", k=8).collect()
+    assert {r.id for r in spans} == {"d3"}
