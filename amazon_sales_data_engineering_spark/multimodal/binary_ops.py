@@ -17,8 +17,10 @@ LLM-data-pipeline extension. The design for 100 TB:
 batch interface a full decoder (PIL/ffmpeg) would use — only pixel/sample
 decoding, which needs those libraries, is out of scope here. Corrupt
 payloads degrade to format='unknown' instead of failing the batch.
-``extract_binary_meta`` keeps the byte-level stub for format-agnostic
-plumbing tests.
+``extract_binary_meta`` is the cheap first-pass sibling: real byte-level
+stats plus a magic-byte format sniff (the same PNG/RIFF signature checks
+as the full decoder, minus the header parse) — the triage stage a crawl
+pipeline runs on every payload before routing to per-format decoders.
 """
 
 from __future__ import annotations
@@ -30,36 +32,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-META_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int"
+META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, first_byte int, sniffed_format string"
+)
 
 
 def extract_binary_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Arrow-batched metadata extraction over a binary column via
-    mapInPandas. Narrow (no shuffle); output schema is fixed/typed.
+    """Arrow-batched first-pass triage over a binary column via
+    mapInPandas: byte-level stats (length, first byte) plus a magic-byte
+    format sniff — 'png' for the 8-byte PNG signature, 'wav' for a
+    RIFF/WAVE header, else 'other' ('empty' for zero-length payloads).
+    This is the cheap stage a 100 TB crawl runs on EVERY payload to
+    route rows to the per-format decoders (``decode_media_meta`` does
+    the full CRC-verified header parse downstream); it inspects at most
+    the first 12 bytes. Narrow (no shuffle); output schema fixed/typed.
 
-    The decoder is nested inside the closure so cloudpickle serializes it
-    by VALUE — executors never need this package on their PYTHONPATH
+    The sniffer is nested inside the closure so cloudpickle serializes
+    it by VALUE — executors never need this package on their PYTHONPATH
     (the external driver may launch Spark from any cwd).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_decode(payload: bytes) -> dict:
-            # STUB decoder. A real implementation would parse the container
-            # header (PNG/JPEG/WAV...) and return width/height/duration; the
-            # fake returns deterministic byte-level facts so tests and
-            # oracles can verify the plumbing end to end.
-            return {
-                "n_bytes": len(payload),
-                "first_byte": payload[0] if payload else -1,
-            }
+        def sniff(payload: bytes) -> str:
+            # Same signatures decode_media_meta's parsers check first.
+            if not payload:
+                return "empty"
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return "png"
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                return "wav"
+            return "other"
 
         for pdf in batches:
-            metas = pdf[payload_col].map(lambda b: fake_decode(bytes(b)))
+            data = [bytes(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": metas.map(lambda m: m["n_bytes"]).astype("int64"),
-                    "first_byte": metas.map(lambda m: m["first_byte"]).astype("int32"),
+                    "n_bytes": pd.Series(
+                        [len(b) for b in data], dtype="int64"
+                    ),
+                    "first_byte": pd.Series(
+                        [b[0] if b else -1 for b in data], dtype="int32"
+                    ),
+                    "sniffed_format": [sniff(b) for b in data],
                 }
             )
 

@@ -26,11 +26,15 @@ from .util import t_cpu
     oracle="""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+            ELSE 'other' END AS sniffed_format
 FROM documents
 """,
     doc="Binary-column plumbing: utf-8 payload → Arrow-batched mapInPandas "
-    "metadata extraction (stub decoder, real batch shape/schema/flow).",
+    "byte stats + magic-byte format sniff (text payloads sniff 'other'; "
+    "the positive png/wav sniff path is pinned by "
+    "tests/test_multimodal_decode.py on synthesized spec-valid media).",
     tags=("multimodal",),
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str):

@@ -51,3 +51,29 @@ def test_decode_media_meta_parses_and_degrades(spark):
     for bad in (4, 5, 6):
         assert got[bad]["format"] == "unknown" and got[bad]["valid"] is False
     assert all(got[i]["valid"] is True for i in (1, 2, 3))
+
+
+def test_extract_binary_meta_sniffs_real_signatures(spark):
+    """extract_binary_meta's magic-byte sniff (the triage stage before
+    per-format decoders) on spec-valid PNG/WAV bytes, garbage, and the
+    empty payload — the positive path the text-payload oracle query
+    can't reach."""
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        extract_binary_meta,
+    )
+
+    rows = [
+        (1, _png(32, 16)),
+        (2, _wav(2, 8000, 100)),
+        (3, b"not a container"),
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r.doc_id: (r.n_bytes, r.first_byte, r.sniffed_format)
+        for r in extract_binary_meta(df, "doc_id", "payload").collect()
+    }
+    assert got[1] == (len(rows[0][1]), 0x89, "png")
+    assert got[2] == (len(rows[1][1]), ord("R"), "wav")
+    assert got[3] == (15, ord("n"), "other")
+    assert got[4] == (0, -1, "empty")
