@@ -429,6 +429,70 @@ def simhash_hamming_pairs(
     )
 
 
+def hamming_band_pairs64(
+    sig: DataFrame,
+    id_col: str,
+    w0_col: str,
+    w1_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """simhash_hamming_pairs' pigeonhole band blocking applied to a
+    64-BIT signature stored as two 32-bit words (the dHash layout of
+    multimodal image dedup): 4 × 16-bit bands — two per word — give
+    65536 buckets per band, and Hamming distance <= 3 cannot touch all
+    4 bands, so the (band, value) equi-join has exact recall. Verified
+    exactly with bit_count(xor) summed over both words. Same shuffle
+    shape as the 60-bit variant: one explode-join + one distinct —
+    never all-pairs, which is what lets an image-crawl near-dedup run
+    at 100 TB. Returns (id_a, id_b, hamming), id_a < id_b."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4 bands over 64 bits guarantee "
+            "recall only for Hamming distance <= 3; use more/narrower "
+            "bands for larger radii"
+        )
+    w0, w1 = F.col(w0_col), F.col(w1_col)
+    bands = sig.select(
+        F.col(id_col),
+        w0.alias("__w0"),
+        w1.alias("__w1"),
+        F.posexplode(
+            F.array(
+                w0 % 65536,
+                F.shiftright(w0, 16) % 65536,
+                w1 % 65536,
+                F.shiftright(w1, 16) % 65536,
+            )
+        ).alias("b", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__w0").alias("w0_a"),
+        F.col("__w1").alias("w1_a"),
+        "b",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__w0").alias("w0_b"),
+        F.col("__w1").alias("w1_b"),
+        "b",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["b", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "w0_a", "w1_a", "w0_b", "w1_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("w0_a").bitwiseXOR(F.col("w0_b"))
+    ) + F.bit_count(F.col("w1_a").bitwiseXOR(F.col("w1_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
+
+
 def prefix_filter_candidates(
     shingle_df: DataFrame, id_col: str, threshold_pct: int
 ) -> DataFrame:

@@ -290,6 +290,32 @@ FROM hs GROUP BY 1, 2
     tags=("multimodal", "dedup", "decode"),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str):
+    docs, hashed = _dhash_image_keys(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(hashed), "img_key")
+        .groupBy("h0", "h1")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def _dhash_word(lo: int, hi: int) -> F.Column:
+    """Pack dHash bits [lo, hi] of the 8x9 grayscale grid ``px`` into one
+    32-bit word JVM-side: bit b = 1 iff pixel(r, c) > pixel(r, c+1)."""
+    return F.expr(
+        f"""aggregate(sequence({lo}, {hi}), cast(0 as bigint), (acc, b) ->
+  acc + IF(element_at(px, cast((b div 8) * 9 + (b % 8) + 1 as int)) >
+           element_at(px, cast((b div 8) * 9 + (b % 8) + 2 as int)),
+           shiftleft(cast(1 as bigint), b - {lo}), cast(0 as bigint)))"""
+    )
+
+
+def _dhash_image_keys(spark: SparkSession, sf_dir: str):
+    """Shared front end of the image-dedup pair: (docs with their image
+    key, distinct-image dHash words). Synthesis + decode + hashing run
+    per distinct IMAGE KEY — the dedup target set — never per doc."""
     from ..multimodal.binary_ops import decode_image_gray8
 
     docs = t_cpu(spark, sf_dir, "documents").select(
@@ -300,23 +326,80 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str):
     grids = decode_image_gray8(payloads, "doc_id", "payload").select(
         F.col("doc_id").alias("img_key"), "px"
     )
-
-    def word(lo: int, hi: int) -> F.Column:
-        return F.expr(
-            f"""aggregate(sequence({lo}, {hi}), cast(0 as bigint), (acc, b) ->
-  acc + IF(element_at(px, cast((b div 8) * 9 + (b % 8) + 1 as int)) >
-           element_at(px, cast((b div 8) * 9 + (b % 8) + 2 as int)),
-           shiftleft(cast(1 as bigint), b - {lo}), cast(0 as bigint)))"""
-        )
-
     hashed = grids.select(
-        "img_key", word(0, 31).alias("h0"), word(32, 63).alias("h1")
+        "img_key", _dhash_word(0, 31).alias("h0"), _dhash_word(32, 63).alias("h1")
     )
+    return docs, hashed
+
+
+@register(
+    "multimodal_phash_near_dedup",
+    oracle=f"""
+WITH ks AS (SELECT DISTINCT 2 * (doc_id % 50) AS key FROM documents),
+wh AS (
+  SELECT key, key % 640 + 16 AS w, (key * 7) % 480 + 16 AS h FROM ks
+),
+hs AS (
+  SELECT key,
+         CAST({_DHASH_H0} AS BIGINT) AS h0,
+         CAST({_DHASH_H1} AS BIGINT) AS h1
+  FROM wh
+),
+cnt AS (
+  SELECT 2 * (doc_id % 50) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+cand AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         CAST(bit_count(xor(a.h0, b.h0))
+              + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+  FROM hs a JOIN hs b ON a.key < b.key
+)
+SELECT key_a, key_b, hamming, ca.n AS n_docs_a, cb.n AS n_docs_b
+FROM cand
+JOIN cnt ca ON ca.key = key_a
+JOIN cnt cb ON cb.key = key_b
+WHERE hamming <= 3
+""",
+    doc="NEAR-duplicate image matching at Hamming distance <= 3 over the "
+    "64-bit dHash — the round-6 verdict's gap: exact-equality grouping "
+    "(multimodal_phash_dedup) misses re-encoded/resized duplicates, "
+    "the common case in image crawls. Same decode front end (spec-valid "
+    "PNG synthesis per distinct image key, real header parse, 8x9 "
+    "thumbnail, dHash packed into two 32-bit words), then "
+    "operators.dedup.hamming_band_pairs64: 4 x 16-bit pigeonhole bands "
+    "(two per word, 65536 buckets each) — distance 3 cannot touch all "
+    "4 bands, so the (band, value) equi-join has exact recall; "
+    "bit_count(xor) summed over both words verifies exactly. Never "
+    "all-pairs: the candidate join is band-bucketed, so the plan "
+    "survives an image crawl at 100 TB where the key universe is "
+    "billions. Per-key doc counts (broadcast, the keys are the small "
+    "side by construction) quantify each near-pair's blast radius. "
+    "Oracle: pixels are a pure function of the PNG header, itself a "
+    "pure function of the key, so DuckDB predicts both hash words "
+    "byte-arithmetically and takes the all-pairs road — a genuinely "
+    "different plan that also proves the band join loses no pair.",
+    tags=("multimodal", "dedup", "lsh", "decode"),
+)
+def multimodal_phash_near_dedup(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import hamming_band_pairs64
+
+    docs, hashed = _dhash_image_keys(spark, sf_dir)
+    pairs = hamming_band_pairs64(
+        hashed, id_col="img_key", w0_col="h0", w1_col="h1", max_hamming=3
+    )
+    cnt = docs.groupBy("img_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ca = F.broadcast(cnt.select(F.col("img_key").alias("key_a"), F.col("n").alias("n_docs_a")))
+    cb = F.broadcast(cnt.select(F.col("img_key").alias("key_b"), F.col("n").alias("n_docs_b")))
     return (
-        docs.join(F.broadcast(hashed), "img_key")
-        .groupBy("h0", "h1")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        pairs.select(
+            F.col("id_a").alias("key_a"),
+            F.col("id_b").alias("key_b"),
+            "hamming",
         )
+        .join(ca, "key_a")
+        .join(cb, "key_b")
+        .select("key_a", "key_b", "hamming", "n_docs_a", "n_docs_b")
     )

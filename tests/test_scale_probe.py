@@ -115,6 +115,8 @@ CEILINGS: dict[str, float] = {
     "streaming_drift_tvd": 2.5,
     "sample_coreset_coverage_eval": 2.0,
     "export_shard_manifest": 2.0,
+    # round-7 ops
+    "multimodal_phash_near_dedup": 2.0,  # 0.78 measured idle
 }
 
 
