@@ -818,6 +818,71 @@ def pysource_partitioned_read(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "csv_splittable_roundtrip",
+    oracle="""
+SELECT doc_id,
+       COALESCE(CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10))
+                     ELSE text END, '') AS payload
+FROM documents
+""",
+    doc="Splittable ingest for multiLine CSV (SURVEY §7.3.4's documented "
+    "scale-killer: multiLine=True reads each file as ONE split, so a "
+    "single multi-TB CSV serializes onto one core). The mitigation — "
+    "sources/splittable_csv.read_csv_splittable — is the classic "
+    "two-pass distributed record splitter: pass 1 counts quote chars "
+    "per fixed byte chunk in parallel (O(#chunks) integers to the "
+    "driver, prefix-XOR gives the quote PARITY at every chunk start), "
+    "pass 2 extracts records from byte ranges in Arrow-batched "
+    "mapInPandas (a record terminator is a newline at even parity; "
+    "each task owns records STARTING in its range, Hadoop input-split "
+    "convention), and field parsing stays JVM-side via from_csv. This "
+    "query is the parity gate: every document's text — with newlines "
+    "INJECTED into every third doc so quoted fields span chunk "
+    "boundaries — is written as quoted CSV, read back through the "
+    "splittable path at 64 KiB splits (hundreds of chunks, far more "
+    "than files), and must reproduce the documents table byte-for-"
+    "byte. tests/test_splittable_csv.py additionally proves equality "
+    "with Spark's own multiLine reader on the real IN fixtures "
+    "(embedded-newline addresses).",
+    tags=("source", "csv", "ingest", "scale"),
+)
+def csv_splittable_roundtrip(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.splittable_csv import read_csv_splittable
+    from pyspark.sql import types as T
+
+    payload = F.coalesce(
+        F.when(
+            F.col("doc_id") % 3 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+        ).otherwise(F.col("text")),
+        F.lit(""),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"asde_csv_split_{tag}")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", payload.alias("payload"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .options(header=True, quoteAll=True, quote='"', escape='"')
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    df = read_csv_splittable(
+        spark, f"{out}/*.csv", schema, split_bytes=64 << 10, header=True
+    )
+    return df.select("doc_id", F.coalesce("payload", F.lit("")).alias("payload"))
+
+
+@register(
     "sql_recursive_hierarchy",
     oracle="""
 WITH RECURSIVE walk(node, amount) AS (

@@ -8,8 +8,12 @@ reader-option presets (SURVEY.md §2.1 S1-S7):
 
 - CSV (IN): header, quoted fields with EMBEDDED NEWLINES in addresses →
   ``multiLine=True`` is mandatory (FIXTURES.md §1.1). Note multiLine makes
-  CSV non-splittable — fine for modest files; at 100 TB ingest-once to
-  parquet (SURVEY.md §7.3.4).
+  CSV non-splittable per FILE — fine for modest date-partitioned files;
+  at 100 TB use ``sources.splittable_csv.read_csv_splittable``, the
+  two-pass quote-parity record splitter (byte-range tasks, JVM-side
+  from_csv parse) proven record-identical to this reader on the real IN
+  fixtures (tests/test_splittable_csv.py) and oracle-gated
+  (csv_splittable_roundtrip).
 - Parquet (US): named columns, snappy.
 - JSON (FR): one top-level array per file (``multiLine=True`` ≡ Snowflake
   strip_outer_array); "Price per Unit" arrives as a string (FIXTURES §1.3).

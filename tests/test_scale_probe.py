@@ -117,6 +117,7 @@ CEILINGS: dict[str, float] = {
     "export_shard_manifest": 2.0,
     # round-7 ops
     "multimodal_phash_near_dedup": 2.0,  # 0.78 measured idle
+    "csv_splittable_roundtrip": 4.0,  # 2.69 measured idle (job-count fixed costs)
 }
 
 

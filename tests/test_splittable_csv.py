@@ -1,0 +1,98 @@
+"""Splittable multiLine-CSV ingest (sources/splittable_csv): the
+two-pass quote-parity record splitter must reproduce Spark's own
+multiLine reader EXACTLY — on the real IN fixtures (embedded-newline
+addresses, the reason multiLine is mandatory) and on an adversarial
+synthetic file swept across split sizes so record/quote boundaries land
+on every chunk edge."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import types as T
+
+from amazon_sales_data_engineering_spark.sources.readers import _csv_schema
+from amazon_sales_data_engineering_spark.sources.splittable_csv import (
+    read_csv_splittable,
+)
+
+IN_GLOB = (
+    "/root/reference/amazon-sales-data/sales/source=IN/format=csv/"
+    "date=*/*.csv"
+)
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.skipif(
+    not glob.glob(IN_GLOB), reason="reference IN fixtures not present"
+)
+@pytest.mark.parametrize("split_bytes", [64, 4096])
+def test_matches_multiline_reader_on_real_in_fixtures(spark, split_bytes):
+    schema = _csv_schema()
+    cols = [f.name for f in schema.fields]
+    native = (
+        spark.read.schema(schema)
+        .options(
+            header=True, multiLine=True, quote='"', escape='"',
+            mode="PERMISSIVE",
+        )
+        .csv(IN_GLOB)
+    )
+    split = read_csv_splittable(
+        spark, IN_GLOB, schema, split_bytes=split_bytes, header=True
+    )
+    assert _rows(split, cols) == _rows(native, cols)
+    # 64-byte splits genuinely exercise multi-chunk files
+    total = sum(os.path.getsize(p) for p in glob.glob(IN_GLOB))
+    assert total > split_bytes  # the parity logic actually ran
+
+
+def test_adversarial_quotes_across_every_split_size(spark, tmp_path):
+    """Doubled-quote escapes, embedded newlines and CRLF, empty fields,
+    a record with no trailing newline — swept over split sizes 1..40 so
+    every byte position serves as a chunk boundary at least once."""
+    body = (
+        'a,b\r\n'
+        '"1","x\ny"\r\n'
+        '"2","he said ""hi""\nand left"\r\n'
+        '3,\r\n'
+        '"4","plain"\r\n'
+        '5,"tail,comma"'  # no trailing newline
+    )
+    p = tmp_path / "nasty.csv"
+    p.write_text(body)
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    native = (
+        spark.read.schema(schema)
+        .options(
+            header=True, multiLine=True, quote='"', escape='"',
+            mode="PERMISSIVE",
+        )
+        .csv(str(p))
+    )
+    want = _rows(native, ["a", "b"])
+    assert len(want) == 5
+    for sb in range(1, 41):
+        got = _rows(
+            read_csv_splittable(
+                spark, str(p), schema, split_bytes=sb, header=True
+            ),
+            ["a", "b"],
+        )
+        assert got == want, f"split_bytes={sb}: {got} != {want}"
+
+
+def test_rejects_backslash_escaping(spark):
+    schema = T.StructType([T.StructField("a", T.StringType())])
+    with pytest.raises(ValueError, match="doubled-quote"):
+        read_csv_splittable(spark, "/dev/null", schema, escape="\\")
