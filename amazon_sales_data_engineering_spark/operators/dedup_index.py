@@ -1,0 +1,193 @@
+"""Persisted, incrementally-maintained MinHash dedup index.
+
+``plans.dedup_ops.dedup_incremental_minhash`` proves the delta-restricted
+band join (old×old pairs are never generated), but rebuilds the corpus
+side's signatures inside every run — fine for a one-shot query, wrong
+for the daily-ingest shape at 100 TB, where the corpus summary must be
+computed ONCE per document ever (round-6 verdict #1). This module is
+that maintained index:
+
+- **State**: two append-only parquet table directories under one root —
+  ``summaries/batch_NNNNN`` holding one row per document
+  ``(doc_id, h0..h{n-1}, sh_set, n)`` (the fused per-doc summary of
+  minhash_dedup_pairs, persisted), and ``bands/batch_NNNNN`` holding the
+  exploded LSH band rows ``(doc_id, band, band_key)``.
+- **Maintenance = append**: each batch writes ONLY its own summary/band
+  files — cost scales with |Δ|, never |corpus| (gated by the fixed-delta
+  probe in tests/test_scale_probe.py). This is the log-structured MERGE
+  strategy: on parquet-paths appends are new files; on Delta/Iceberg the
+  same writes go through MERGE/appendOnly commits with identical cost.
+  CONTRACT: doc_ids are unique across batches (the COPY ledger —
+  sources/ledger.py — already guarantees each input file loads exactly
+  once upstream; re-ingesting a changed document means assigning it a
+  new id or compacting the index, exactly as in production systems).
+- **Query**: a batch's near-dup pairs come from the delta's band rows
+  joined against the INDEX's band rows (new×old, all orientations) plus
+  the delta's self-join (new×new, id_a < id_b) — candidate volume scales
+  with |Δ|·collision-rate. Exact-Jaccard verification reads shingle sets
+  from the stored summaries via in-row ``array_intersect``; the corpus
+  text is never re-shingled.
+
+Equivalence invariant (gated by dedup_index_maintained_equiv): every
+full-corpus LSH pair is discovered exactly once — in the batch where its
+LATER member arrives (the earlier member's band rows are already
+indexed) or its own batch when both arrive together — so the union of
+per-batch outputs over any batch partitioning of the corpus equals the
+from-scratch minhash_lsh_pairs answer on the full corpus.
+
+Scale notes: band files would be written bucketed by band_key on a real
+deployment (operators.skew.write_bucketed — co-locates the band join);
+at gate scale the join shuffles the delta plus the touched index rows.
+The per-batch output is eagerly localCheckpointed BEFORE the append so
+the returned plan never re-reads index directories that now include the
+delta itself.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_md5
+from .dedup import shingles
+
+
+class MinHashDedupIndex:
+    """Maintained LSH index rooted at a directory. Parameters mirror
+    minhash_dedup_pairs (6 hashes × 3 bands, 3-word shingles, Jaccard
+    0.5) so the maintained answer is comparable to the one-shot ops."""
+
+    def __init__(
+        self,
+        root: str,
+        num_hashes: int = 6,
+        bands: int = 3,
+        k: int = 3,
+        threshold: float = 0.5,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("num_hashes must divide evenly into bands")
+        self.root = root
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.threshold = threshold
+
+    # -- state layout ---------------------------------------------------
+    def _dirs(self, kind: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.root, kind, "batch_*")))
+
+    def n_batches(self) -> int:
+        return len(self._dirs("summaries"))
+
+    def n_indexed(self, spark: SparkSession) -> int:
+        dirs = self._dirs("summaries")
+        return spark.read.parquet(*dirs).count() if dirs else 0
+
+    # -- per-batch computation ------------------------------------------
+    def _summaries(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        sh = shingles(docs, text_col, id_col, k=self.k)
+        aggs = [
+            F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}")
+            for s in range(self.num_hashes)
+        ]
+        return (
+            sh.groupBy(F.col(id_col).alias("doc_id"))
+            .agg(*aggs, F.collect_set("shingle").alias("sh_set"))
+            .withColumn("n", F.size("sh_set"))
+        )
+
+    def _band_rows(self, summaries: DataFrame) -> DataFrame:
+        rpb = self.num_hashes // self.bands
+        parts = []
+        for b in range(self.bands):
+            cols = [F.col(f"h{b * rpb + r}") for r in range(rpb)]
+            parts.append(
+                summaries.select(
+                    "doc_id",
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
+
+    # -- the maintained-ingest step -------------------------------------
+    def apply_batch(
+        self, spark: SparkSession, docs: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        """Ingest one batch: return its near-dup pairs (id_a, id_b,
+        jaccard; id_a < id_b — new×old and new×new, never old×old),
+        then append the batch's summary/band rows to the index. The
+        returned DataFrame is already materialized (localCheckpoint)."""
+        delta = self._summaries(docs, text_col, id_col).persist()
+        delta_bands = self._band_rows(delta)
+
+        new_b = delta_bands.select(
+            F.col("doc_id").alias("id_new"), "band", "band_key"
+        )
+        idx_dirs = self._dirs("bands")
+        cands = []
+        if idx_dirs:
+            old_b = spark.read.parquet(*idx_dirs).select(
+                F.col("doc_id").alias("id_other"), "band", "band_key"
+            )
+            cands.append(new_b.join(old_b, ["band", "band_key"]).select(
+                "id_new", "id_other"
+            ))
+        cands.append(
+            new_b.join(
+                delta_bands.select(
+                    F.col("doc_id").alias("id_other"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .filter(F.col("id_new") < F.col("id_other"))
+            .select("id_new", "id_other")
+        )
+        cand = reduce(DataFrame.unionByName, cands).distinct()
+
+        sum_dirs = self._dirs("summaries")
+        all_sum = (
+            spark.read.parquet(*sum_dirs).unionByName(delta)
+            if sum_dirs
+            else delta
+        )
+        a = delta.select(
+            F.col("doc_id").alias("id_new"),
+            F.col("sh_set").alias("set_a"),
+            F.col("n").alias("na"),
+        )
+        b = all_sum.select(
+            F.col("doc_id").alias("id_other"),
+            F.col("sh_set").alias("set_b"),
+            F.col("n").alias("nb"),
+        )
+        i = F.size(F.array_intersect("set_a", "set_b"))
+        jac = i.cast("double") / (F.col("na") + F.col("nb") - i).cast("double")
+        pairs = (
+            cand.join(a, "id_new")
+            .join(b, "id_other")
+            .select(
+                F.least("id_new", "id_other").alias("id_a"),
+                F.greatest("id_new", "id_other").alias("id_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            # materialize BEFORE the append below — a lazy plan would
+            # re-read the band dirs after they contain the delta itself
+            .localCheckpoint(eager=True)
+        )
+
+        seq = self.n_batches()
+        delta.write.mode("errorifexists").parquet(
+            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
+        )
+        self._band_rows(delta).write.mode("errorifexists").parquet(
+            os.path.join(self.root, "bands", f"batch_{seq:05d}")
+        )
+        delta.unpersist()
+        return pairs

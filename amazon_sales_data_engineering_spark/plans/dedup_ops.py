@@ -664,6 +664,81 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "dedup_index_maintained_equiv",
+    oracle=f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(h4 || '|' || h5) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.id_a, c.id_b,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM cand c
+JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+""",
+    doc="PERSISTED incremental dedup index (round-6 verdict #1): the "
+    "corpus arrives as three batches (doc_id % 3) applied in sequence "
+    "through operators.dedup_index.MinHashDedupIndex — per-doc MinHash "
+    "summaries and LSH band rows are computed ONCE per document, "
+    "appended to parquet table dirs, and each batch's pairs come from "
+    "the delta's band rows joined against the MAINTAINED index (new x "
+    "old + deduped new x new; old x old never generated; the corpus "
+    "text is never re-shingled). The oracle is the FROM-SCRATCH "
+    "full-corpus LSH pair set (dedup_minhash_lsh's formulation "
+    "verbatim): equality proves the maintained index discovers every "
+    "pair exactly once — in the batch where its later member arrives. "
+    "Maintenance cost is append-only (delta-scaled, never a corpus "
+    "rewrite); the fixed-delta 10x-corpus probe in "
+    "tests/test_scale_probe.py gates the cost claim.",
+    tags=("dedup", "lsh", "incremental", "index", "sink"),
+)
+def dedup_index_maintained_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from ..operators.dedup_index import MinHashDedupIndex
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_dedup_idx_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    idx = MinHashDedupIndex(root)
+    docs = t_cpu(spark, sf_dir, "documents")
+    outs = [
+        idx.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == b), "text", "doc_id"
+        )
+        for b in range(3)
+    ]
+    return _reduce(_DF.unionByName, outs)
+
+
+@register(
     "dedup_containment",
     oracle=f"""
 WITH seeded_docs AS (

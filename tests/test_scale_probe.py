@@ -164,3 +164,23 @@ def test_ratio_under_ceiling(probe_results: dict, name: str) -> None:
         f"(sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — super-linear "
         "structure: fixed blocking parameter? unbounded candidate join?"
     )
+
+
+def test_index_delta_apply_cost_scales_with_delta() -> None:
+    """Round-6 verdict #1(b): applying a FIXED 200-doc delta to the
+    maintained dedup index must cost ~the same over the 10x corpus as
+    over sf0.1 — maintenance work scales with |delta|, not |corpus|
+    (a from-scratch rebuild would show ~10x). Measured 0.83 idle."""
+    proc = subprocess.run(
+        [sys.executable, "tools/index_delta_probe.py"],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    row = json.loads(last)["probe"]["index_delta_apply"]
+    assert row["pairs_sf0.1"] > 0  # the delta genuinely finds near-dups
+    assert row["ratio"] <= 2.0, (
+        f"fixed-delta apply ratio {row['ratio']} at 10x corpus "
+        f"(sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — maintenance is "
+        "reading or recomputing corpus-scaled state"
+    )
