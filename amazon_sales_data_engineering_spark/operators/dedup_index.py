@@ -79,7 +79,18 @@ class MinHashDedupIndex:
 
     # -- state layout ---------------------------------------------------
     def _dirs(self, kind: str) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.root, kind, "batch_*")))
+        """COMMITTED batch dirs of ``kind``: a batch counts only once its
+        summaries dir (the last artifact apply_batch writes) exists, so
+        a crashed epoch's partial band files are never read — the retry
+        overwrites them."""
+        out = []
+        for d in sorted(glob.glob(os.path.join(self.root, kind, "batch_*"))):
+            mark = os.path.join(
+                self.root, "summaries", os.path.basename(d)
+            )
+            if os.path.isdir(mark):
+                out.append(d)
+        return out
 
     def n_batches(self) -> int:
         return len(self._dirs("summaries"))
@@ -117,12 +128,26 @@ class MinHashDedupIndex:
 
     # -- the maintained-ingest step -------------------------------------
     def apply_batch(
-        self, spark: SparkSession, docs: DataFrame, text_col: str, id_col: str
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        seq: int | None = None,
+        pairs_dir: str | None = None,
     ) -> DataFrame:
         """Ingest one batch: return its near-dup pairs (id_a, id_b,
         jaccard; id_a < id_b — new×old and new×new, never old×old),
         then append the batch's summary/band rows to the index. The
-        returned DataFrame is already materialized (localCheckpoint)."""
+        returned DataFrame is already materialized (localCheckpoint).
+
+        ``seq`` defaults to the next batch number; a caller with its own
+        epoch (a streaming micro-batch id) passes it explicitly. Writes
+        go pairs → bands → summaries, all mode=overwrite, so a retried
+        epoch redoes the whole step idempotently and the SUMMARIES dir
+        (written last) is the commit marker — ``completed(seq)`` and
+        ``n_batches`` count only fully-committed batches. If
+        ``pairs_dir`` is given the pairs are also persisted there."""
         delta = self._summaries(docs, text_col, id_col).persist()
         delta_bands = self._band_rows(delta)
 
@@ -135,9 +160,15 @@ class MinHashDedupIndex:
             old_b = spark.read.parquet(*idx_dirs).select(
                 F.col("doc_id").alias("id_other"), "band", "band_key"
             )
-            cands.append(new_b.join(old_b, ["band", "band_key"]).select(
-                "id_new", "id_other"
-            ))
+            cands.append(
+                new_b.join(old_b, ["band", "band_key"])
+                # defensive: the id-uniqueness contract makes equality
+                # impossible against committed batches; keep the filter
+                # so a contract breach degrades to a no-op, not a
+                # jaccard=1 self-pair
+                .filter(F.col("id_new") != F.col("id_other"))
+                .select("id_new", "id_other")
+            )
         cands.append(
             new_b.join(
                 delta_bands.select(
@@ -182,12 +213,23 @@ class MinHashDedupIndex:
             .localCheckpoint(eager=True)
         )
 
-        seq = self.n_batches()
-        delta.write.mode("errorifexists").parquet(
-            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
-        )
-        self._band_rows(delta).write.mode("errorifexists").parquet(
+        if seq is None:
+            seq = self.n_batches()
+        if pairs_dir is not None:
+            pairs.write.mode("overwrite").parquet(pairs_dir)
+        self._band_rows(delta).write.mode("overwrite").parquet(
             os.path.join(self.root, "bands", f"batch_{seq:05d}")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
         )
         delta.unpersist()
         return pairs
+
+    def completed(self, seq: int) -> bool:
+        """True when batch ``seq`` fully committed (summaries dir is the
+        last artifact written) — the restart-skip check a streaming
+        foreachBatch caller uses for exactly-once maintenance."""
+        return os.path.isdir(
+            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
+        )

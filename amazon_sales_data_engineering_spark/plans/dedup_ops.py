@@ -663,9 +663,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "dedup_index_maintained_equiv",
-    oracle=f"""
+#: From-scratch full-corpus LSH pair set — the shared oracle of the two
+#: maintained-index gates (batch dedup_index_maintained_equiv here and
+#: streaming_index_dedup in streaming_ops): equality proves a maintained
+#: index over ANY disjoint batch partitioning of the corpus discovers
+#: every pair exactly once.
+LSH_FULL_PAIRS_ORACLE = f"""
 WITH sh AS ({_SHINGLES}),
 sig AS (
   SELECT doc_id,
@@ -695,7 +698,12 @@ JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
 JOIN sz sa ON sa.doc_id = c.id_a
 JOIN sz sb ON sb.doc_id = c.id_b
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
-""",
+"""
+
+
+@register(
+    "dedup_index_maintained_equiv",
+    oracle=LSH_FULL_PAIRS_ORACLE,
     doc="PERSISTED incremental dedup index (round-6 verdict #1): the "
     "corpus arrives as three batches (doc_id % 3) applied in sequence "
     "through operators.dedup_index.MinHashDedupIndex — per-doc MinHash "

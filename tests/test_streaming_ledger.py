@@ -161,3 +161,95 @@ def test_blind_append_double_applies_without_ledger(spark, stream_dir, tmp_path)
     q = incremental_append(_source(spark, stream_dir), append, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 2 * n1
+
+
+def test_dedup_index_streaming_restart_exactly_once(spark, tmp_path):
+    """Maintained dedup-index streaming sink across a RESTART: files b0+b1
+    stream to completion, the query stops, file b2 arrives, the stream
+    restarts on the SAME checkpoint — only b2 is processed (no batch dir
+    is rewritten, no pair is double-found), and the final pair union
+    equals applying the three batches in one batch-mode sequence.
+    Completes the round-6 verdict's #7 restart requirement."""
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta doc{i % 4} tail{i % 4}")
+        for i in range(12)
+    ]
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "idx")
+    pairs_root = str(tmp_path / "pairs")
+
+    def land(i):
+        part = tmp_path / f"part{i}"
+        spark.createDataFrame(
+            [d for d in docs if d[0] % 3 == i], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(str(part))
+        for fn in sorted(os.listdir(part)):
+            if fn.endswith(".parquet"):
+                dst = replay / f"{i:02d}-{fn}"
+                os.rename(part / fn, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+
+    idx = MinHashDedupIndex(root)
+
+    def apply(batch_df, batch_id):
+        if batch_df.isEmpty() or idx.completed(batch_id):
+            return
+        idx.apply_batch(
+            batch_df.sparkSession, batch_df, "text", "doc_id",
+            seq=batch_id,
+            pairs_dir=os.path.join(pairs_root, f"batch_{batch_id:05d}"),
+        )
+
+    def run_stream():
+        src = (
+            spark.readStream.format("parquet")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(replay))
+        )
+        q = incremental_append(src, apply, ckpt)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    land(0); land(1)
+    run_stream()
+    assert idx.n_batches() == 2
+    mtimes = {
+        d: os.path.getmtime(os.path.join(root, "summaries", d))
+        for d in os.listdir(os.path.join(root, "summaries"))
+    }
+
+    land(2)
+    run_stream()  # restart on the same checkpoint
+    assert idx.n_batches() == 3
+    for d, mt in mtimes.items():  # earlier batches untouched on restart
+        assert os.path.getmtime(os.path.join(root, "summaries", d)) == mt
+
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{pairs_root}/batch_*").collect()
+    )
+    # batch-mode reference: same three deltas through a fresh index
+    ref_idx = MinHashDedupIndex(str(tmp_path / "idx_ref"))
+    ref = []
+    for i in range(3):
+        ref += [
+            (r.id_a, r.id_b)
+            for r in ref_idx.apply_batch(
+                spark,
+                spark.createDataFrame(
+                    [d for d in docs if d[0] % 3 == i],
+                    "doc_id bigint, text string",
+                ),
+                "text", "doc_id",
+            ).collect()
+        ]
+    assert got == sorted(ref) and len(got) > 0
