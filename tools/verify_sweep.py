@@ -23,6 +23,43 @@ SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
 
 
+def _corpus_fp(sf_dir: str) -> str:
+    """Fingerprint of the corpus: (relpath, size, mtime_ns) of every
+    parquet file under sf_dir."""
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, sf_dir)}|{st.st_size}|"
+                    f"{st.st_mtime_ns}\n".encode()
+                )
+    return h.hexdigest()
+
+
+def _pkg_fp() -> str:
+    """Fingerprint of every package source file — a coarse but SAFE
+    invalidation key: any engine code change invalidates all cached
+    verdicts (false misses only, never false hits)."""
+    import hashlib
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "amazon_sales_data_engineering_spark",
+    )
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -97,6 +134,44 @@ def main() -> int:
         names = [n for n in names if n not in done]
         print(f"resume: {len(done)} green in journal, {len(names)} to run", flush=True)
 
+    # SWEEP_CACHE=1 (round-6 verdict #6): skip a query whose journaled
+    # GREEN verdict carries a fingerprint matching the current (oracle
+    # SQL + query source + whole-package source + corpus) state — so a
+    # full sf1 re-sweep after a no-op commit replays in minutes instead
+    # of re-paying the multi-minute oracles (ann_pq_adc_recall 632s).
+    # The package-wide source hash makes stale hits impossible: ANY
+    # engine code change invalidates every cached verdict (false misses
+    # only). Fingerprints are journaled on every run, cache on or off.
+    import hashlib as _hl
+    import inspect as _inspect
+
+    use_cache = bool(os.environ.get("SWEEP_CACHE"))
+    base_fp = _pkg_fp() + "|" + _corpus_fp(SF_DIR)
+
+    def _fp(name: str) -> str:
+        try:
+            src = _inspect.getsource(qs[name])
+        except (OSError, TypeError):
+            src = ""
+        return _hl.md5(
+            (base_fp + "|" + (oracles.get(name) or "") + "|" + src).encode()
+        ).hexdigest()
+
+    if use_cache:
+        hits = [
+            n for n in names
+            if verdicts.get(n, {}).get("ok")
+            and verdicts[n].get("fp") == _fp(n)
+        ]
+        for n in hits:
+            verdicts[n] = {**verdicts[n], "cached": True}
+        names = [n for n in names if n not in hits]
+        print(
+            f"cache: {len(hits)} fingerprint-matched green verdicts "
+            f"replayed, {len(names)} to run",
+            flush=True,
+        )
+
     failed: list[str] = []
     for name in names:
         t0 = time.perf_counter()
@@ -130,12 +205,12 @@ def main() -> int:
             if name not in oracles:
                 n = qs[name](spark, SF_DIR).count()
                 print(f"  rows-only {name}: {n} rows", flush=True)
-                verdicts[name] = {"ok": True, "rows_only": True}
+                verdicts[name] = {"ok": True, "rows_only": True, "fp": _fp(name)}
                 continue
             compare(qs[name](spark, SF_DIR), duck, oracles[name])
             dt = round(time.perf_counter() - t0, 1)
             print(f"  ok {name} ({dt}s)", flush=True)
-            verdicts[name] = {"ok": True, "sec": dt}
+            verdicts[name] = {"ok": True, "sec": dt, "fp": _fp(name)}
         except Exception as ex:  # noqa: BLE001
             if timed_out.is_set():
                 print(f"  TIMEOUT {name} (> {q_timeout:.0f}s)", flush=True)
