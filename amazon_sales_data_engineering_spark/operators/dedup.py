@@ -69,6 +69,63 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def salted_exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, salt: int = 16
+) -> DataFrame:
+    """Skew-hardened exact dedup for the viral-duplicate corpus (one
+    boilerplate text at 10^8 copies — round-6 verdict #8). Two
+    mitigations over exact_dedup_groups' single aggregate, both needed
+    only when one fingerprint is HOT:
+
+    1. **Salted two-phase aggregate** — phase 1 groups on
+       (fingerprint, __agg_salt = xxhash64(id) % salt) so the hot key's
+       rows split across ``salt`` reducers; phase 2 merges the ≤salt
+       partials per fingerprint. Plain map-side partial aggregation
+       bounds reducer input to one row per map task per key ONLY while
+       the partial hash map holds; in a corpus mixing one hot key with
+       millions of distinct keys the partial map spills to pass-through
+       and the hot key's raw rows funnel to a single reducer — the
+       explicit salt keeps the bound unconditional.
+    2. **Salted join-back** (operators.skew.salted_join) — the cluster
+       stats are joined back onto the per-doc rows on fingerprint,
+       where the viral fingerprint would otherwise send 10^8 probe rows
+       to one join task; the skewed side salts on full row content and
+       the 1-row-per-fingerprint stats side replicates ``salt``×.
+
+    Returns per-doc rows (id, fingerprint, keep_id, n_docs, is_keeper)
+    — row-identical to the unsalted groupBy + plain join
+    (tests/test_skew_bucketing.py pins both equivalence and the
+    two-phase plan shape)."""
+    base = df.select(
+        fingerprint(text_col).alias("fingerprint"), F.col(id_col)
+    )
+    p1 = (
+        base.withColumn(
+            "__agg_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int"),
+        )
+        .groupBy("fingerprint", "__agg_salt")
+        .agg(
+            F.min(id_col).alias("__m"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    stats = p1.groupBy("fingerprint").agg(
+        F.min("__m").alias("keep_id"),
+        F.sum("__n").cast("bigint").alias("n_docs"),
+    )
+    from .skew import salted_join
+
+    joined = salted_join(base, stats, on=["fingerprint"], salt=salt)
+    return joined.select(
+        F.col(id_col),
+        "fingerprint",
+        "keep_id",
+        "n_docs",
+        (F.col(id_col) == F.col("keep_id")).alias("is_keeper"),
+    )
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Explode distinct k-word shingles of the normalized text.
     Output: (id_col, shingle). Shingling is a narrow transform (no shuffle)."""

@@ -747,6 +747,61 @@ def dedup_index_maintained_equiv(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "dedup_exact_salted_zipf",
+    oracle=f"""
+WITH z AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 < 50
+              THEN 'viral boilerplate chain letter please forward'
+              ELSE text END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM z
+),
+s AS (
+  SELECT fingerprint, MIN(doc_id) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM f GROUP BY 1
+)
+SELECT f.doc_id, f.fingerprint, s.keep_id, s.n_docs,
+       f.doc_id = s.keep_id AS is_keeper
+FROM f JOIN s USING (fingerprint)
+""",
+    doc="Skew-hardened exact dedup on a DELIBERATELY Zipf-skewed corpus "
+    "(round-6 verdict #8): half the documents are replaced by one viral "
+    "boilerplate text, so a single fingerprint holds 50% of the corpus "
+    "— the 10^8-copy chain-letter shape. operators.dedup."
+    "salted_exact_dedup splits the hot key twice: a salted TWO-PHASE "
+    "aggregate ((fingerprint, xxhash64(id)%16) partials, then a <=16-"
+    "row-per-key merge — unconditional reducer bound where map-side "
+    "partial aggregation can spill to pass-through on hot+high-"
+    "cardinality mixes), and a salted JOIN-BACK of the 1-row cluster "
+    "stats onto the per-doc rows (skew.salted_join: content-hashed "
+    "salt on the fat side, 16x replication of the stats side). Result "
+    "is row-identical to the unsalted plan — pinned by equivalence + "
+    "plan-shape guards in tests/test_skew_bucketing.py and this "
+    "oracle's plain-SQL formulation.",
+    tags=("dedup", "skew", "salting"),
+)
+def dedup_exact_salted_zipf(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import salted_exact_dedup
+
+    z = t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 100 < 50,
+            F.lit("viral boilerplate chain letter please forward"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return salted_exact_dedup(z, "text", "doc_id", salt=16)
+
+
+@register(
     "dedup_containment",
     oracle=f"""
 WITH seeded_docs AS (

@@ -118,6 +118,7 @@ CEILINGS: dict[str, float] = {
     # round-7 ops
     "multimodal_phash_near_dedup": 2.0,  # 0.78 measured idle
     "csv_splittable_roundtrip": 4.0,  # 2.69 measured idle (job-count fixed costs)
+    "dedup_exact_salted_zipf": 2.0,  # 1.22 measured idle, 50% hot key
 }
 
 

@@ -97,3 +97,69 @@ def test_partitioned_sink_prunes_at_plan_time(spark):
         assert q.count() == li.filter(F.col("l_returnflag") == "R").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS p_lineitem")
+
+
+def test_salted_exact_dedup_matches_unsalted_on_zipf(spark):
+    """salted_exact_dedup == unsalted groupBy + plain join on a corpus
+    where one fingerprint holds half the rows (the viral-duplicate
+    shape it exists for)."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        exact_dedup_groups,
+        salted_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "viral boilerplate" if i % 2 == 0 else f"unique text {i}")
+            for i in range(400)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.fingerprint, r.keep_id, r.n_docs, r.is_keeper)
+        for r in salted_exact_dedup(docs, "text", "doc_id", salt=8).collect()
+    )
+    stats = exact_dedup_groups(docs, "text", "doc_id")
+    want = sorted(
+        (r.doc_id, r.fingerprint, r.keep_id, r.n_docs, r.doc_id == r.keep_id)
+        for r in docs.select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("fingerprint"),
+            "doc_id",
+        )
+        .join(stats, "fingerprint")
+        .collect()
+    )
+    assert got == want
+    hot = [r for r in got if r[3] == 200]
+    assert len(hot) == 200  # the viral cluster really is half the corpus
+
+
+def test_salted_exact_dedup_plan_is_two_phase(spark):
+    """Plan-shape guard (round-6 verdict #8): the aggregate must run in
+    two phases — an exchange on (fingerprint, __agg_salt) feeding the
+    partials, then an exchange on fingerprint alone for the merge — and
+    the join-back must carry skew.SALT_COL in its keys (the salted
+    join, not a plain hot-key join)."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        salted_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i % 3}") for i in range(100)], "doc_id bigint, text string"
+    )
+    plan = (
+        salted_exact_dedup(docs, "text", "doc_id", salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__agg_salt" in plan  # phase-1 salted grouping survived
+    # phase-2 merge groups on fingerprint WITHOUT the salt
+    import re
+
+    partials = re.findall(r"keys=\[([^\]]*)\]", plan)
+    assert any("__agg_salt" in k and "fingerprint" in k for k in partials)
+    assert any("fingerprint" in k and "__agg_salt" not in k for k in partials)
+    assert "__salt" in plan  # the join-back went through salted_join
