@@ -101,6 +101,14 @@ class MinHashDedupIndex:
 
     # -- per-batch computation ------------------------------------------
     def _summaries(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        # The t_cpu guard, applied to arbitrary inputs: a streaming
+        # micro-batch (one replay file) or a small filtered delta
+        # arrives as ONE partition, which would pin the CPU-heavy
+        # regexp/shingle/md5 chain to one core. Spread it ONLY when
+        # under-parallelized — at real split counts this is a no-op.
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
         sh = shingles(docs, text_col, id_col, k=self.k)
         aggs = [
             F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}")
@@ -233,3 +241,33 @@ class MinHashDedupIndex:
         return os.path.isdir(
             os.path.join(self.root, "summaries", f"batch_{seq:05d}")
         )
+
+    def compact_to(
+        self, spark: SparkSession, new_root: str, target_files: int = 8
+    ) -> "MinHashDedupIndex":
+        """Copy-on-write compaction (Delta/Iceberg OPTIMIZE semantics):
+        merge every committed batch into ONE batch dir under a fresh
+        root and return the index there. The append-only design means
+        read amplification (file count, dir listings, parquet footers)
+        grows with batch count — a daily-ingest index compacts on a
+        schedule, and because compaction writes only NEW files, readers
+        of the old root are never disturbed; the caller swaps roots
+        when the new generation commits (same atomic-rename discipline
+        as the ledger sinks). Band rows are REDERIVED from the merged
+        summaries — one narrow map — so the two tables cannot drift.
+        Gated: dedup_index_compacted_equiv proves a post-compaction
+        delta finds exactly the pairs the uncompacted index finds."""
+        dirs = self._dirs("summaries")
+        if not dirs:
+            raise ValueError(f"nothing to compact under {self.root!r}")
+        merged = spark.read.parquet(*dirs).coalesce(target_files)
+        new = MinHashDedupIndex(
+            new_root, self.num_hashes, self.bands, self.k, self.threshold
+        )
+        self._band_rows(merged).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(new_root, "bands", "batch_00000"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(new_root, "summaries", "batch_00000")
+        )
+        return new

@@ -747,6 +747,51 @@ def dedup_index_maintained_equiv(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "dedup_index_compacted_equiv",
+    oracle=LSH_FULL_PAIRS_ORACLE
+    + " AND (c.id_a % 4 = 3 OR c.id_b % 4 = 3)",
+    doc="Index COMPACTION equivalence: three batches (doc_id % 4 in "
+    "0..2) build the maintained index, compact_to merges them into one "
+    "batch dir under a fresh root (copy-on-write, Delta OPTIMIZE "
+    "semantics — band rows REDERIVED from the merged summaries so the "
+    "two tables cannot drift), then the held-out fourth slice applies "
+    "as a delta against the COMPACTED index. Oracle: the from-scratch "
+    "full-corpus LSH pairs restricted to pairs touching the delta "
+    "slice — exactly what an incremental batch must find, proving "
+    "compaction loses/dups nothing. Compaction is the flip side of the "
+    "append-only maintenance design: appends keep ingest delta-scaled, "
+    "scheduled compaction bounds the read amplification that grows "
+    "with batch count. File-count reduction and compacted==uncompacted "
+    "delta equality are additionally pinned in "
+    "tests/test_curation_ops.py.",
+    tags=("dedup", "lsh", "incremental", "index", "layout"),
+)
+def dedup_index_compacted_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_idx_precmp_{tag}")
+    croot = _os.path.join(_tempfile.gettempdir(), f"asde_idx_cmp_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    _shutil.rmtree(croot, ignore_errors=True)
+    idx = MinHashDedupIndex(root)
+    docs = t_cpu(spark, sf_dir, "documents")
+    for b in range(3):
+        idx.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 4 == b), "text", "doc_id"
+        )
+    compacted = idx.compact_to(spark, croot)
+    return compacted.apply_batch(
+        spark, docs.filter(F.col("doc_id") % 4 == 3), "text", "doc_id"
+    )
+
+
+@register(
     "dedup_exact_salted_zipf",
     oracle=f"""
 WITH z AS (

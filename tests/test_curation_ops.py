@@ -429,3 +429,44 @@ def test_suffix_apply_empty_doc_vanishes(spark):
     assert d3.n_tokens == 17 and d3.n_removed > 0
     spans = suffix_dup_spans(df, "text", "id", k=8).collect()
     assert {r.id for r in spans} == {"d3"}
+
+
+def test_dedup_index_compaction_reduces_files_same_answer(spark, tmp_path):
+    """compact_to merges N batch dirs into one generation with fewer
+    files, and a subsequent delta finds EXACTLY the pairs the
+    uncompacted index finds."""
+    import glob as _glob
+
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+
+    docs = [
+        (i, f"one two three four five six seven doc{i % 5} tail{i % 5}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    idx = MinHashDedupIndex(str(tmp_path / "a"))
+    for b in range(3):
+        idx.apply_batch(
+            spark, df.filter(f"doc_id % 4 = {b}"), "text", "doc_id"
+        )
+    compacted = idx.compact_to(spark, str(tmp_path / "b"), target_files=1)
+    assert compacted.n_batches() == 1
+    n_files = lambda r: len(
+        _glob.glob(f"{r}/summaries/batch_*/*.parquet")
+        + _glob.glob(f"{r}/bands/batch_*/*.parquet")
+    )
+    assert n_files(tmp_path / "b") < n_files(tmp_path / "a")
+    assert compacted.n_indexed(spark) == idx.n_indexed(spark)
+
+    delta = df.filter("doc_id % 4 = 3")
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.apply_batch(spark, delta, "text", "doc_id").collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in compacted.apply_batch(spark, delta, "text", "doc_id").collect()
+    )
+    assert got == want and len(got) > 0

@@ -119,6 +119,9 @@ CEILINGS: dict[str, float] = {
     "multimodal_phash_near_dedup": 2.0,  # 0.78 measured idle
     "csv_splittable_roundtrip": 4.0,  # 2.69 measured idle (job-count fixed costs)
     "dedup_exact_salted_zipf": 2.0,  # 1.22 measured idle, 50% hot key
+    "dedup_index_maintained_equiv": 3.5,  # 2.03 measured idle
+    "dedup_index_compacted_equiv": 3.5,  # 2.27 measured idle
+    "streaming_index_dedup": 3.5,  # 2.06 measured idle (post t_cpu fix)
 }
 
 
