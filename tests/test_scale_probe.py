@@ -122,6 +122,9 @@ CEILINGS: dict[str, float] = {
     "dedup_index_maintained_equiv": 3.5,  # 2.03 measured idle
     "dedup_index_compacted_equiv": 3.5,  # 2.27 measured idle
     "streaming_index_dedup": 3.5,  # 2.06 measured idle (post t_cpu fix)
+    # dominated by the one-time bucketed corpus write (the paid-once
+    # shuffle the co-located join then saves) — data-linear, 4.41 idle
+    "dedup_index_bucketed_bands": 6.0,
 }
 
 

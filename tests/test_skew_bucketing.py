@@ -163,3 +163,29 @@ def test_salted_exact_dedup_plan_is_two_phase(spark):
     assert any("__agg_salt" in k and "fingerprint" in k for k in partials)
     assert any("fingerprint" in k and "__agg_salt" not in k for k in partials)
     assert "__salt" in plan  # the join-back went through salted_join
+
+
+def test_band_index_bucketed_join_has_no_exchange(spark):
+    """The maintained band index's co-location claim: both band tables
+    bucketed by band_key -> the delta-vs-corpus candidate join is a
+    SortMergeJoin with NO Exchange on either side (the corpus shuffle
+    was paid once at write time)."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+    from .conftest import SF_DIR
+
+    # at test scale the tables fit the auto-broadcast threshold, which
+    # would sidestep bucketing entirely; disable it to expose the plan
+    # the 100 TB case gets (neither side broadcastable there)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["dedup_index_bucketed_bands"].spark_fn(spark, SF_DIR)
+        # guard the JOIN stage, not the trailing distinct (which must
+        # exchange on (id_new, id_other) by definition)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below distinct aggs
+        assert "SortMergeJoin" in join_part
+        assert "Exchange" not in join_part, join_part[:2000]
+        assert "Bucketed: true" in join_part, join_part[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
