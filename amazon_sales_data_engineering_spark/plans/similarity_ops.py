@@ -128,9 +128,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+#: From-scratch IVF top-k — shared verbatim by ann_ivf_topk and the
+#: maintained-index gate ann_ivf_incremental_equiv: assignment is a pure
+#: per-vector function of the fixed centroids, so an index built by ANY
+#: batch partitioning must answer identically to the one-shot build.
+IVF_TOPK_ORACLE = f"""
 WITH v AS ({_V}),
 nn AS (SELECT count(*) AS n FROM v),
 par AS (
@@ -173,7 +175,12 @@ SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
          row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM scored
 ) WHERE rn <= 5
-""",
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=IVF_TOPK_ORACLE,
     doc="IVF ANN: deterministic coarse centroids (vec_id % 50 = 0 at the "
     "gate scales), single-cluster assignment, probes search their "
     "nprobe=2 nearest lists, exact cosine top-5 within candidates. The "
@@ -208,6 +215,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str):
         probes=v.filter(F.col("vec_id") % 100 == 0),
         centroids=v.filter(F.col("vec_id") % m == 0),
         id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+    )
+
+
+def _ivf_centroid_modulus(sf_dir: str) -> int:
+    """Shared sqrt-growing centroid modulus (see ann_ivf_topk's docstring
+    for the round-4 scale rationale): 50 at the gate scales, smallest
+    power of two >= sqrt(n) beyond — integer form so the SQL replay can
+    never drift by a libm ulp."""
+    n = parquet_num_rows(sf_dir, "embeddings")
+    if n <= 2000:
+        return 50
+    k, cap = 0, 1
+    while cap < n:
+        cap <<= 2
+        k += 1
+    return max(50, 1 << k)
+
+
+@register(
+    "ann_ivf_incremental_equiv",
+    oracle=IVF_TOPK_ORACLE,
+    doc="PERSISTED incremental IVF ANN index (operators/ann_index.IVFIndex "
+    "— the similarity twin of the round-7 maintained dedup index): the "
+    "coarse quantizer is fixed at creation, the corpus arrives as three "
+    "batches (vec_id % 3) whose assignment runs as a |delta| x k "
+    "broadcast pass and APPENDS inverted-list rows (a 100 TB corpus "
+    "assigns each vector once, at ingest), and the query reads the "
+    "persisted lists — probes pick nprobe=2 nearest centroids, exact "
+    "cosine top-5 within those lists only. Oracle: ann_ivf_topk's "
+    "from-scratch formulation VERBATIM — assignment is a pure "
+    "per-vector function of the fixed centroids, so the maintained "
+    "index must answer identically to the one-shot build over any "
+    "batch partitioning.",
+    tags=("similarity", "ivf", "incremental", "index"),
+)
+def ann_ivf_incremental_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = _ivf_centroid_modulus(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_idx_{tag}")
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    for b in range(3):
+        idx.apply_batch(
+            spark, v.filter(F.col("vec_id") % 3 == b), "vec_id", "embedding"
+        )
+    return idx.topk(
+        spark,
+        v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=2,
     )
 
 

@@ -125,6 +125,7 @@ CEILINGS: dict[str, float] = {
     # dominated by the one-time bucketed corpus write (the paid-once
     # shuffle the co-located join then saves) — data-linear, 4.41 idle
     "dedup_index_bucketed_bands": 6.0,
+    "ann_ivf_incremental_equiv": 3.0,  # 1.62 measured idle
 }
 
 

@@ -55,6 +55,12 @@ SHOWCASE = [
     "multimodal_phash_dedup",
     "events_drift_tvd",
     "corpus_epoch_plan",
+    # round-7 additions
+    "multimodal_phash_near_dedup",
+    "csv_splittable_roundtrip",
+    "dedup_index_maintained_equiv",
+    "dedup_index_bucketed_bands",
+    "dedup_exact_salted_zipf",
 ]
 
 
