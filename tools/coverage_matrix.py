@@ -98,6 +98,12 @@ def main() -> int:
             verdict = f"rows-only ok ({d.get('_round', '?')})"
         elif d.get("hash_match"):
             verdict = f"pass ({d.get('_round', '?')})"
+        elif sweep.get(name, {}).get("ok") and sf1.get(name, {}).get("ok"):
+            # round-6 verdict: a driver FAIL from an old round that BOTH
+            # full local sweeps have since proven green is a stale sample
+            # of a since-fixed query, not a standing failure — say so
+            # instead of presenting a scary FAIL the registry refutes
+            verdict = f"fixed since {d.get('_round', '?')} (sweeps green)"
         else:
             verdict = f"**FAIL** ({d.get('_round', '?')})"
         s = sweep.get(name)
