@@ -470,3 +470,47 @@ def test_dedup_index_compaction_reduces_files_same_answer(spark, tmp_path):
         for r in compacted.apply_batch(spark, delta, "text", "doc_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_winnow_fingerprints_match_python_replica(spark):
+    """Winnowing selection (k=4-gram md5, w=5 window, min hash with
+    RIGHTMOST tie-break) replicated independently in Python — pins the
+    position rule the pair gate can't see, plus the short-doc single
+    window and sub-k vanishing edges."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 5
+    docs = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "x x x x x x x x"),  # all-equal hashes: rightmost min wins
+        (3, "p q r s t"),  # fewer than w hashes: one short window
+        (4, "one two three"),  # < k words: no fingerprints
+        (5, ""),
+    ]
+    want = set()
+    for did, text in docs:
+        ws = _norm(text).split(" ") if _norm(text) else []
+        if len(ws) < k:
+            continue
+        hs = [
+            hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            for i in range(len(ws) - k + 1)
+        ]
+        n_win = max(len(hs) - (w - 1), 1)
+        for s in range(n_win):
+            sl = hs[s : s + w]
+            mn = min(sl)
+            pos = s + max(i for i, h in enumerate(sl) if h == mn) + 1
+            want.add((did, pos, mn))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.pos, r.h)
+        for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert got == want
+    assert not any(d == 4 or d == 5 for d, _p, _h in got)
+    # doc 2: every window min is the (identical) hash, rightmost pos
+    d2 = sorted(p for d, p, _h in got if d == 2)
+    assert d2 == [5]  # 5 equal hashes -> ONE window, rightmost pos 5

@@ -126,6 +126,7 @@ CEILINGS: dict[str, float] = {
     # shuffle the co-located join then saves) — data-linear, 4.41 idle
     "dedup_index_bucketed_bands": 6.0,
     "ann_ivf_incremental_equiv": 3.0,  # 1.62 measured idle
+    "dedup_winnowing": 3.0,  # 1.68 measured idle
 }
 
 
