@@ -122,6 +122,56 @@ def winnow_fingerprints(
     )
 
 
+def cdc_segments(
+    df: DataFrame, text_col: str, id_col: str, boundary_hex: str = "01"
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/gear-hash storage-dedup
+    scheme, at word granularity): a chunk boundary falls BEFORE any
+    word whose md5 starts with a hex digit in ``boundary_hex`` (2 of 16
+    digits → p=1/8, mean chunk ~8 words). Boundaries depend only on
+    LOCAL content, never on position — inserting a sentence re-chunks
+    only its neighborhood, so identical passages in different documents
+    (or shifted copies of the same document) hash to identical chunks.
+    That is the property fixed-size chunking lacks and the reason
+    dedup-storage systems (LBFS, restic, Venti lineage) chunk this way.
+    Per-doc windows only (the suffix-ops pattern): one posexplode, a
+    per-doc running boundary count, one (doc, seg) aggregate. Output:
+    (id, seg_idx, seg_hash, n_words) — seg_hash = md5 of the
+    space-joined chunk words."""
+    nrm = normalized_text(F.col(text_col))
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.length(nrm) > 0, F.split(nrm, " "))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "w"),
+    )
+    flag = F.when(
+        F.substring(F.md5("w"), 1, 1).isin(*list(boundary_hex)), 1
+    ).otherwise(0)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = words.select(
+        id_col, "pos", "w",
+        F.coalesce(F.sum(flag).over(w), F.lit(0)).alias("seg_idx"),
+    )
+    return seg.groupBy(id_col, "seg_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            )
+        ).alias("seg_hash"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
 def salted_exact_dedup(
     df: DataFrame, text_col: str, id_col: str, salt: int = 16
 ) -> DataFrame:

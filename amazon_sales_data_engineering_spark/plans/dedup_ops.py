@@ -900,6 +900,70 @@ def _bucketed_band_tables(spark, tag, corpus_b, delta_b):
 
 
 @register(
+    "dedup_cdc_segments",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm WHERE len(nt) > 0),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos
+  FROM tok
+),
+segged AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(CASE WHEN substring(md5(w), 1, 1) IN ('0', '1')
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seg_idx
+  FROM words
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS seg_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM segged GROUP BY 1, 2
+)
+SELECT seg_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(n_words) AS n_words,
+       MIN(doc_id) AS keep_doc
+FROM segs
+GROUP BY 1 HAVING COUNT(*) >= 2 AND MIN(n_words) >= 3
+""",
+    doc="Content-defined chunking dedup (operators.dedup.cdc_segments — "
+    "the Rabin/gear-hash storage-dedup scheme at word granularity): "
+    "chunk boundaries fall before words whose md5 starts with 0|1 "
+    "(p=1/8, mean chunk ~8 words), so boundaries depend only on LOCAL "
+    "content — an insertion re-chunks just its neighborhood, and "
+    "identical passages across documents hash to identical chunks "
+    "regardless of position (the property fixed-size chunking lacks; "
+    "how LBFS/restic-lineage dedup stores). The query reports every "
+    "chunk duplicated across the corpus (>= 2 copies, >= 3 words): "
+    "copies, distinct docs, size, min-doc keeper — the storage-dedup "
+    "ledger whose byte savings = sum((n_copies-1) * chunk bytes). "
+    "Per-doc windows + one hash aggregate; never pairwise.",
+    tags=("dedup", "cdc", "fingerprint"),
+)
+def dedup_cdc_segments(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import cdc_segments
+
+    segs = cdc_segments(
+        t_cpu(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+    return (
+        segs.groupBy("seg_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("n_words").alias("n_words"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter((F.col("n_copies") >= 2) & (F.col("n_words") >= 3))
+    )
+
+
+@register(
     "dedup_winnowing",
     oracle=f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

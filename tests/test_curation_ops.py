@@ -514,3 +514,31 @@ def test_winnow_fingerprints_match_python_replica(spark):
     # doc 2: every window min is the (identical) hash, rightmost pos
     d2 = sorted(p for d, p, _h in got if d == 2)
     assert d2 == [5]  # 5 equal hashes -> ONE window, rightmost pos 5
+
+
+def test_cdc_chunking_is_insertion_robust(spark):
+    """The CDC property fixed-size chunking lacks: inserting words at
+    the FRONT of a document must leave every chunk after the edited
+    neighborhood hash-identical (boundaries depend only on local
+    content, never position)."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        cdc_segments,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted words at the front " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id bigint, text string"
+    )
+    segs = cdc_segments(df, "text", "doc_id").collect()
+    h1 = {r.seg_hash for r in segs if r.doc_id == 1}
+    h2 = {r.seg_hash for r in segs if r.doc_id == 2}
+    shared = h1 & h2
+    # everything except the edited first chunk(s) must coincide
+    assert len(shared) >= len(h1) - 2 and len(shared) > 5
+    # counterfactual: a FIXED-size chunker (every 8 words) shares NO
+    # chunk — the 5 inserted words shift every fixed boundary
+    assert not (
+        {" ".join(base.split()[i : i + 8]) for i in range(0, 193, 8)}
+        & {" ".join(edited.split()[i : i + 8]) for i in range(0, 198, 8)}
+    )

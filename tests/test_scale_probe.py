@@ -127,6 +127,7 @@ CEILINGS: dict[str, float] = {
     "dedup_index_bucketed_bands": 6.0,
     "ann_ivf_incremental_equiv": 3.0,  # 1.62 measured idle
     "dedup_winnowing": 3.0,  # 1.68 measured idle
+    "dedup_cdc_segments": 2.0,  # 1.01 measured idle
 }
 
 
