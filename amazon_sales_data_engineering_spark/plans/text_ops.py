@@ -1279,3 +1279,183 @@ def search_bm25_rational(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
     return scored.orderBy(F.col("score_ppm").desc(), F.col("doc_id")).limit(10)
+
+
+#: round(1000 / log2(rank+1)) for rank 1..10 — the nDCG position
+#: discount as an embedded integer table (log2 itself is libm territory,
+#: not gate-comparable; a 10-literal table is bit-identical everywhere —
+#: the privacy_dp_noisy_counts inverse-CDF trick applied to ranking).
+_NDCG_DISCOUNT_MILLI = [1000, 631, 500, 431, 387, 356, 333, 315, 301, 289]
+
+
+@register(
+    "search_ndcg_eval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+         CAST(COUNT(*) AS BIGINT) AS d_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), q AS (SELECT unnest(['hash', 'merge', 'window']) AS term),
+df AS (
+  SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf JOIN q ON q.term = tf.term GROUP BY 1
+), idf AS (
+  SELECT df.term,
+         ((2 * (tot.d_docs - df.df) + 1) * 1000000) // (2 * df.df + 1)
+           AS idf_ppm
+  FROM df, tot
+), per_term AS (
+  SELECT tf.doc_id, tf.term,
+         (idf.idf_ppm
+          * ((44 * tf.tf * 1000000)
+             // (20 * tf.tf * 1000000 + 6000000
+                 + 18 * ((dl.dl * 1000000)
+                         // (tot.t_tokens // tot.d_docs)))))
+         // 1000000 AS term_score_ppm
+  FROM tf
+  JOIN idf ON idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(term_score_ppm) AS BIGINT) AS score_ppm,
+         CAST(COUNT(*) AS BIGINT) AS rel
+  FROM per_term GROUP BY 1
+), disc AS (
+  SELECT generate_subscripts(l, 1) AS rnk, unnest(l) AS d_milli
+  FROM (SELECT {_NDCG_DISCOUNT_MILLI} AS l)
+), ranked AS (
+  SELECT rel, row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS rnk
+  FROM scored
+), ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rnk
+  FROM scored
+), dcg AS (
+  SELECT CAST(SUM(r.rel * d.d_milli) AS BIGINT) AS dcg_milli
+  FROM ranked r JOIN disc d ON d.rnk = r.rnk
+), idcg AS (
+  SELECT CAST(SUM(i.rel * d.d_milli) AS BIGINT) AS idcg_milli
+  FROM ideal i JOIN disc d ON d.rnk = i.rnk
+)
+SELECT dcg.dcg_milli, idcg.idcg_milli,
+       CAST((1000 * dcg.dcg_milli) // idcg.idcg_milli AS BIGINT)
+         AS ndcg_milli,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_matched
+FROM dcg, idcg
+""",
+    doc="Ranking-quality EVAL for the lexical retrieval stack: exact "
+    "integer nDCG@10 of the BM25 ranking (search_bm25_rational's "
+    "scoring verbatim) against graded relevance labels rel = number "
+    "of distinct query terms matched (0..3, deterministic). The "
+    "1/log2(rank+1) position discount — libm territory, not gate-"
+    "comparable — is an embedded round(1000/log2(i+1)) table for "
+    "ranks 1..10, so DCG, ideal DCG (best permutation of the SAME "
+    "graded labels over all matched docs) and ndcg_milli = "
+    "1000*DCG div IDCG are all 64-bit integer arithmetic, bit-"
+    "identical cross-engine. Completes the retrieval eval family "
+    "(recall@k for ANN, AUC for classifiers, nDCG for rankers). "
+    "Scale shape: the two row_number windows are global top-10 "
+    "consumers over the ~query-matched subset (posting-list sized, "
+    "not corpus sized); everything else is the gated BM25 chain.",
+    tags=("text", "search", "eval"),
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).alias("d_docs"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit("hash"), F.lit("merge"), F.lit("window")))
+        .alias("term")
+    )
+    df_ = tf.join(F.broadcast(q), "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = df_.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.expr("((2 * (d_docs - df) + 1) * 1000000) div (2 * df + 1)").alias(
+            "idf_ppm"
+        ),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_ppm * ((44 * tf * 1000000)"
+                " div (20 * tf * 1000000 + 6000000"
+                " + 18 * ((dl * 1000000) div (t_tokens div d_docs)))))"
+                " div 1000000"
+            ).alias("term_score_ppm"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("term_score_ppm").cast("bigint").alias("score_ppm"),
+        F.count(F.lit(1)).alias("rel"),
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, m) for i, m in enumerate(_NDCG_DISCOUNT_MILLI)],
+        "rnk int, d_milli bigint",
+    )
+    # row_number() is already int; an extra cast on it would hide the
+    # rank filter from the RankLimit rewrite
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+        ),
+    )
+    ideal = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        ),
+    )
+    # explicit rank<=10 filters (semantically implied by the 10-row
+    # discount join) let Catalyst rewrite each global window's input to
+    # TakeOrderedAndProject(limit=10) — per-partition top-10 + a 10-row
+    # driver merge instead of a one-partition corpus sort (plan pinned
+    # in tests/test_plan_quality.py)
+    ranked = ranked.filter(F.col("rnk") <= 10)
+    ideal = ideal.filter(F.col("rnk") <= 10)
+    dcg = ranked.join(F.broadcast(disc), "rnk").agg(
+        F.sum(F.col("rel") * F.col("d_milli")).cast("bigint").alias("dcg_milli")
+    )
+    idcg = ideal.join(F.broadcast(disc), "rnk").agg(
+        F.sum(F.col("rel") * F.col("d_milli"))
+        .cast("bigint")
+        .alias("idcg_milli")
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dcg_milli",
+            "idcg_milli",
+            F.expr("CAST((1000 * dcg_milli) div idcg_milli AS BIGINT)").alias(
+                "ndcg_milli"
+            ),
+            "n_matched",
+        )
+    )

@@ -376,3 +376,11 @@ def test_unigram_viterbi_dp_is_vocab_sized(spark):
     plan = _plan(spark, "tokenizer_unigram_viterbi")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ndcg_windows_take_ordered_not_global_sort(spark):
+    """Both nDCG rank windows (BM25 order + ideal order) must plan their
+    inputs as TakeOrderedAndProject(limit=10) — per-partition top-10 +
+    driver merge, never a one-partition corpus sort."""
+    plan = _plan(spark, "search_ndcg_eval")
+    assert plan.count("TakeOrderedAndProject") >= 2

@@ -128,6 +128,7 @@ CEILINGS: dict[str, float] = {
     "ann_ivf_incremental_equiv": 3.0,  # 1.62 measured idle
     "dedup_winnowing": 3.0,  # 1.68 measured idle
     "dedup_cdc_segments": 2.0,  # 1.01 measured idle
+    "search_ndcg_eval": 2.0,  # 1.21 measured idle
 }
 
 
