@@ -61,6 +61,9 @@ SHOWCASE = [
     "dedup_index_maintained_equiv",
     "dedup_index_bucketed_bands",
     "dedup_exact_salted_zipf",
+    "dedup_winnowing",
+    "dedup_cdc_segments",
+    "search_ndcg_eval",
 ]
 
 
