@@ -604,26 +604,32 @@ def hamming_band_pairs64(
     exactly with bit_count(xor) summed over both words. Same shuffle
     shape as the 60-bit variant: one explode-join + one distinct —
     never all-pairs, which is what lets an image-crawl near-dedup run
-    at 100 TB. Returns (id_a, id_b, hamming), id_a < id_b."""
+    at 100 TB. Band extraction is sign-agnostic (mask + unsigned shift),
+    so signed-int32 word storage is safe; the one remaining contract is
+    that BOTH rows of a pair store their words under the same type/
+    sign-extension convention (the verify step XORs the raw columns).
+    Returns (id_a, id_b, hamming), id_a < id_b."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 4 bands over 64 bits guarantee "
             "recall only for Hamming distance <= 3; use more/narrower "
             "bands for larger radii"
         )
+    # Mask, never mod: Spark's % is sign-preserving, so a caller storing
+    # the 32-bit words as SIGNED ints (bit 31 set -> negative) would map
+    # identical low halves to different band values across signs and
+    # silently lose the exact-recall guarantee. bitwiseAND(0xFFFF) and
+    # shiftrightunsigned are sign-agnostic bit extraction.
     w0, w1 = F.col(w0_col), F.col(w1_col)
+    lo = lambda w: w.bitwiseAND(F.lit(65535))
+    hi = lambda w: F.shiftrightunsigned(w, 16).bitwiseAND(F.lit(65535))
     bands = sig.select(
         F.col(id_col),
         w0.alias("__w0"),
         w1.alias("__w1"),
-        F.posexplode(
-            F.array(
-                w0 % 65536,
-                F.shiftright(w0, 16) % 65536,
-                w1 % 65536,
-                F.shiftright(w1, 16) % 65536,
-            )
-        ).alias("b", "band_val"),
+        F.posexplode(F.array(lo(w0), hi(w0), lo(w1), hi(w1))).alias(
+            "b", "band_val"
+        ),
     )
     a = bands.select(
         F.col(id_col).alias("id_a"),

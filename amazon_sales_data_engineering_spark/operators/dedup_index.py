@@ -80,15 +80,20 @@ class MinHashDedupIndex:
     # -- state layout ---------------------------------------------------
     def _dirs(self, kind: str) -> list[str]:
         """COMMITTED batch dirs of ``kind``: a batch counts only once its
-        summaries dir (the last artifact apply_batch writes) exists, so
-        a crashed epoch's partial band files are never read — the retry
-        overwrites them."""
+        summaries ``_SUCCESS`` file exists. The summaries dir is the last
+        artifact apply_batch writes, and the dir itself appears at JOB
+        START (Spark creates the output path before any task commits) —
+        so a bare isdir check would treat a crashed epoch's empty/partial
+        dir as committed (round-7 ADVICE). ``_SUCCESS`` is written by the
+        Hadoop committer only at job COMMIT, after every task's output is
+        in place, which makes it the correct atomic marker; a crashed
+        epoch's partial files are never read — the retry overwrites them."""
         out = []
         for d in sorted(glob.glob(os.path.join(self.root, kind, "batch_*"))):
             mark = os.path.join(
-                self.root, "summaries", os.path.basename(d)
+                self.root, "summaries", os.path.basename(d), "_SUCCESS"
             )
-            if os.path.isdir(mark):
+            if os.path.isfile(mark):
                 out.append(d)
         return out
 
@@ -235,11 +240,16 @@ class MinHashDedupIndex:
         return pairs
 
     def completed(self, seq: int) -> bool:
-        """True when batch ``seq`` fully committed (summaries dir is the
-        last artifact written) — the restart-skip check a streaming
-        foreachBatch caller uses for exactly-once maintenance."""
-        return os.path.isdir(
-            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
+        """True when batch ``seq`` fully committed — the restart-skip
+        check a streaming foreachBatch caller uses for exactly-once
+        maintenance. Keyed on the summaries ``_SUCCESS`` file (job-commit
+        marker), NOT the dir: Spark creates the dir at job start, so a
+        crash mid-write leaves the dir present but no ``_SUCCESS``, and
+        the epoch correctly retries."""
+        return os.path.isfile(
+            os.path.join(
+                self.root, "summaries", f"batch_{seq:05d}", "_SUCCESS"
+            )
         )
 
     def compact_to(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import release_local_checkpoint
+
 
 def cooccurrence_pairs(
     df: DataFrame,
@@ -183,10 +185,10 @@ def connected_components(
         # The previous round's blocks are dead once this round is
         # materialized — release them so long sessions / deep graphs
         # don't accumulate `rounds` cached label tables.
-        labels.unpersist()
+        release_local_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
-            neighbors.unpersist()
+            release_local_checkpoint(neighbors)
             return labels.select(F.col("node"), F.col("label").alias("component"))
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
@@ -536,7 +538,7 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
         nxt.count()  # materialize this round (and, transitively, `cur`)
-        cur.unpersist()
+        release_local_checkpoint(cur)
         cur = nxt
     out = (
         cur.select(F.col("u").alias("node"))
@@ -545,7 +547,7 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint()
     )
-    cur.unpersist()
+    release_local_checkpoint(cur)
     return out
 
 
@@ -743,12 +745,12 @@ def bfs_layers(
         )
         n_new = nxt.count()  # one job: materialize + probe
         if n_new == 0:
-            frontier.unpersist()
+            release_local_checkpoint(frontier)
             break
         new_settled = settled.unionByName(nxt).localCheckpoint(eager=False)
         new_settled.count()
-        settled.unpersist()
-        frontier.unpersist()
+        release_local_checkpoint(settled)
+        release_local_checkpoint(frontier)
         settled, frontier = new_settled, nxt
     return settled
 
@@ -809,10 +811,10 @@ def sssp_rounds(
         # input) the previous round's lazy merged `dist`.
         n_improved = improved.count()
         for old in to_release:
-            old.unpersist()
+            release_local_checkpoint(old)
         to_release = []
         if n_improved == 0:
-            frontier.unpersist()
+            release_local_checkpoint(frontier)
             break
         new_dist = (
             dist.join(improved, "node", "left_anti")

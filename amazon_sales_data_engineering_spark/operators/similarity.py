@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ckpt import release_local_checkpoint
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -805,7 +807,9 @@ def kcenter_trace(
             )
             # eager=True above means the new state's blocks exist before
             # we drop the old round's — safe to release immediately.
-            prev.unpersist()
+            # release_local_checkpoint, not unpersist: the blocks belong
+            # to the checkpoint RDD, invisible to the cache manager.
+            release_local_checkpoint(prev)
     out = rows[0]
     for rdf in rows[1:]:
         out = out.unionByName(rdf)

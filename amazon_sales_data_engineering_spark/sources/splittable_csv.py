@@ -258,7 +258,31 @@ def read_csv_splittable(
     produces (parity is gated: csv_splittable_roundtrip query +
     tests/test_splittable_csv.py on the real IN fixtures), but scans
     in ``split_bytes`` parallel byte-range tasks instead of one task
-    per file."""
+    per file.
+
+    PRECONDITIONS (divergences from the native reader raise / are
+    checked, not silently mis-split — round-7 ADVICE):
+
+    - **RFC-4180-strict quoting.** Every ``"`` in the file is either a
+      field delimiter or a doubled escape. Spark's univocity parser
+      TOLERATES a stray unquoted quote inside an unquoted field; here a
+      stray quote flips the parity fold for the rest of the file and
+      would mis-split every subsequent record. Cheap detector: a valid
+      RFC-4180 file always ENDS outside quotes, so an odd final parity
+      is proof of a stray quote and raises ValueError below. (An EVEN
+      number of strays evades the check — that is inherent to any
+      counting scheme; full detection requires a parse, which is what
+      this reader exists to avoid. PERMISSIVE from_csv still surfaces
+      per-record damage as null rows rather than crashing.)
+    - **UTF-8 bytes.** Record reassembly decodes slices as UTF-8 and
+      raises UnicodeDecodeError on anything else; the native reader's
+      ``encoding`` option is not supported here. (Quote/newline BYTE
+      scanning is correct for UTF-8 regardless — multi-byte sequences
+      never contain 0x22/0x0A continuation bytes.)
+    - RFC-4180 doubled-quote escaping only (``quote == escape == '"'``,
+      enforced below): backslash escaping breaks the even-flip parity
+      invariant.
+    """
     if escape != quote or quote != '"':
         raise ValueError(
             "quote-parity splitting requires RFC-4180 doubled-quote "
@@ -288,6 +312,17 @@ def read_csv_splittable(
     for p, s, e in chunks:  # chunks are (path, start)-sorted
         parities.append((p, s, e, acc.get(p, 0)))
         acc[p] = (acc.get(p, 0) + counts[(p, s)]) % 2
+    # Parity-drift sanity check (docstring precondition #1): a valid
+    # RFC-4180 file ends OUTSIDE quotes — total quote count even. Odd
+    # means a stray unquoted quote somewhere flipped the fold and every
+    # record after it would mis-split; fail loudly instead.
+    bad = sorted(p for p, par in acc.items() if par != 0)
+    if bad:
+        raise ValueError(
+            "odd total quote count (stray unquoted '\"' — not RFC-4180-"
+            f"strict); quote-parity splitting would mis-split: {bad}. "
+            "Read these files with the native multiLine reader instead."
+        )
 
     # Pass 2: boundary-aware record extraction, then JVM-side parse.
     rec_tasks = spark.createDataFrame(parities, _TASK_SCHEMA).repartition(
