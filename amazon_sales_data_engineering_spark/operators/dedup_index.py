@@ -7,11 +7,14 @@ for the daily-ingest shape at 100 TB, where the corpus summary must be
 computed ONCE per document ever (round-6 verdict #1). This module is
 that maintained index:
 
-- **State**: two append-only parquet table directories under one root —
+- **State**: three append-only parquet table directories under one root —
   ``summaries/batch_NNNNN`` holding one row per document
   ``(doc_id, h0..h{n-1}, sh_set, n)`` (the fused per-doc summary of
-  minhash_dedup_pairs, persisted), and ``bands/batch_NNNNN`` holding the
-  exploded LSH band rows ``(doc_id, band, band_key)``.
+  minhash_dedup_pairs, persisted), ``bands/batch_NNNNN`` holding the
+  exploded LSH band rows ``(doc_id, band, band_key)``, and
+  ``tombstones/batch_NNNNN`` holding deleted doc_ids (the
+  right-to-be-forgotten path: queries anti-join them, compaction drops
+  them physically — see ``delete``).
 - **Maintenance = append**: each batch writes ONLY its own summary/band
   files — cost scales with |Δ|, never |corpus| (gated by the fixed-delta
   probe in tests/test_scale_probe.py). This is the log-structured MERGE
@@ -54,6 +57,18 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import seeded_md5
 from .dedup import shingles
+
+
+def _tombstone_frame(
+    spark: SparkSession, ids, id_name: str
+) -> DataFrame:
+    """Normalize a delete request (DataFrame or iterable of ids) to a
+    one-column DataFrame named ``id_name``."""
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).alias(id_name)).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_name} bigint"
+    ).distinct()
 
 
 class MinHashDedupIndex:
@@ -100,9 +115,44 @@ class MinHashDedupIndex:
     def n_batches(self) -> int:
         return len(self._dirs("summaries"))
 
+    def _tomb_dirs(self) -> list[str]:
+        """COMMITTED tombstone batch dirs — a tombstone batch is its own
+        single artifact, so its own ``_SUCCESS`` is the marker."""
+        return [
+            d
+            for d in sorted(
+                glob.glob(os.path.join(self.root, "tombstones", "batch_*"))
+            )
+            if os.path.isfile(os.path.join(d, "_SUCCESS"))
+        ]
+
+    def tombstones(self, spark: SparkSession) -> DataFrame | None:
+        """All tombstoned doc_ids (one column ``doc_id``), or None."""
+        dirs = self._tomb_dirs()
+        return spark.read.parquet(*dirs).distinct() if dirs else None
+
+    def _minus_tombstones(
+        self, df: DataFrame, tomb: DataFrame | None, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Anti-join out tombstoned ids. Broadcast: a tombstone set is a
+        right-to-be-forgotten / retraction batch — tiny next to the
+        corpus — so the filter costs one broadcast pass over the rows
+        being read anyway, never a corpus shuffle."""
+        if tomb is None:
+            return df
+        return df.join(
+            F.broadcast(tomb.select(F.col("doc_id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+
     def n_indexed(self, spark: SparkSession) -> int:
         dirs = self._dirs("summaries")
-        return spark.read.parquet(*dirs).count() if dirs else 0
+        if not dirs:
+            return 0
+        return self._minus_tombstones(
+            spark.read.parquet(*dirs), self.tombstones(spark)
+        ).count()
 
     # -- per-batch computation ------------------------------------------
     def _summaries(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -167,10 +217,13 @@ class MinHashDedupIndex:
         new_b = delta_bands.select(
             F.col("doc_id").alias("id_new"), "band", "band_key"
         )
+        tomb = self.tombstones(spark)
         idx_dirs = self._dirs("bands")
         cands = []
         if idx_dirs:
-            old_b = spark.read.parquet(*idx_dirs).select(
+            old_b = self._minus_tombstones(
+                spark.read.parquet(*idx_dirs), tomb
+            ).select(
                 F.col("doc_id").alias("id_other"), "band", "band_key"
             )
             cands.append(
@@ -196,7 +249,9 @@ class MinHashDedupIndex:
 
         sum_dirs = self._dirs("summaries")
         all_sum = (
-            spark.read.parquet(*sum_dirs).unionByName(delta)
+            self._minus_tombstones(
+                spark.read.parquet(*sum_dirs), tomb
+            ).unionByName(delta)
             if sum_dirs
             else delta
         )
@@ -239,6 +294,38 @@ class MinHashDedupIndex:
         delta.unpersist()
         return pairs
 
+    def delete(self, spark: SparkSession, doc_ids, seq: int | None = None) -> int:
+        """Tombstone-delete: append a batch of doc_ids under
+        ``tombstones/batch_NNNNN`` and return its sequence number. Cost
+        is O(|tombstones|) — ONE tiny parquet write; no summary or band
+        file is touched (gated by the delete-cost probe in
+        tools/index_delta_probe.py). Queries anti-join the tombstone set
+        (broadcast — retraction batches are tiny next to the corpus) and
+        ``compact_to`` physically drops tombstoned rows, after which the
+        new generation starts tombstone-free. This is the right-to-be-
+        forgotten primitive the engine already audits for tables
+        (delete_cascade_audit): logical delete is immediate, physical
+        reclaim rides the existing compaction schedule — exactly Delta/
+        Iceberg DELETE + OPTIMIZE semantics.
+
+        CONTRACT (the flip side of apply_batch's id-uniqueness): a
+        tombstoned doc_id is retired forever — re-ingesting changed
+        content means a NEW id. Tombstones therefore apply to the whole
+        index regardless of batch order, and delete is idempotent
+        (duplicate tombstones are harmless; the anti-join key set is
+        what matters).
+
+        ``doc_ids`` may be a one-column DataFrame or an iterable of
+        ints; ``seq`` follows the same explicit-epoch convention as
+        apply_batch for streaming callers."""
+        tomb = _tombstone_frame(spark, doc_ids, "doc_id")
+        if seq is None:
+            seq = len(self._tomb_dirs())
+        tomb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, "tombstones", f"batch_{seq:05d}")
+        )
+        return seq
+
     def completed(self, seq: int) -> bool:
         """True when batch ``seq`` fully committed — the restart-skip
         check a streaming foreachBatch caller uses for exactly-once
@@ -265,12 +352,20 @@ class MinHashDedupIndex:
         when the new generation commits (same atomic-rename discipline
         as the ledger sinks). Band rows are REDERIVED from the merged
         summaries — one narrow map — so the two tables cannot drift.
+        Compaction also APPLIES TOMBSTONES: deleted rows are dropped
+        physically and the new generation starts tombstone-free, which
+        is both the read-amplification fix and the physical
+        right-to-be-forgotten reclaim (DELETE + OPTIMIZE semantics).
         Gated: dedup_index_compacted_equiv proves a post-compaction
-        delta finds exactly the pairs the uncompacted index finds."""
+        delta finds exactly the pairs the uncompacted index finds;
+        dedup_index_delete_compacted_equiv proves the same with
+        tombstones applied."""
         dirs = self._dirs("summaries")
         if not dirs:
             raise ValueError(f"nothing to compact under {self.root!r}")
-        merged = spark.read.parquet(*dirs).coalesce(target_files)
+        merged = self._minus_tombstones(
+            spark.read.parquet(*dirs), self.tombstones(spark)
+        ).coalesce(target_files)
         new = MinHashDedupIndex(
             new_root, self.num_hashes, self.bands, self.k, self.threshold
         )

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 from .ckpt import release_local_checkpoint
 
+#: Plan observer for audit tooling (tools/dump_plans.py). localCheckpoint
+#: ERASES lineage — explain() on a returned fixpoint table shows only
+#: `Scan ExistingRDD`, so PLANS.md could not show what an iterative
+#: round actually executes (round-7 verdict #8). When set, each
+#: iterative operator hands its round-body DataFrame here BEFORE the
+#: lineage cut; the observer must only inspect the plan (explain), never
+#: trigger an action. None in production — zero overhead.
+PLAN_OBSERVER = None
+
+
+def _ckpt(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
+    """localCheckpoint with a pre-cut plan-observation hook."""
+    if PLAN_OBSERVER is not None:
+        PLAN_OBSERVER(tag, df)
+    return df.localCheckpoint(eager=eager)
+
 
 def cooccurrence_pairs(
     df: DataFrame,
@@ -179,7 +195,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+        )
+        new_labels = _ckpt(
+            new_labels, "connected_components round", eager=False
         )
         cur_sum = label_sum(new_labels)  # one job: materialize + probe
         # The previous round's blocks are dead once this round is
@@ -280,8 +298,8 @@ def pagerank_rounds(
                 ).alias("pr_fixed"),
                 "n_nodes",
             )
-            .localCheckpoint()
         )
+        pr = _ckpt(pr, "pagerank_rounds round")
     # Materialize the (nodes-sized) result, then release the edge cache —
     # returning a lazy plan over a still-persisted edge list leaks one
     # cached edge set per call (CacheManager only dedupes identical plans).
@@ -395,8 +413,8 @@ def personalized_pagerank_rounds(
                 ).alias("pr_fixed"),
                 "n_seeds",
             )
-            .localCheckpoint()
         )
+        pr = _ckpt(pr, "personalized_pagerank round")
     out = pr.select(
         "node",
         "is_seed",
@@ -532,10 +550,10 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         keep = deg.filter(F.col("c") >= k).select("node")
-        nxt = (
+        nxt = _ckpt(
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"),
+            "kcore_peel round", eager=False,
         )
         nxt.count()  # materialize this round (and, transitively, `cur`)
         release_local_checkpoint(cur)
@@ -700,7 +718,7 @@ def label_propagation_rounds(
             .agg(F.mode("vl", True).alias("label"))
             .withColumnRenamed("u", "node")
         )
-    out = labels.localCheckpoint()
+    out = _ckpt(labels, "label_propagation rounds (full lazy chain)")
     e.unpersist()
     return out
 
@@ -741,8 +759,8 @@ def bfs_layers(
             .distinct()
             .join(settled, "node", "left_anti")
             .select("node", F.lit(depth).cast("int").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+        nxt = _ckpt(nxt, "bfs round", eager=False)
         n_new = nxt.count()  # one job: materialize + probe
         if n_new == 0:
             release_local_checkpoint(frontier)
@@ -801,11 +819,11 @@ def sssp_rounds(
             .groupBy("node")
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        improved = (
+        improved = _ckpt(
             cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
-            .select("node", F.col("cand").alias("dist"))
-            .localCheckpoint(eager=False)
+            .select("node", F.col("cand").alias("dist")),
+            "sssp round (relax + improvement anti-join)", eager=False,
         )
         # one job per round: materializes `improved` AND (as its join
         # input) the previous round's lazy merged `dist`.
@@ -950,7 +968,7 @@ def bipartite_hits_rounds(
         # the same double-reference trap fixed in pagerank_rounds. The
         # normalized output is then a narrow map over the checkpoint
         # and needs no second materialization.
-        df = df.localCheckpoint()
+        df = _ckpt(df, "hits half-round")
         m = df.agg(
             F.greatest(F.max("s"), F.lit(1).cast("bigint")).alias("m")
         )

@@ -791,6 +791,112 @@ def dedup_index_compacted_equiv(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Oracle filter for the two tombstone-delete gates: the delta is the
+#: doc_id % 4 == 3 slice and the deleted set is {doc_id % 5 == 0 among
+#: the indexed % 4 < 3 slices}. Deleting docs can only REMOVE pairs
+#: (band buckets are per-doc; survivors' jaccards are untouched), so the
+#: expected answer is the from-scratch full-corpus pair set restricted
+#: to pairs touching the delta with no deleted member.
+_DELETE_EQUIV_FILTER = """
+ AND (c.id_a % 4 = 3 OR c.id_b % 4 = 3)
+ AND NOT (c.id_a % 5 = 0 AND c.id_a % 4 < 3)
+ AND NOT (c.id_b % 5 = 0 AND c.id_b % 4 < 3)
+"""
+
+
+@register(
+    "dedup_index_delete_equiv",
+    oracle=LSH_FULL_PAIRS_ORACLE + _DELETE_EQUIV_FILTER,
+    doc="TOMBSTONE DELETE on the maintained dedup index (round-7 verdict "
+    "#1): three batches (doc_id % 4 in 0..2) build the index, delete() "
+    "appends an O(|tombstones|) tombstone batch for the doc_id % 5 == 0 "
+    "slice of the indexed corpus (the right-to-be-forgotten request the "
+    "engine already audits for tables in delete_cascade_audit), then "
+    "the held-out fourth slice applies as a delta. The delta's pairs "
+    "must equal a FRESH index built over the surviving docs — i.e. the "
+    "from-scratch full-corpus pair set restricted to delta-touching "
+    "pairs with no deleted member — proving the broadcast anti-join "
+    "removes every deleted doc's band rows AND summaries from candidate "
+    "generation and verification without rebuilding anything. Delete "
+    "cost scales with the tombstone set, never the corpus (probe: "
+    "tools/index_delta_probe.py, gated in tests/test_scale_probe.py).",
+    tags=("dedup", "lsh", "incremental", "index", "delete"),
+)
+def dedup_index_delete_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_idx_del_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    idx = MinHashDedupIndex(root)
+    docs = t_cpu(spark, sf_dir, "documents")
+    for b in range(3):
+        idx.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 4 == b), "text", "doc_id"
+        )
+    idx.delete(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 4 < 3) & (F.col("doc_id") % 5 == 0)
+        ).select("doc_id"),
+    )
+    return idx.apply_batch(
+        spark, docs.filter(F.col("doc_id") % 4 == 3), "text", "doc_id"
+    )
+
+
+@register(
+    "dedup_index_delete_compacted_equiv",
+    oracle=LSH_FULL_PAIRS_ORACLE + _DELETE_EQUIV_FILTER,
+    doc="COMPACTION APPLIES TOMBSTONES: same construction as "
+    "dedup_index_delete_equiv, but the index is compacted AFTER the "
+    "delete and BEFORE the delta — compact_to drops tombstoned rows "
+    "physically and the new generation starts tombstone-free, so the "
+    "delta against the compacted root must find exactly the same pairs "
+    "the anti-join path finds (shared oracle). This is the physical "
+    "right-to-be-forgotten reclaim: logical delete is an O(|tombstones|) "
+    "append, physical removal rides the scheduled compaction — Delta/"
+    "Iceberg DELETE + OPTIMIZE semantics. Together the two gates pin "
+    "both halves of the lifecycle contract.",
+    tags=("dedup", "lsh", "incremental", "index", "delete", "layout"),
+)
+def dedup_index_delete_compacted_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_idx_delc_{tag}")
+    croot = _os.path.join(_tempfile.gettempdir(), f"asde_idx_delcc_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    _shutil.rmtree(croot, ignore_errors=True)
+    idx = MinHashDedupIndex(root)
+    docs = t_cpu(spark, sf_dir, "documents")
+    for b in range(3):
+        idx.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 4 == b), "text", "doc_id"
+        )
+    idx.delete(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 4 < 3) & (F.col("doc_id") % 5 == 0)
+        ).select("doc_id"),
+    )
+    compacted = idx.compact_to(spark, croot)
+    assert not compacted._tomb_dirs(), "compacted generation must start clean"
+    return compacted.apply_batch(
+        spark, docs.filter(F.col("doc_id") % 4 == 3), "text", "doc_id"
+    )
+
+
 @register(
     "dedup_index_bucketed_bands",
     oracle=f"""

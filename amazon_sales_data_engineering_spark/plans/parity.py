@@ -883,6 +883,84 @@ def csv_splittable_roundtrip(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "json_splittable_roundtrip",
+    oracle="""
+SELECT doc_id,
+       COALESCE(CASE WHEN doc_id % 4 = 0 THEN replace(text, ' ', chr(34))
+                     WHEN doc_id % 4 = 1 THEN replace(text, ' ', chr(92) || chr(34))
+                     WHEN doc_id % 4 = 2 THEN replace(text, ' ', chr(10))
+                     ELSE text END, '') AS payload
+FROM documents
+""",
+    doc="Splittable ingest for multiLine top-level-array JSON (round-7 "
+    "verdict #2: the FR source was the LAST single-split file format "
+    "after the CSV splitter landed). sources/splittable_json."
+    "read_json_splittable extends the two-pass scheme to JSON's "
+    "backslash escaping: pass 1 computes each byte chunk's STATE-"
+    "TRANSFER FUNCTION (unescaped-quote parity for both entry "
+    "backslash-run parities + bracket-depth deltas for all four entry "
+    "states, numpy-vectorized), the driver folds O(#chunks) integers "
+    "into the exact (string, escape, depth) state at every chunk "
+    "start, and pass 2 slices depth-1 elements from byte ranges in "
+    "Arrow-batched mapInPandas — each task owns elements STARTING in "
+    "its range — with field parsing JVM-side via from_json. This gate "
+    "round-trips the documents table through array-JSON files with "
+    "adversarial payloads injected by doc_id % 4: quotes (escape "
+    "churn), backslash+quote pairs (multi-byte escape runs that chunk "
+    "splits bisect), raw newlines (escaped by the writer, re-expanded "
+    "by the parser) — read back at 64 KiB splits (hundreds of chunks). "
+    "tests/test_splittable_json.py additionally proves element-level "
+    "equality with Spark's native multiLine reader on the REAL FR "
+    "fixtures (pretty-printed, \\u escapes, null fields) across split "
+    "sizes down to 1 byte.",
+    tags=("source", "json", "ingest", "scale"),
+)
+def json_splittable_roundtrip(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.splittable_json import read_json_splittable
+    from pyspark.sql import types as T
+
+    d = F.col("doc_id")
+    payload = F.coalesce(
+        F.when(d % 4 == 0, F.replace(F.col("text"), F.lit(" "), F.lit('"')))
+        .when(d % 4 == 1, F.replace(F.col("text"), F.lit(" "), F.lit('\\"')))
+        .when(d % 4 == 2, F.replace(F.col("text"), F.lit(" "), F.lit("\n")))
+        .otherwise(F.col("text")),
+        F.lit(""),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"asde_json_split_{tag}")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", payload.alias("payload"))
+        .groupBy((d % 2).alias("g"))
+        .agg(
+            F.to_json(
+                F.collect_list(F.struct("doc_id", "payload"))
+            ).alias("j")
+        )
+        .select("j")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    df = read_json_splittable(
+        spark, f"{out}/part-*", schema, split_bytes=64 << 10
+    )
+    return df.select(
+        "doc_id", F.coalesce("payload", F.lit("")).alias("payload")
+    )
+
+
+@register(
     "sql_recursive_hierarchy",
     oracle="""
 WITH RECURSIVE walk(node, amount) AS (

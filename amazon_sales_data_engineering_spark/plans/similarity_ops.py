@@ -279,6 +279,222 @@ def ann_ivf_incremental_equiv(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "ann_ivf_compacted_equiv",
+    oracle=IVF_TOPK_ORACLE,
+    doc="IVF index COMPACTION equivalence (round-7 verdict #3 — brings "
+    "IVFIndex to dedup-index parity): three batches (vec_id % 3) build "
+    "the maintained index, compact_to merges them into ONE generation "
+    "under a fresh root written PARTITIONED BY centroid_id — each "
+    "inverted list becomes its own directory, so a probe's nprobe lists "
+    "prune at the scan (directory-level partition pruning through the "
+    "broadcast probe-list join) instead of filtering after a full read "
+    "— then top-k runs against the compacted root. Oracle: "
+    "ann_ivf_topk's from-scratch formulation VERBATIM, proving "
+    "compaction loses/dups/reassigns nothing. Copy-on-write: old-root "
+    "readers are never disturbed, the caller swaps roots at commit.",
+    tags=("similarity", "ivf", "incremental", "index", "layout"),
+)
+def ann_ivf_compacted_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = _ivf_centroid_modulus(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_precmp_{tag}")
+    croot = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_cmp_{tag}")
+    _shutil.rmtree(croot, ignore_errors=True)
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    for b in range(3):
+        idx.apply_batch(
+            spark, v.filter(F.col("vec_id") % 3 == b), "vec_id", "embedding"
+        )
+    compacted = idx.compact_to(spark, croot)
+    return compacted.topk(
+        spark, v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
+
+
+@register(
+    "ann_ivf_delete_equiv",
+    oracle=IVF_TOPK_ORACLE,
+    doc="TOMBSTONE DELETE on the maintained IVF index: the corpus plus a "
+    "full set of CLONES (same vectors, ids offset by 10^6 — each clone "
+    "is its original's exact nearest neighbor at cosine 1.0) are "
+    "ingested, then every clone is tombstoned and top-k runs over the "
+    "survivors. Oracle: ann_ivf_topk's clone-free from-scratch "
+    "formulation VERBATIM — a sharp gate, because a broken anti-join "
+    "would put a cosine-1.0 clone at rank 1 of every probe and shift "
+    "every true neighbor down. Delete cost is O(|tombstones|) — one "
+    "tiny parquet append, no list file touched (probe: "
+    "tools/index_delta_probe.py); physical reclaim rides compact_to "
+    "(which shares this oracle via ann_ivf_compacted_equiv's path).",
+    tags=("similarity", "ivf", "incremental", "index", "delete"),
+)
+def ann_ivf_delete_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = _ivf_centroid_modulus(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_del_{tag}")
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    clones = v.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    for b in range(2):
+        idx.apply_batch(
+            spark, v.filter(F.col("vec_id") % 2 == b), "vec_id", "embedding"
+        )
+    idx.apply_batch(spark, clones, "vec_id", "embedding")
+    idx.delete(spark, clones.select("vec_id"))
+    return idx.topk(
+        spark, v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
+
+
+@register(
+    "ann_ivf_requantized_equiv",
+    oracle=IVF_TOPK_ORACLE,
+    doc="RE-QUANTIZATION (round-7 verdict #4 — the drift-recovery op): "
+    "the index is created under a deliberately DEGENERATE quantizer "
+    "(the three lowest vec_ids — every list is a fat catch-all, the "
+    "end state of unchecked corpus drift), three batches ingest, then "
+    "requantize() rebuilds under the proper sqrt-sized quantizer in one "
+    "corpus x k pass reading vectors FROM THE PERSISTED LISTS (the "
+    "corpus is never re-read — vectors are index state). Top-k against "
+    "the re-quantized root must equal ann_ivf_topk's from-scratch "
+    "formulation VERBATIM: requantize == fresh build under the new "
+    "centroids, no vector lost or duplicated through the degenerate "
+    "generation. list_stats is the monitor that tells you WHEN to run "
+    "this (ann_ivf_drift_monitor).",
+    tags=("similarity", "ivf", "incremental", "index"),
+)
+def ann_ivf_requantized_equiv(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = _ivf_centroid_modulus(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_preq_{tag}")
+    rroot = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_req_{tag}")
+    _shutil.rmtree(rroot, ignore_errors=True)
+    idx = IVFIndex(root).create(
+        v.orderBy(F.asc("vec_id")).limit(3), "vec_id", "embedding"
+    )
+    for b in range(3):
+        idx.apply_batch(
+            spark, v.filter(F.col("vec_id") % 3 == b), "vec_id", "embedding"
+        )
+    req = idx.requantize(
+        spark, v.filter(F.col("vec_id") % m == 0), rroot,
+        "vec_id", "embedding",
+    )
+    return req.topk(
+        spark, v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
+
+
+@register(
+    "ann_ivf_drift_monitor",
+    oracle=f"""
+WITH v AS ({_V}),
+nn AS (SELECT count(*) AS n FROM v),
+par AS (
+  SELECT CASE WHEN n <= 2000 THEN 50
+         ELSE greatest(50, 1::BIGINT << (SELECT min(k) FROM range(0, 32) t(k)
+                                         WHERE (1::BIGINT << (2 * k)) >= (SELECT n FROM nn)))
+         END AS m
+  FROM nn
+),
+corpus AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x + 2.0) AS e
+  FROM v
+),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+         WHERE vec_id % (SELECT m FROM par) = 0),
+cscored AS (
+  SELECT c.vec_id, centroid_id,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ce[i]))
+                    / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                    centroid_id ASC) AS crank
+  FROM corpus c CROSS JOIN cent
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS list_size
+FROM cscored WHERE crank <= 1
+GROUP BY centroid_id
+""",
+    doc="RECALL-DRIFT MONITOR for the maintained IVF index (round-7 "
+    "verdict #4): the quantizer is fixed over the ORIGINAL corpus "
+    "distribution, then a deliberately drifted second batch arrives — "
+    "every vector shifted by +2.0 per component (ids offset by 10^6), "
+    "collapsing the batch toward the all-ones direction so its "
+    "assignments pile onto the few centroids nearest that direction. "
+    "list_stats returns per-centroid live-list sizes; the drifted "
+    "half's mass concentrates (max/mean jumps — asserted in "
+    "tests/test_curation_ops.py) while probe candidate sets bloat and "
+    "true-neighborhood recall drops. This is the signal that schedules "
+    "requantize() (ann_ivf_requantized_equiv proves the recovery). "
+    "Oracle replays the full two-batch assignment in SQL — the monitor "
+    "numbers themselves are exact, not heuristic.",
+    tags=("similarity", "ivf", "incremental", "index", "eval"),
+)
+def ann_ivf_drift_monitor(spark: SparkSession, sf_dir: str):
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    v = t_cpu(spark, sf_dir, "embeddings")
+    m = _ivf_centroid_modulus(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tempfile.gettempdir(), f"asde_ivf_drift_{tag}")
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    # both batches land as array<double> so the generations union cleanly
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    idx.apply_batch(
+        spark, v.select("vec_id", as_double.alias("embedding")),
+        "vec_id", "embedding",
+    )
+    drifted = v.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(2.0)
+        ).alias("embedding"),
+    )
+    idx.apply_batch(spark, drifted, "vec_id", "embedding")
+    return idx.list_stats(spark)
+
+
+@register(
     "embedding_normalize_quantize",
     oracle="""
 WITH m AS (

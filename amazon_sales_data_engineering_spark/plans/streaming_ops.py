@@ -1015,3 +1015,86 @@ def streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(f"{pairs_root}/batch_*")
+
+
+from .similarity_ops import IVF_TOPK_ORACLE as _IVF_TOPK  # noqa: E402
+from .similarity_ops import _ivf_centroid_modulus  # noqa: E402
+
+
+@register(
+    "streaming_index_ann",
+    oracle=_IVF_TOPK,  # shared with ann_ivf_topk / ann_ivf_incremental_equiv
+    doc="Streaming twin of the PERSISTED IVF ANN index (round-7 verdict "
+    "#3 — completes IVFIndex's parity with the dedup index): the "
+    "embeddings table replays as three mtime-ordered parquet files "
+    "(vec_id % 3), a foreachBatch sink maintains the SAME IVFIndex the "
+    "batch gates use — one apply_batch per micro-batch, seq = streaming "
+    "batch_id, each a |delta| x k broadcast assignment appended to the "
+    "inverted lists — and the answer is top-k over the persisted lists "
+    "after the drain. Oracle: ann_ivf_topk's from-scratch formulation "
+    "VERBATIM, proving stream-folded maintenance == batch maintenance "
+    "== from-scratch (assignment is a pure per-vector function of the "
+    "fixed centroids, so ANY micro-batch partitioning folds to the "
+    "same inverted file). Exactly-once across restarts: the checkpoint "
+    "dedupes input files and idx.completed(batch_id) skips an epoch "
+    "whose assignments _SUCCESS (job-commit marker) already exists; a "
+    "crashed epoch's partial writes are never read (committed-batch "
+    "filtering) and the retry overwrites them. Restart behavior is "
+    "pinned by tests/test_streaming_ledger.py.",
+    tags=("streaming", "similarity", "ivf", "incremental", "index", "sink"),
+)
+def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import IVFIndex
+    from ..streaming.ingest import incremental_append, stream_source
+    from .util import t_cpu
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    replay = os.path.join(tmp, f"asde_emb_replay_{tag}")
+    root = os.path.join(tmp, f"asde_stream_ivf_{tag}")
+    ckpt = os.path.join(tmp, f"asde_stream_ivf_ckpt_{tag}")
+    for d in (replay, root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    v = t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    os.makedirs(replay)
+    now = time.time()
+    for i in range(3):
+        part = os.path.join(replay, f"part_{i}")
+        v.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(part)
+        for fn in sorted(os.listdir(part)):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(replay, f"{i:02d}-{fn}")
+                os.rename(os.path.join(part, fn), dst)
+                os.utime(dst, (now + i, now + i))
+        shutil.rmtree(part)
+
+    m = _ivf_centroid_modulus(sf_dir)
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty() or idx.completed(batch_id):
+            return
+        idx.apply_batch(
+            batch_df.sparkSession, batch_df, "vec_id", "embedding",
+            seq=batch_id,
+        )
+
+    src = stream_source(
+        spark, replay, "vec_id bigint, embedding array<float>",
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, apply, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return idx.topk(
+        spark,
+        t_cpu(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )

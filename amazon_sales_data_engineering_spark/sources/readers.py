@@ -17,6 +17,12 @@ reader-option presets (SURVEY.md §2.1 S1-S7):
 - Parquet (US): named columns, snappy.
 - JSON (FR): one top-level array per file (``multiLine=True`` ≡ Snowflake
   strip_outer_array); "Price per Unit" arrives as a string (FIXTURES §1.3).
+  multiLine JSON is also non-splittable per file — at 100 TB use
+  ``sources.splittable_json.read_json_splittable``, the two-pass
+  state-transfer element splitter (byte-range tasks, JVM-side from_json
+  parse) proven element-identical to this reader on the real FR fixtures
+  (tests/test_splittable_json.py) and oracle-gated
+  (json_splittable_roundtrip).
 
 File-metadata columns (SURVEY §2.1 S10): Snowflake's metadata$filename /
 file_row_number / file_last_modified map to Spark's hidden ``_metadata``

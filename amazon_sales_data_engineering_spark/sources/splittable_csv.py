@@ -37,8 +37,10 @@ MPP databases use):
 Scale notes: both passes are linear, shuffle-free scans partitioned by
 byte range — a 1000-executor cluster splits one 100 TB file into
 ~100k × 1 GB tasks. The parity pass is one extra full read; ingest-once
-pipelines amortize it into the first load (or persist the chunk-parity
-manifest next to the file, the same pattern as sources/ledger.py).
+pipelines amortize it into the first load, and re-ingests of the same
+immutable files skip it entirely by passing ``manifest_dir`` — the
+per-chunk counts persist with a (size, mtime) invalidation key, the
+same pattern as sources/ledger.py (see sources.scan_manifest).
 Executors open files with plain ``open()`` — local/NFS paths here; an
 object-store deployment swaps in the filesystem client, the algorithm
 is unchanged.
@@ -251,6 +253,7 @@ def read_csv_splittable(
     quote: str = '"',
     escape: str = '"',
     nullValue: str | None = None,
+    manifest_dir: str | None = None,
 ) -> DataFrame:
     """Splittable read of quoted-embedded-newline CSV: the two-pass
     distributed record splitter described in the module docstring.
@@ -282,6 +285,14 @@ def read_csv_splittable(
     - RFC-4180 doubled-quote escaping only (``quote == escape == '"'``,
       enforced below): backslash escaping breaks the even-flip parity
       invariant.
+
+    ``manifest_dir`` (optional) persists the parity pass's per-chunk
+    quote counts keyed by (path, size, mtime_ns, split_bytes) — the
+    ledger-style invalidation key — so a RE-ingest of the same
+    immutable files skips pass 1 entirely and runs ONE read instead of
+    two (sources.scan_manifest; asserted by
+    tests/test_splittable_csv.py::test_manifest_skips_parity_pass).
+    Stale manifests (source rewritten) are recomputed silently.
     """
     if escape != quote or quote != '"':
         raise ValueError(
@@ -297,16 +308,38 @@ def read_csv_splittable(
         return spark.createDataFrame([], schema)
 
     # Pass 1: per-chunk quote counts (parallel), prefix parity (driver,
-    # O(#chunks) integers).
-    tasks = spark.createDataFrame(
-        [(p, s, e, 0) for p, s, e in chunks], _TASK_SCHEMA
-    ).repartition(min(len(chunks), 256))
-    counts = {
-        (r["path"], r["start"]): r["n_quotes"]
+    # O(#chunks) integers). With a manifest_dir, files whose persisted
+    # counts are still valid skip the pass — re-ingests run ONE read.
+    counts: dict[tuple[str, int], int] = {}
+    todo = paths
+    if manifest_dir is not None:
+        from .scan_manifest import load_chunk_rows
+
+        todo = []
+        for p in paths:
+            rows = load_chunk_rows(manifest_dir, p, split_bytes)
+            if rows is None:
+                todo.append(p)
+            else:
+                for s, n in rows:
+                    counts[(p, int(s))] = int(n)
+    if todo:
+        todo_chunks = [c for c in chunks if c[0] in set(todo)]
+        tasks = spark.createDataFrame(
+            [(p, s, e, 0) for p, s, e in todo_chunks], _TASK_SCHEMA
+        ).repartition(min(len(todo_chunks), 256))
         for r in tasks.mapInPandas(
             _count_quotes, schema="path string, start bigint, n_quotes bigint"
-        ).collect()
-    }
+        ).collect():
+            counts[(r["path"], r["start"])] = r["n_quotes"]
+        if manifest_dir is not None:
+            from .scan_manifest import save_chunk_rows
+
+            for p in todo:
+                save_chunk_rows(
+                    manifest_dir, p, split_bytes,
+                    [[s, counts[(p, s)]] for q, s, _e in chunks if q == p],
+                )
     parities: list[tuple[str, int, int, int]] = []
     acc: dict[str, int] = {}
     for p, s, e in chunks:  # chunks are (path, start)-sorted

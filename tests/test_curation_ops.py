@@ -542,3 +542,155 @@ def test_cdc_chunking_is_insertion_robust(spark):
         {" ".join(base.split()[i : i + 8]) for i in range(0, 193, 8)}
         & {" ".join(edited.split()[i : i + 8]) for i in range(0, 198, 8)}
     )
+
+
+def test_index_tombstone_delete_and_physical_reclaim(spark, tmp_path):
+    """Tombstone lifecycle on the maintained dedup index: delete() hides
+    a doc immediately (no later delta pairs with it), is idempotent,
+    and compact_to drops the rows PHYSICALLY — the compacted summary
+    files no longer contain the doc_id and the new generation starts
+    tombstone-free (right-to-be-forgotten reclaim)."""
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+
+    docs = [
+        (i, f"one two three four five six seven doc{i % 5} tail{i % 5}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    idx = MinHashDedupIndex(str(tmp_path / "a"))
+    for b in range(3):
+        idx.apply_batch(spark, df.filter(f"doc_id % 4 = {b}"), "text", "doc_id")
+    n_before = idx.n_indexed(spark)
+
+    # doc 3 (in the %4==3 delta) near-dups docs 8, 13, 18, ... (%5==3);
+    # delete two of its indexed partners
+    idx.delete(spark, [8, 13])
+    idx.delete(spark, [8, 13])  # idempotent: same key set, new batch
+    assert idx.n_indexed(spark) == n_before - 2
+
+    pairs = idx.apply_batch(
+        spark, df.filter("doc_id % 4 = 3"), "text", "doc_id"
+    ).collect()
+    touched = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert touched, "delta should still find pairs among survivors"
+    assert not touched & {8, 13}, "tombstoned docs leaked into pairs"
+
+    compacted = idx.compact_to(spark, str(tmp_path / "b"))
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(tmp_path / "b" / "summaries" / "batch_00000")
+        ).collect()
+    }
+    assert 8 not in live and 13 not in live
+    assert not compacted._tomb_dirs()
+    assert compacted.n_indexed(spark) == idx.n_indexed(spark)
+
+
+def test_index_commit_marker_ignores_partial_dirs(spark, tmp_path):
+    """The crash window the round-7 ADVICE flagged: Spark creates the
+    output dir at job START, so a crash mid-write leaves a dir with no
+    _SUCCESS. Both maintained indexes must treat such an epoch as
+    UNCOMMITTED (not counted, completed()==False, retry overwrites)."""
+    import os as _os
+
+    from amazon_sales_data_engineering_spark.operators.ann_index import IVFIndex
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 3} tail{i % 3}") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    idx = MinHashDedupIndex(str(tmp_path / "d"))
+    idx.apply_batch(spark, docs, "text", "doc_id", seq=0)
+    # simulate a crashed epoch 1: full data files, commit marker missing
+    idx.apply_batch(spark, docs.limit(0), "text", "doc_id", seq=1)
+    _os.remove(str(tmp_path / "d" / "summaries" / "batch_00001" / "_SUCCESS"))
+    assert idx.n_batches() == 1
+    assert idx.completed(0) and not idx.completed(1)
+    assert idx._dirs("bands") == [str(tmp_path / "d" / "bands" / "batch_00000")]
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i)]) for i in range(12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf = IVFIndex(str(tmp_path / "v")).create(
+        vecs.filter("vec_id < 2"), "vec_id", "embedding"
+    )
+    ivf.apply_batch(spark, vecs, "vec_id", "embedding", seq=0)
+    ivf.apply_batch(spark, vecs.limit(0), "vec_id", "embedding", seq=1)
+    _os.remove(
+        str(tmp_path / "v" / "assignments" / "batch_00001" / "_SUCCESS")
+    )
+    assert ivf.n_batches() == 1
+    assert ivf.completed(0) and not ivf.completed(1)
+    # the uncommitted epoch's rows are invisible to queries
+    assert ivf._read_lists(spark).count() == 12
+    # retry overwrites the partial epoch and commits it
+    ivf.apply_batch(spark, vecs, "vec_id", "embedding", seq=1)
+    assert ivf.n_batches() == 2 and ivf.completed(1)
+
+
+def test_ivf_drift_skew_monitor_and_requantize_restores(spark, tmp_path):
+    """list_stats is the drift signal and requantize the recovery. The
+    monitor number is the EXPECTED PROBE-CANDIDATE COUNT E = sum(s_i^2)
+    / sum(s_i) — what a nprobe=1 query actually scans on average (a
+    max/mean skew ratio is misleading: adding centroids shrinks the
+    mean, masking a still-fat list). A distribution-shifted second
+    batch (a direction the quantizer has no centroid for) piles onto
+    one list and E jumps; re-quantizing under centroids drawn from the
+    NEW corpus restores it. Total live rows conserved throughout."""
+    from amazon_sales_data_engineering_spark.operators.ann_index import IVFIndex
+
+    dim = 8
+
+    def onehot(j, jitter):
+        return [
+            1.0 + jitter if i == j else (jitter if i == j + 1 else 0.0)
+            for i in range(dim)
+        ]
+
+    base = [(i, onehot(i % dim, 0.01 * (i // dim))) for i in range(64)]
+    # drifted arrivals: a NEW direction (all-ones) none of the one-hot
+    # centroids covers — the old quantizer dumps every one of them onto
+    # a single tie-broken list
+    drift = [
+        (1000 + i, [1.0 + 0.001 * i] + [1.0] * (dim - 1)) for i in range(64)
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    base_df = spark.createDataFrame(base, schema)
+    drift_df = spark.createDataFrame(drift, schema)
+
+    def probe_cost(stats):
+        sizes = [r.list_size for r in stats.collect()]
+        return sum(s * s for s in sizes) / sum(sizes), sum(sizes)
+
+    idx = IVFIndex(str(tmp_path / "i")).create(
+        base_df.filter(f"vec_id < {dim}"), "vec_id", "embedding"
+    )
+    idx.apply_batch(spark, base_df, "vec_id", "embedding")
+    e_base, n_base = probe_cost(idx.list_stats(spark))
+    idx.apply_batch(spark, drift_df, "vec_id", "embedding")
+    e_drift, n_drift = probe_cost(idx.list_stats(spark))
+    assert n_drift == n_base + 64
+    assert e_drift > 2 * e_base, (
+        f"drift not visible: E {e_base:.1f} -> {e_drift:.1f}"
+    )
+
+    # recovery: new quantizer sampled from the CURRENT corpus — the 8
+    # base directions plus one centroid inside the drifted cluster
+    new_cent = base_df.filter(f"vec_id < {dim}").unionByName(
+        drift_df.filter("vec_id = 1000")
+    )
+    req = idx.requantize(
+        spark, new_cent, str(tmp_path / "r"), "vec_id", "embedding"
+    )
+    e_req, n_req = probe_cost(req.list_stats(spark))
+    assert n_req == n_drift
+    assert e_req < 0.9 * e_drift, (
+        f"requantize did not rebalance: E {e_drift:.1f} -> {e_req:.1f}"
+    )

@@ -195,3 +195,9 @@ def test_index_delta_apply_cost_scales_with_delta() -> None:
         f"(sf0.1={row['sf0.1']}s sf1={row['sf1']}s) — maintenance is "
         "reading or recomputing corpus-scaled state"
     )
+    dr = json.loads(last)["probe"]["index_delete"]
+    assert dr["ratio"] <= 2.0, (
+        f"fixed-tombstone delete ratio {dr['ratio']} at 10x corpus "
+        f"(sf0.1={dr['sf0.1']}s sf1={dr['sf1']}s) — delete is touching "
+        "corpus-scaled state instead of appending O(|tombstones|)"
+    )

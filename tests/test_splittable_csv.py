@@ -96,3 +96,51 @@ def test_rejects_backslash_escaping(spark):
     schema = T.StructType([T.StructField("a", T.StringType())])
     with pytest.raises(ValueError, match="doubled-quote"):
         read_csv_splittable(spark, "/dev/null", schema, escape="\\")
+
+
+def test_manifest_skips_parity_pass(spark, tmp_path, monkeypatch):
+    """Round-7 verdict #5: with manifest_dir, a re-ingest of the same
+    immutable file runs ONE pass — proven by poisoning the parity-pass
+    body before the second read (it must not execute). Rewriting the
+    file invalidates the manifest and the (poisoned) pass runs again."""
+    import amazon_sales_data_engineering_spark.sources.splittable_csv as sc
+
+    body = 'a,b\n"1","x\ny"\n"2","z"\n'
+    p = tmp_path / "m.csv"
+    p.write_text(body)
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    mdir = str(tmp_path / "manifest")
+    want = _rows(
+        read_csv_splittable(
+            spark, str(p), schema, split_bytes=8, manifest_dir=mdir
+        ),
+        ["a", "b"],
+    )
+    assert len(want) == 2
+
+    def boom(_batches):
+        raise RuntimeError("parity pass must not run on a manifest hit")
+
+    monkeypatch.setattr(sc, "_count_quotes", boom)
+    got = _rows(
+        read_csv_splittable(
+            spark, str(p), schema, split_bytes=8, manifest_dir=mdir
+        ),
+        ["a", "b"],
+    )
+    assert got == want  # one-pass re-ingest, identical parity decisions
+
+    # different chunking = different manifest key -> pass required
+    with pytest.raises(Exception, match="parity pass must not run"):
+        read_csv_splittable(
+            spark, str(p), schema, split_bytes=9, manifest_dir=mdir
+        ).collect()
+
+    # rewrite (size/mtime change) invalidates -> poisoned pass runs
+    p.write_text(body + '"3","w"\n')
+    with pytest.raises(Exception, match="parity pass must not run"):
+        read_csv_splittable(
+            spark, str(p), schema, split_bytes=8, manifest_dir=mdir
+        ).collect()

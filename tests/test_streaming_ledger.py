@@ -253,3 +253,91 @@ def test_dedup_index_streaming_restart_exactly_once(spark, tmp_path):
             ).collect()
         ]
     assert got == sorted(ref) and len(got) > 0
+
+
+def test_ivf_index_streaming_restart_exactly_once(spark, tmp_path):
+    """Maintained IVF-index streaming sink across a RESTART — the twin
+    of test_dedup_index_streaming_restart_exactly_once: files b0+b1
+    stream to completion, the query stops, file b2 arrives, the stream
+    restarts on the SAME checkpoint — only b2 is processed (earlier
+    assignment batch dirs untouched), and top-k over the final lists
+    equals a batch-mode fresh build over the full corpus."""
+    from amazon_sales_data_engineering_spark.operators.ann_index import IVFIndex
+
+    dim = 4
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)])
+        for i in range(24)
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "idx")
+
+    def land(i):
+        part = tmp_path / f"part{i}"
+        spark.createDataFrame(
+            [v for v in vecs if v[0] % 3 == i], schema
+        ).coalesce(1).write.parquet(str(part))
+        for fn in sorted(os.listdir(part)):
+            if fn.endswith(".parquet"):
+                dst = replay / f"{i:02d}-{fn}"
+                os.rename(part / fn, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+
+    all_df = spark.createDataFrame(vecs, schema)
+    cent = all_df.filter("vec_id % 8 = 0")
+    idx = IVFIndex(root).create(cent, "vec_id", "embedding")
+
+    def apply(batch_df, batch_id):
+        if batch_df.isEmpty() or idx.completed(batch_id):
+            return
+        idx.apply_batch(
+            batch_df.sparkSession, batch_df, "vec_id", "embedding",
+            seq=batch_id,
+        )
+
+    def run_stream():
+        src = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(replay))
+        )
+        q = incremental_append(src, apply, ckpt)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    land(0); land(1)
+    run_stream()
+    assert idx.n_batches() == 2
+    mtimes = {
+        d: os.path.getmtime(os.path.join(root, "assignments", d))
+        for d in os.listdir(os.path.join(root, "assignments"))
+    }
+
+    land(2)
+    run_stream()  # restart on the same checkpoint
+    assert idx.n_batches() == 3
+    for d, mt in mtimes.items():  # earlier batches untouched on restart
+        assert os.path.getmtime(os.path.join(root, "assignments", d)) == mt
+
+    probes = all_df.filter("vec_id % 6 = 0")
+    got = sorted(
+        (r.probe_id, r.neighbor_id, r.rank)
+        for r in idx.topk(spark, probes, "vec_id", "embedding", k=3).collect()
+    )
+    ref_idx = IVFIndex(str(tmp_path / "idx_ref")).create(
+        cent, "vec_id", "embedding"
+    )
+    ref_idx.apply_batch(spark, all_df, "vec_id", "embedding")
+    ref = sorted(
+        (r.probe_id, r.neighbor_id, r.rank)
+        for r in ref_idx.topk(
+            spark, probes, "vec_id", "embedding", k=3
+        ).collect()
+    )
+    assert got == ref and len(got) > 0

@@ -60,8 +60,14 @@ def main() -> int:
         .localCheckpoint(eager=True)
     )
 
-    out: dict[str, dict] = {"index_delta_apply": {}}
+    # The tombstone set is also IDENTICAL at both scales: 200 ids from
+    # the indexed corpus's low range (delete cost must scale with
+    # |tombstones|, never |corpus| — round-7 verdict #1's delete probe).
+    tomb_ids = list(range(0, 2000, 10))
+
+    out: dict[str, dict] = {"index_delta_apply": {}, "index_delete": {}}
     row = out["index_delta_apply"]
+    drow = out["index_delete"]
     for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         root = os.path.join(tempfile.gettempdir(), f"asde_idx_probe_{label}")
         shutil.rmtree(root, ignore_errors=True)
@@ -75,7 +81,13 @@ def main() -> int:
         n = idx.apply_batch(spark, delta_src, "text", "doc_id").count()
         row[label] = round(time.monotonic() - t0, 2)
         row[f"pairs_{label}"] = n
+        # fixed 200-id tombstone batch: one tiny parquet write,
+        # independent of how much index state sits under the root
+        t0 = time.monotonic()
+        idx.delete(spark, tomb_ids)
+        drow[label] = round(time.monotonic() - t0, 2)
     row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+    drow["ratio"] = round(drow["sf1"] / max(drow["sf0.1"], 1e-9), 2)
     print(json.dumps({"probe": out}))
     return 0
 
