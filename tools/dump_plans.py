@@ -65,6 +65,9 @@ SHOWCASE = [
     "dedup_cdc_segments",
     "search_ndcg_eval",
     # round-8 additions
+    "graph_kcore_peel",
+    "pagerank_copurchase",
+    "dedup_connected_components",
     "dedup_index_delete_equiv",
     "ann_ivf_compacted_equiv",
     "ann_ivf_delete_equiv",
