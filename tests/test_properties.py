@@ -1096,3 +1096,67 @@ def test_kcenter_trace_matches_python_oracle(spark, vecs):
             for i in range(len(vecs))
         ]
     assert got == want
+
+
+# ---- splittable JSON: random documents x random split sizes ----------
+
+_json_chars = st.sampled_from(list('"\\{}[]\n\t ,:abxé漢😀0'))
+_elem_st = st.fixed_dictionaries(
+    {
+        "a": st.one_of(
+            st.none(), st.text(alphabet=_json_chars, max_size=16)
+        ),
+        "b": st.integers(-(10**6), 10**6),
+    }
+)
+
+
+@SETTINGS
+@given(
+    elems=st.lists(_elem_st, max_size=12),
+    split_bytes=st.integers(1, 64),
+    indent=st.sampled_from([None, 1]),
+    ensure_ascii=st.booleans(),
+)
+def test_splittable_json_matches_json_loads(
+    spark, elems, split_bytes, indent, ensure_ascii
+):
+    """read_json_splittable over ARBITRARY array-of-objects files —
+    quote/backslash/brace/newline/unicode soup, compact or
+    pretty-printed, raw UTF-8 or \\u-escaped — must reproduce exactly
+    the elements json.loads sees, at every split size (1-byte splits
+    put a chunk boundary inside every escape sequence)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from amazon_sales_data_engineering_spark.sources.splittable_json import (
+        read_json_splittable,
+    )
+
+    body = _json.dumps(elems, indent=indent, ensure_ascii=ensure_ascii)
+    fd, path = _tempfile.mkstemp(suffix=".json")
+    try:
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(body)
+        schema = T.StructType(
+            [
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.LongType()),
+            ]
+        )
+        got = sorted(
+            ((r["a"], r["b"]) for r in read_json_splittable(
+                spark, path, schema, split_bytes=split_bytes
+            ).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        want = sorted(
+            ((e["a"], e["b"]) for e in elems),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        assert got == want
+    finally:
+        _os.unlink(path)

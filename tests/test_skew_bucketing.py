@@ -189,3 +189,41 @@ def test_band_index_bucketed_join_has_no_exchange(spark):
         assert "Bucketed: true" in join_part, join_part[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compacted_ivf_scan_prunes_partitions_dynamically(spark, tmp_path):
+    """The compacted IVF generation is written PARTITIONED BY
+    centroid_id so a probe's nprobe lists prune at the SCAN: the list
+    scan must carry a dynamicpruning PartitionFilter on centroid_id
+    (fed by the broadcast probe-list side). Without it, every query
+    reads every inverted list — the difference between touching nprobe
+    directories and the whole corpus at 100 TB."""
+    from amazon_sales_data_engineering_spark.operators.ann_index import IVFIndex
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)])
+            for i in range(64)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    idx = IVFIndex(str(tmp_path / "ivf")).create(
+        vecs.filter("vec_id % 8 = 0"), "vec_id", "embedding"
+    )
+    for b in range(2):
+        idx.apply_batch(
+            spark, vecs.filter(f"vec_id % 2 = {b}"), "vec_id", "embedding"
+        )
+    comp = idx.compact_to(spark, str(tmp_path / "ivf_c"))
+    tk = comp.topk(
+        spark, vecs.filter("vec_id % 16 = 0"), "vec_id", "embedding",
+        k=3, nprobe=2,
+    )
+    plan = tk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression(cast(centroid_id" in plan, plan[:4000]
+    # and the result over the pruned scan is still the full answer
+    assert tk.count() > 0
