@@ -332,10 +332,14 @@ def ann_ivf_compacted_equiv(spark: SparkSession, sf_dir: str):
     "survivors. Oracle: ann_ivf_topk's clone-free from-scratch "
     "formulation VERBATIM — a sharp gate, because a broken anti-join "
     "would put a cosine-1.0 clone at rank 1 of every probe and shift "
-    "every true neighbor down. Delete cost is O(|tombstones|) — one "
-    "tiny parquet append, no list file touched (probe: "
-    "tools/index_delta_probe.py); physical reclaim rides compact_to "
-    "(which shares this oracle via ann_ivf_compacted_equiv's path).",
+    "every true neighbor down. Clone ids are offset by max(vec_id)+1 — "
+    "DATA-DERIVED, because any fixed constant eventually collides with "
+    "real ids (the sf1 probe corpus is built from +1e6 key-shifted "
+    "copies, and a +1e6 clone offset silently deleted copy-1's real "
+    "vectors). Delete cost is O(|tombstones|) — one tiny parquet "
+    "append, no list file touched (probe: tools/index_delta_probe.py); "
+    "physical reclaim rides compact_to (which shares this oracle via "
+    "ann_ivf_compacted_equiv's path).",
     tags=("similarity", "ivf", "incremental", "index", "delete"),
 )
 def ann_ivf_delete_equiv(spark: SparkSession, sf_dir: str):
@@ -352,8 +356,9 @@ def ann_ivf_delete_equiv(spark: SparkSession, sf_dir: str):
     idx = IVFIndex(root).create(
         v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
     )
+    off = v.agg(F.max("vec_id")).first()[0] + 1  # clear of every real id
     clones = v.select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
     )
     for b in range(2):
         idx.apply_batch(
@@ -430,7 +435,8 @@ par AS (
 corpus AS (
   SELECT vec_id, e FROM v
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x + 2.0) AS e
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM v) AS vec_id,
+         list_transform(e, x -> x + 2.0) AS e
   FROM v
 ),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
@@ -452,7 +458,7 @@ GROUP BY centroid_id
     doc="RECALL-DRIFT MONITOR for the maintained IVF index (round-7 "
     "verdict #4): the quantizer is fixed over the ORIGINAL corpus "
     "distribution, then a deliberately drifted second batch arrives — "
-    "every vector shifted by +2.0 per component (ids offset by 10^6), "
+    "every vector shifted by +2.0 per component (ids offset by the data-derived max(vec_id)+1), "
     "collapsing the batch toward the all-ones direction so its "
     "assignments pile onto the few centroids nearest that direction. "
     "list_stats returns per-centroid live-list sizes; the drifted "
@@ -484,8 +490,12 @@ def ann_ivf_drift_monitor(spark: SparkSession, sf_dir: str):
         spark, v.select("vec_id", as_double.alias("embedding")),
         "vec_id", "embedding",
     )
+    # drifted ids offset by max(vec_id)+1 — data-derived, so they can
+    # never collide with a real id at any sf (the +1e6 constant did, on
+    # the key-shifted sf1 probe corpus)
+    off = v.agg(F.max("vec_id")).first()[0] + 1
     drifted = v.select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x.cast("double") + F.lit(2.0)
         ).alias("embedding"),
