@@ -129,6 +129,20 @@ CEILINGS: dict[str, float] = {
     "dedup_winnowing": 3.0,  # 1.68 measured idle
     "dedup_cdc_segments": 2.0,  # 1.01 measured idle
     "search_ndcg_eval": 2.0,  # 1.21 measured idle
+    # round-8 ops
+    "dedup_index_delete_equiv": 3.5,  # 1.74 measured idle
+    "dedup_index_delete_compacted_equiv": 3.5,  # 1.93 measured idle
+    "ann_ivf_compacted_equiv": 3.5,  # 1.80 measured idle
+    "ann_ivf_delete_equiv": 3.5,  # 1.95 measured idle
+    # corpus x k reassignment with the sqrt-growing quantizer — the one
+    # deliberately corpus-sized lifecycle op (== fresh-build cost by
+    # design); 3.65 measured idle
+    "ann_ivf_requantized_equiv": 6.0,
+    "ann_ivf_drift_monitor": 4.0,  # 2.14 measured idle (2x corpus scan)
+    # per-micro-batch fixed streaming overhead amortizes as batches
+    # carry more rows; 7.09 measured idle at 10x
+    "streaming_index_ann": 11.0,
+    "json_splittable_roundtrip": 9.0,  # 5.20 measured idle (2-pass scan)
 }
 
 
