@@ -22,7 +22,12 @@ module is that maintained index:
   glob would read a crashed epoch's partial assignment rows and return
   top-k over a partially-assigned corpus (round-7 ADVICE). ``seq`` is
   caller-assignable and writes are mode=overwrite, so a streaming
-  foreachBatch caller gets idempotent retry + ``completed(seq)``
+  foreachBatch caller gets idempotent retry + ``completed(seq)``.
+  Requires ``mapreduce.fileoutputcommitter.marksuccessfuljobs=true``
+  (the Hadoop default) — every write asserts its marker immediately,
+  so a cluster configured otherwise fails fast instead of silently
+  hiding committed batches (round-8 ADVICE; see
+  dedup_index._assert_job_committed)
   restart-skip — the exact MinHashDedupIndex convention.
 - **Maintenance = append**: a batch broadcasts the centroid table over
   the DELTA only (|Δ|×k work, never corpus-sized) and appends its
@@ -64,7 +69,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup_index import _tombstone_frame
+from .dedup_index import _assert_job_committed, _guard_new_root, _tombstone_frame
 from .similarity import cosine
 
 
@@ -186,13 +191,15 @@ class IVFIndex:
         if seq is None:
             seq = len(self._batch_dirs())
         cent = self._centroids(spark)
+        batch_dir = os.path.join(
+            self.root, "assignments", f"batch_{seq:05d}"
+        )
         self._nearest(
             vectors, cent, "id", 1, id_col, vec_col
         ).select("centroid_id", "id", F.col("v").alias("vec")).write.mode(
             "overwrite"
-        ).parquet(
-            os.path.join(self.root, "assignments", f"batch_{seq:05d}")
-        )
+        ).parquet(batch_dir)
+        _assert_job_committed(batch_dir)
         return seq
 
     def delete(self, spark: SparkSession, ids, seq: int | None = None) -> int:
@@ -205,9 +212,9 @@ class IVFIndex:
         tomb = _tombstone_frame(spark, ids, "id")
         if seq is None:
             seq = len(self._committed("tombstones"))
-        tomb.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.root, "tombstones", f"batch_{seq:05d}")
-        )
+        tomb_dir = os.path.join(self.root, "tombstones", f"batch_{seq:05d}")
+        tomb.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+        _assert_job_committed(tomb_dir)
         return seq
 
     def list_stats(self, spark: SparkSession) -> DataFrame:
@@ -236,6 +243,7 @@ class IVFIndex:
         are never disturbed; the caller swaps roots when the new
         generation commits. Gated: ann_ivf_compacted_equiv +
         ann_ivf_delete_equiv share ann_ivf_topk's oracle."""
+        _guard_new_root(self.root, new_root, "compact_to")
         lists = self._read_lists(spark)
         new = IVFIndex(new_root)
         self._centroids(spark).write.mode("overwrite").parquet(
@@ -243,11 +251,11 @@ class IVFIndex:
         )
         # one file per list: repartition clusters each centroid's rows
         # before the partitioned write
+        gen_dir = os.path.join(new_root, "assignments", "batch_00000")
         lists.repartition("centroid_id").write.mode(
             "overwrite"
-        ).partitionBy("centroid_id").parquet(
-            os.path.join(new_root, "assignments", "batch_00000")
-        )
+        ).partitionBy("centroid_id").parquet(gen_dir)
+        _assert_job_committed(gen_dir)
         return new
 
     def requantize(
@@ -269,6 +277,7 @@ class IVFIndex:
         is exactly what ann_ivf_requantized_equiv proves it equals.
         Tombstones are applied on read; the new generation starts
         tombstone-free."""
+        _guard_new_root(self.root, new_root, "requantize")
         live = self._read_lists(spark).select("id", "vec")
         new = IVFIndex(new_root).create(new_centroids, id_col, vec_col)
         new.apply_batch(spark, live, "id", "vec")

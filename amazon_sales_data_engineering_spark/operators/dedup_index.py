@@ -44,6 +44,14 @@ at gate scale the join shuffles the delta plus the touched index rows.
 The per-batch output is eagerly localCheckpointed BEFORE the append so
 the returned plan never re-reads index directories that now include the
 delta itself.
+
+CONF REQUIREMENT: batch visibility is keyed on Hadoop ``_SUCCESS``
+job-commit markers, so the session must keep
+``mapreduce.fileoutputcommitter.marksuccessfuljobs=true`` (the Hadoop
+default). Every index write asserts the marker immediately after the
+job commits (``_assert_job_committed``) so a cluster configured with
+``false`` fails fast at write time instead of silently hiding all
+committed batches from reads (round-8 ADVICE).
 """
 
 from __future__ import annotations
@@ -57,6 +65,40 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import seeded_md5
 from .dedup import shingles
+
+
+def _assert_job_committed(path: str) -> None:
+    """Fail fast when the Hadoop job-commit marker is absent right after
+    a write. Batch visibility (``_dirs``/``completed``/``n_batches``) is
+    keyed on ``_SUCCESS``; under
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` (a common
+    prod setting) every committed batch would silently vanish from reads
+    — MinHash apply_batch would then drop all prior-corpus candidates
+    without an error. Raising at WRITE time turns that silent data loss
+    into an immediate, attributable failure (round-8 ADVICE)."""
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        raise RuntimeError(
+            f"no _SUCCESS job-commit marker under {path!r} immediately "
+            "after the write. The maintained indexes key batch "
+            "visibility on the marker, so this session must run with "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true (the "
+            "Hadoop default) — a batch written without it would be "
+            "invisible to every subsequent read."
+        )
+
+
+def _guard_new_root(root: str, new_root: str, op: str) -> None:
+    """Copy-on-write ops must target a FRESH root. Passing the live root
+    would destroy the index: requantize rmtree's ``new_root`` (via
+    ``create``) before the lazy read of the OLD lists executes, and
+    compact_to would overwrite generations readers still hold open
+    (round-8 ADVICE)."""
+    if os.path.abspath(new_root) == os.path.abspath(root):
+        raise ValueError(
+            f"{op} requires a fresh root: new_root == current root "
+            f"({os.path.abspath(root)!r}). Write the new generation "
+            "elsewhere and swap roots once it commits."
+        )
 
 
 def _tombstone_frame(
@@ -285,12 +327,12 @@ class MinHashDedupIndex:
             seq = self.n_batches()
         if pairs_dir is not None:
             pairs.write.mode("overwrite").parquet(pairs_dir)
-        self._band_rows(delta).write.mode("overwrite").parquet(
-            os.path.join(self.root, "bands", f"batch_{seq:05d}")
-        )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.root, "summaries", f"batch_{seq:05d}")
-        )
+        bands_dir = os.path.join(self.root, "bands", f"batch_{seq:05d}")
+        summ_dir = os.path.join(self.root, "summaries", f"batch_{seq:05d}")
+        self._band_rows(delta).write.mode("overwrite").parquet(bands_dir)
+        delta.write.mode("overwrite").parquet(summ_dir)
+        _assert_job_committed(bands_dir)
+        _assert_job_committed(summ_dir)
         delta.unpersist()
         return pairs
 
@@ -321,9 +363,9 @@ class MinHashDedupIndex:
         tomb = _tombstone_frame(spark, doc_ids, "doc_id")
         if seq is None:
             seq = len(self._tomb_dirs())
-        tomb.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.root, "tombstones", f"batch_{seq:05d}")
-        )
+        tomb_dir = os.path.join(self.root, "tombstones", f"batch_{seq:05d}")
+        tomb.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+        _assert_job_committed(tomb_dir)
         return seq
 
     def completed(self, seq: int) -> bool:
@@ -360,6 +402,7 @@ class MinHashDedupIndex:
         delta finds exactly the pairs the uncompacted index finds;
         dedup_index_delete_compacted_equiv proves the same with
         tombstones applied."""
+        _guard_new_root(self.root, new_root, "compact_to")
         dirs = self._dirs("summaries")
         if not dirs:
             raise ValueError(f"nothing to compact under {self.root!r}")
@@ -369,10 +412,12 @@ class MinHashDedupIndex:
         new = MinHashDedupIndex(
             new_root, self.num_hashes, self.bands, self.k, self.threshold
         )
+        nb = os.path.join(new_root, "bands", "batch_00000")
+        ns = os.path.join(new_root, "summaries", "batch_00000")
         self._band_rows(merged).coalesce(target_files).write.mode(
             "overwrite"
-        ).parquet(os.path.join(new_root, "bands", "batch_00000"))
-        merged.write.mode("overwrite").parquet(
-            os.path.join(new_root, "summaries", "batch_00000")
-        )
+        ).parquet(nb)
+        merged.write.mode("overwrite").parquet(ns)
+        _assert_job_committed(nb)
+        _assert_job_committed(ns)
         return new

@@ -4,18 +4,34 @@
 Runs every registry query tagged ``bench`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``, forcing full execution through the noop sink
-(no driver collect). Prints ONE JSON line:
+(no driver collect). Prints ONE compact JSON line LAST:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Besides wall-clock the line carries ``plan_metrics`` — per-query SHUFFLE
-WRITE BYTES/RECORDS and SCAN BYTES/RECORDS summed from the Spark stage
-API over the final measured execution (round-7 verdict #6). Wall-clock
-on a shared host swings ±20% with contention (the round-7 variance
-saga: 44-50s sittings that A/B-flipped against the same code); the
-plan-cost numbers are DETERMINISTIC for a fixed plan and data, so a
-plan regression (lost pushdown, broadcast fell back to shuffle, an
-extra exchange) is detectable from ONE run on a noisy host:
-``python tools/bench_gate.py BENCH_rPREV.json <new>.json`` diffs them.
+The driver records only a 2000-char tail of stdout, so the final line
+must stay small (round-9 verdict #1: the round-8 line embedded
+~10 KB of plan metrics and the driver's BENCH_r08.json came back
+``parsed: null``). Emission contract, unit-tested in
+tests/test_bench_emit.py:
+
+- the LAST stdout line is the compact headline JSON (metric, value,
+  unit, queries at millisecond resolution, sf, canaries) and stays
+  under the budget a 2000-char tail can carry;
+- everything heavyweight — per-query plan metrics (shuffle write
+  bytes/records, scan bytes/records from the Spark stage API), their
+  totals, and a redundant full-precision copy of the timings — goes to
+  the SIDECAR file ``BENCH_PLAN_METRICS.json`` next to this script
+  (override with $SPARK_GRAFT_BENCH_SIDECAR), which
+  ``tools/bench_gate.py`` reads.
+
+Wall-clock on a shared host swings ±20% with contention (the round-7
+variance saga: 44-50s sittings that A/B-flipped against the same
+code); the plan-cost numbers are DETERMINISTIC for a fixed plan and
+data, so a plan regression (lost pushdown, broadcast fell back to
+shuffle, an extra exchange) is detectable from ONE run on a noisy
+host. ``--gate PREV.json`` diffs the fresh sidecar against a previous
+bench record in-process (same logic as ``tools/bench_gate.py``) and
+exits nonzero on a plan regression — wiring the gate into the flow
+(round-9 verdict #4).
 """
 
 from __future__ import annotations
@@ -27,29 +43,52 @@ import sys
 import time
 import urllib.request
 
+SIDECAR_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_PLAN_METRICS.json")
+# Headroom under the driver's 2000-char stdout tail: the tail may also
+# catch a trailing newline / stray log line, and the bench set grows a
+# few queries per round. tests/test_bench_emit.py fails the build when
+# the projected line outgrows this, BEFORE the driver record breaks.
+HEADLINE_BUDGET = 1900
 
-def _stages(spark) -> list[dict]:
-    """Completed stages from the local UI's REST API ([] if the UI is
-    off or unreachable — plan metrics then degrade to absent, never
-    wrong)."""
+
+def _stages(spark) -> list[dict] | None:
+    """Completed stages from the local UI's REST API.
+
+    Returns None when the watermark is UNAVAILABLE (UI off, fetch
+    failed/timed out) — distinct from a successful-but-empty listing.
+    Callers must skip metric capture on None rather than treating it
+    as "no stages": summing every stage since app start would record
+    silently wrong plan metrics (round-8 ADVICE, bench.py:47).
+    """
     base = spark.sparkContext.uiWebUrl
     if not base:
-        return []
+        return None
     app = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
     try:
         with urllib.request.urlopen(url, timeout=10) as r:
             return json.loads(r.read())
     except Exception:  # noqa: BLE001
-        return []
+        return None
 
 
-def _max_stage_id(spark) -> int:
-    return max((s["stageId"] for s in _stages(spark)), default=-1)
+def _max_stage_id(spark) -> int | None:
+    """Stage-id watermark, or None when the stage API is unreachable
+    (degrade to ABSENT metrics, never wrong ones)."""
+    stages = _stages(spark)
+    if stages is None:
+        return None
+    return max((s["stageId"] for s in stages), default=-1)
 
 
-def _metrics_since(spark, watermark: int) -> dict[str, int] | None:
-    new = [s for s in _stages(spark) if s["stageId"] > watermark]
+def _metrics_since(spark, watermark: int | None) -> dict[str, int] | None:
+    if watermark is None:
+        return None
+    stages = _stages(spark)
+    if not stages:  # None (fetch failed) or [] (nothing ran?!) — skip
+        return None
+    new = [s for s in stages if s["stageId"] > watermark]
     if not new:
         return None
     return {
@@ -63,7 +102,36 @@ def _metrics_since(spark, watermark: int) -> dict[str, int] | None:
     }
 
 
-def _run() -> None:
+def headline_line(payload: dict) -> str:
+    """The single driver-facing stdout line: compact separators, no
+    plan metrics. Shared with tests/test_bench_emit.py."""
+    slim = {k: v for k, v in payload.items()
+            if k not in ("plan_metrics", "plan_totals",
+                         "queries_full_precision")}
+    return json.dumps(slim, separators=(",", ":"))
+
+
+def emit(payload: dict, sidecar_path: str = SIDECAR_DEFAULT) -> str:
+    """Write the full payload (plan metrics + full-precision timings)
+    to the sidecar, print the compact headline line LAST, return it."""
+    with open(sidecar_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    line = headline_line(payload)
+    print(f"plan metrics + full-precision timings -> {sidecar_path}")
+    print(line)
+    return line
+
+
+def _run() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", metavar="PREV_BENCH_JSON", default=None,
+                    help="after benching, diff plan metrics against this "
+                         "previous bench/sidecar record; exit 1 on a plan "
+                         "regression")
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -100,6 +168,7 @@ def _run() -> None:
 
     canary_first = canary()
     timings: dict[str, float] = {}
+    timings_full: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
     for name, q in sorted(bench_queries().items()):
         # warm-up once (JIT/codegen/file listing), then best-of-2 measured.
@@ -115,39 +184,55 @@ def _run() -> None:
         # identical data/conf, so these are per-plan constants)
         w = _max_stage_id(spark)
         t2 = run_once()
-        timings[name] = round(min(t1, t2), 4)
+        best = min(t1, t2)
+        # millisecond resolution in the driver-facing line keeps 54+
+        # queries inside the 2000-char tail; the sidecar keeps 4dp.
+        timings[name] = round(best, 3)
+        timings_full[name] = round(best, 4)
         pm = _metrics_since(spark, w)
         if pm is not None:
             plan_metrics[name] = pm
 
     canary_last = canary()
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "canary_first_sec": canary_first,
-                "canary_last_sec": canary_last,
-                "plan_metrics": plan_metrics,
-                "plan_totals": {
-                    k: sum(pm[k] for pm in plan_metrics.values())
-                    for k in (
-                        "shuffle_write_bytes",
-                        "shuffle_write_records",
-                        "input_bytes",
-                        "input_records",
-                    )
-                }
-                if plan_metrics
-                else {},
-            }
-        )
-    )
+    total = round(sum(timings_full.values()), 4)
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary_first_sec": canary_first,
+        "canary_last_sec": canary_last,
+        # sidecar-only extras (stripped from the headline line):
+        "plan_metrics": plan_metrics,
+        "plan_totals": {
+            k: sum(pm[k] for pm in plan_metrics.values())
+            for k in (
+                "shuffle_write_bytes",
+                "shuffle_write_records",
+                "input_bytes",
+                "input_records",
+            )
+        }
+        if plan_metrics
+        else {},
+        "queries_full_precision": timings_full,
+    }
     spark.stop()
+
+    rc = 0
+    if args.gate:
+        # gate BEFORE the headline print so its report lands above the
+        # driver-facing last line, never after it.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from bench_gate import diff_plan_metrics, load  # noqa: PLC0415
+
+        old = load(args.gate)
+        rc = diff_plan_metrics(old, payload)
+    emit(payload, os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
+                                 SIDECAR_DEFAULT))
+    return rc
 
 
 if __name__ == "__main__":

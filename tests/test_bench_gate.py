@@ -75,3 +75,33 @@ def test_absolute_floor_suppresses_tiny_diffs(tmp_path):
     new = {"q1": {**BASE["q1"], "shuffle_write_bytes": 1_800}}
     r = _run(_bench(old), _bench(new), tmp_path)
     assert r.returncode == 0
+
+
+def test_small_record_regressions_are_flagged(tmp_path):
+    """Round-8 ADVICE: the 1 KiB floor must NOT apply to record counts —
+    a lost broadcast on a small query (100 -> 900 records) is exactly
+    deterministic and must flag."""
+    old = {"q1": {**BASE["q1"], "shuffle_write_records": 100}}
+    new = {"q1": {**BASE["q1"], "shuffle_write_records": 900}}
+    r = _run(_bench(old), _bench(new), tmp_path)
+    assert r.returncode == 1
+    assert "shuffle_write_records" in r.stdout
+
+
+def test_driver_record_wrapper_shape_loads(tmp_path):
+    """Driver BENCH_r*.json wraps the parsed line as {"parsed": {...}} —
+    load() must unwrap it."""
+    old = {"n": 1, "rc": 0, "tail": "...", "parsed": _bench(BASE)}
+    new = {"q1": {**BASE["q1"], "shuffle_write_records": 12_000}}  # +20%
+    r = _run(old, _bench(new), tmp_path)
+    assert r.returncode == 1
+    assert "shuffle_write_records" in r.stdout
+
+
+def test_missing_new_metrics_is_inconclusive_not_fail(tmp_path):
+    """If the stage API was down for the whole new run, metrics degrade
+    to absent — the gate reports inconclusive and exits 0 (never treats
+    absent as zero/regressed)."""
+    r = _run(_bench(BASE), {"value": 1.0, "queries": {}}, tmp_path)
+    assert r.returncode == 0
+    assert "inconclusive" in r.stdout

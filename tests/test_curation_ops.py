@@ -431,6 +431,53 @@ def test_suffix_apply_empty_doc_vanishes(spark):
     assert {r.id for r in spans} == {"d3"}
 
 
+def test_copy_on_write_ops_reject_live_root(tmp_path):
+    """Round-8 ADVICE: compact_to/requantize with new_root == root would
+    destroy the live index (requantize rmtree's the root before the lazy
+    read of the OLD lists executes). Must raise ValueError up front —
+    pure path check, no Spark work. Relative-path aliasing of the same
+    dir must also be caught (abspath comparison)."""
+    import pytest
+
+    from amazon_sales_data_engineering_spark.operators.ann_index import (
+        IVFIndex,
+    )
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+
+    root = str(tmp_path / "idx")
+    alias = str(tmp_path / "sub" / ".." / "idx")
+    for fn in (
+        lambda r: MinHashDedupIndex(root).compact_to(None, r),
+        lambda r: IVFIndex(root).compact_to(None, r),
+        lambda r: IVFIndex(root).requantize(None, None, r, "id", "vec"),
+    ):
+        with pytest.raises(ValueError, match="fresh root"):
+            fn(root)
+        with pytest.raises(ValueError, match="fresh root"):
+            fn(alias)
+
+
+def test_missing_success_marker_fails_fast(tmp_path):
+    """Round-8 ADVICE: a write that produced no _SUCCESS marker (e.g.
+    marksuccessfuljobs=false) must raise at WRITE time, not silently
+    drop the batch from every subsequent read."""
+    import pytest
+
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        _assert_job_committed,
+    )
+
+    d = tmp_path / "batch_00000"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+        _assert_job_committed(str(d))
+    (d / "_SUCCESS").write_bytes(b"")
+    _assert_job_committed(str(d))  # marker present -> no raise
+
+
 def test_dedup_index_compaction_reduces_files_same_answer(spark, tmp_path):
     """compact_to merges N batch dirs into one generation with fewer
     files, and a subsequent delta finds EXACTLY the pairs the

@@ -1,21 +1,27 @@
 #!/usr/bin/env python
-"""Plan-cost regression gate over bench JSON (round-7 verdict #6).
+"""Plan-cost regression gate over bench records (round-7 verdict #6,
+wired into the flow per round-9 verdict #4 via ``bench.py --gate`` and
+``tools/round_close.py``).
 
 Wall-clock on a shared host swings with contention (the round-7
 variance saga: the same commit benched 41s idle and 48s during sweeps,
 and A/B comparisons flipped sign), so seconds alone cannot prove a plan
 regression. bench.py therefore records per-query SHUFFLE WRITE
 BYTES/RECORDS and SCAN BYTES/RECORDS from the stage API — deterministic
-for a fixed plan + data — and this tool diffs two bench JSON lines:
+for a fixed plan + data — in its sidecar ``BENCH_PLAN_METRICS.json``,
+and this tool diffs two records:
 
-    python tools/bench_gate.py BENCH_r08.json /tmp/bench_now.json
+    python tools/bench_gate.py BENCH_PLAN_METRICS_r08.json BENCH_PLAN_METRICS.json
 
-Flags any query whose shuffle_write_records grew (> --tol, default 5%;
-records are exactly deterministic) or whose shuffle_write_bytes /
-input_bytes grew materially (> --tol-bytes, default 15% — bytes wobble
-slightly with compression framing). Exit 1 on any flag — a plan
-regression is now detectable from ONE run on a noisy host. New queries
-(absent from the old file) are reported informationally, never flagged.
+Flags any query whose record counts grew (> --tol, default 5%; records
+are exactly deterministic, so ANY growth above tolerance is real — no
+absolute floor) or whose shuffle_write_bytes / input_bytes grew
+materially (> --tol-bytes, default 15%, AND by more than a 1 KiB
+absolute floor — bytes wobble slightly with compression framing).
+Round-8 ADVICE fix: the old code applied the 1 KiB floor to record
+counts too, so a lost broadcast on a small query (100 -> 900 records)
+was never flagged. Exit 1 on any flag. New queries (absent from the
+old record) are reported informationally, never flagged.
 """
 
 from __future__ import annotations
@@ -28,8 +34,13 @@ import sys
 def load(path: str) -> dict:
     with open(path) as fh:
         txt = fh.read().strip()
-    try:  # a whole-file JSON document (driver-recorded BENCH_r*.json)
-        return json.loads(txt)
+    try:  # a whole-file JSON document (sidecar / driver BENCH_r*.json)
+        doc = json.loads(txt)
+        # driver records wrap the parsed line: {"tail":..., "parsed": {...}}
+        if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+            return doc["parsed"]
+        if isinstance(doc, dict):
+            return doc
     except ValueError:
         pass
     # else bench stdout: one JSON line, possibly amid log noise
@@ -43,36 +54,37 @@ def load(path: str) -> dict:
     raise ValueError(f"{path}: no JSON document found")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
-    ap.add_argument("--tol", type=float, default=0.05,
-                    help="relative growth allowed for record counts")
-    ap.add_argument("--tol-bytes", type=float, default=0.15,
-                    help="relative growth allowed for byte counts")
-    args = ap.parse_args()
-    old, new = load(args.old), load(args.new)
+def diff_plan_metrics(old: dict, new: dict,
+                      tol: float = 0.05, tol_bytes: float = 0.15) -> int:
+    """Print a diff report; return 0 clean / 1 on any plan regression."""
     om, nm = old.get("plan_metrics") or {}, new.get("plan_metrics") or {}
     if not om:
-        print(f"{args.old} carries no plan_metrics — nothing to gate "
+        print("old record carries no plan_metrics — nothing to gate "
               "(first instrumented round); recording only.")
+        return 0
+    if not nm:
+        print("NEW record carries no plan_metrics — stage API was "
+              "unreachable for every query; gate is inconclusive "
+              "(metrics degrade to absent, never wrong). Re-run bench.")
         return 0
     flags: list[str] = []
     fresh: list[str] = []
+    # (key, relative tolerance, absolute materiality floor). Records are
+    # exactly deterministic -> floor 0; bytes wobble with compression
+    # framing -> 1 KiB floor.
     checks = (
-        ("shuffle_write_records", args.tol),
-        ("input_records", args.tol),
-        ("shuffle_write_bytes", args.tol_bytes),
-        ("input_bytes", args.tol_bytes),
+        ("shuffle_write_records", tol, 0),
+        ("input_records", tol, 0),
+        ("shuffle_write_bytes", tol_bytes, 1024),
+        ("input_bytes", tol_bytes, 1024),
     )
     for name in sorted(nm):
         if name not in om:
             fresh.append(name)
             continue
-        for key, tol in checks:
+        for key, t, floor in checks:
             o, n = om[name].get(key, 0), nm[name].get(key, 0)
-            if n > o * (1 + tol) and n - o > 1024:
+            if n > o * (1 + t) and n - o > floor:
                 flags.append(
                     f"{name}: {key} {o} -> {n} "
                     f"(+{(n - o) / max(o, 1):.0%})"
@@ -89,10 +101,22 @@ def main() -> int:
         return 1
     print(
         f"plan metrics clean: {len([n for n in nm if n in om])} queries "
-        f"within tolerance (records {args.tol:.0%}, bytes "
-        f"{args.tol_bytes:.0%})"
+        f"within tolerance (records {tol:.0%}, bytes {tol_bytes:.0%})"
     )
     return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--tol", type=float, default=0.05,
+                    help="relative growth allowed for record counts")
+    ap.add_argument("--tol-bytes", type=float, default=0.15,
+                    help="relative growth allowed for byte counts")
+    args = ap.parse_args()
+    return diff_plan_metrics(load(args.old), load(args.new),
+                             args.tol, args.tol_bytes)
 
 
 if __name__ == "__main__":
