@@ -108,6 +108,17 @@ class IVFIndex:
             )
         )
 
+    def completed_delete(self, seq: int) -> bool:
+        """True when tombstone batch ``seq`` fully committed — the
+        restart-skip check for the DELETE half of a CDC epoch
+        (round-9 verdict #2); same mixed-epoch retry semantics as
+        MinHashDedupIndex.completed_delete."""
+        return os.path.isfile(
+            os.path.join(
+                self.root, "tombstones", f"batch_{seq:05d}", "_SUCCESS"
+            )
+        )
+
     def create(
         self, centroids: DataFrame, id_col: str, vec_col: str
     ) -> "IVFIndex":

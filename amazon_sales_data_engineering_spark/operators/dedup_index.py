@@ -381,6 +381,18 @@ class MinHashDedupIndex:
             )
         )
 
+    def completed_delete(self, seq: int) -> bool:
+        """True when tombstone batch ``seq`` fully committed — the
+        restart-skip check for the DELETE half of a CDC epoch
+        (round-9 verdict #2). Independent of ``completed``: a mixed
+        I+D epoch that crashed between its delete commit and its
+        insert commit retries ONLY the insert half."""
+        return os.path.isfile(
+            os.path.join(
+                self.root, "tombstones", f"batch_{seq:05d}", "_SUCCESS"
+            )
+        )
+
     def compact_to(
         self, spark: SparkSession, new_root: str, target_files: int = 8
     ) -> "MinHashDedupIndex":

@@ -916,6 +916,13 @@ FROM documents
     tags=("source", "json", "ingest", "scale"),
 )
 def json_splittable_roundtrip(spark: SparkSession, sf_dir: str):
+    return _json_splittable(spark, sf_dir, wrapper=False)
+
+
+def _json_splittable(spark: SparkSession, sf_dir: str, wrapper: bool):
+    """Shared body of the two splittable-JSON gates: write the documents
+    table as adversarial-payload JSON (bare array or wrapper object),
+    read it back through the element splitter at 64 KiB splits."""
     import hashlib
     import os
     import tempfile
@@ -931,19 +938,33 @@ def json_splittable_roundtrip(spark: SparkSession, sf_dir: str):
         .otherwise(F.col("text")),
         F.lit(""),
     )
+    rows = F.collect_list(F.struct("doc_id", "payload"))
+    body = (
+        # the common API-dump shape: scalar metadata keys AROUND the
+        # one element array (to_json emits them in struct field order)
+        F.to_json(
+            F.struct(
+                F.lit("asde").alias("source"),
+                rows.alias("rows"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        if wrapper
+        else F.to_json(rows)
+    )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"asde_json_split_{tag}")
+    kind = "wrap" if wrapper else "split"
+    out = os.path.join(tempfile.gettempdir(), f"asde_json_{kind}_{tag}")
     (
         t(spark, sf_dir, "documents")
         .select("doc_id", payload.alias("payload"))
         .groupBy((d % 2).alias("g"))
-        .agg(
-            F.to_json(
-                F.collect_list(F.struct("doc_id", "payload"))
-            ).alias("j")
-        )
-        .select("j")
+        .agg(body.alias("j"))
+        # ONE top-level JSON value per file — the splitter's contract
+        # (round-9: concatenated values per file now raise instead of
+        # silently merging); partitionBy gives each group its own dir.
         .write.mode("overwrite")
+        .partitionBy("g")
         .text(out)
     )
     schema = T.StructType(
@@ -953,11 +974,43 @@ def json_splittable_roundtrip(spark: SparkSession, sf_dir: str):
         ]
     )
     df = read_json_splittable(
-        spark, f"{out}/part-*", schema, split_bytes=64 << 10
+        spark, f"{out}/g=*/part-*", schema, split_bytes=64 << 10
     )
     return df.select(
         "doc_id", F.coalesce("payload", F.lit("")).alias("payload")
     )
+
+
+@register(
+    "json_splittable_wrapper",
+    oracle="""
+SELECT doc_id,
+       COALESCE(CASE WHEN doc_id % 4 = 0 THEN replace(text, ' ', chr(34))
+                     WHEN doc_id % 4 = 1 THEN replace(text, ' ', chr(92) || chr(34))
+                     WHEN doc_id % 4 = 2 THEN replace(text, ' ', chr(10))
+                     ELSE text END, '') AS payload
+FROM documents
+""",
+    doc="WRAPPER-OBJECT shape for the splittable JSON reader (round-9 "
+    "verdict #3 — generalizes the bare-array precondition): the "
+    "documents table is written as {\"source\": ..., \"rows\": [...], "
+    "\"n\": ...} files — the most common real-world API-dump layout — "
+    "with the same doc_id %% 4 adversarial payload injection as "
+    "json_splittable_roundtrip (quotes, backslash+quote pairs, raw "
+    "newlines), and read back at 64 KiB splits through "
+    "sources/splittable_json.read_json_splittable, which detects the "
+    "shape from the head byte and slices elements at depth 2 with the "
+    "same state-transfer automaton. Scalar metadata keys before AND "
+    "after the array prove wrapper content doesn't confuse element "
+    "slicing. Precondition violations RAISE (never silently drop): "
+    "non-object elements, object-valued wrapper keys, second arrays, "
+    "NDJSON — tests/test_splittable_json.py pins each raise path and "
+    "byte-parity vs the native multiLine reader + explode across "
+    "split sizes 1..60.",
+    tags=("source", "json", "ingest", "scale"),
+)
+def json_splittable_wrapper(spark: SparkSession, sf_dir: str):
+    return _json_splittable(spark, sf_dir, wrapper=True)
 
 
 @register(

@@ -1098,3 +1098,188 @@ def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_cpu(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0),
         "vec_id", "embedding", k=5, nprobe=2,
     )
+
+
+def _land_replay_file(df: DataFrame, replay: str, i: int) -> None:
+    """Land ``df`` as the ``i``-th mtime-ordered replay file under
+    ``replay`` (single parquet file, mtime = now + i so the file source
+    feeds micro-batches in landing order with maxFilesPerTrigger=1)."""
+    part = os.path.join(replay, f"_part_{i}")
+    df.coalesce(1).write.parquet(part)
+    now = time.time()
+    for fn in sorted(os.listdir(part)):
+        if fn.endswith(".parquet"):
+            dst = os.path.join(replay, f"{i:02d}-{fn}")
+            os.rename(os.path.join(part, fn), dst)
+            os.utime(dst, (now + i, now + i))
+    shutil.rmtree(part)
+
+
+from .dedup_ops import _DELETE_EQUIV_FILTER as _DEL_FILTER  # noqa: E402
+
+
+@register(
+    "streaming_index_dedup_cdc",
+    oracle=_LSH_FULL_PAIRS + _DEL_FILTER,
+    doc="CDC DELETES through the streaming dedup-index twin (round-9 "
+    "verdict #2): the replay is a change stream with op in {I,D} — "
+    "three insert epochs land the doc_id % 4 in 0..2 slices, a DELETE "
+    "epoch carries op=D tombstones for the doc_id % 5 == 0 slice of "
+    "the indexed corpus, and a final insert epoch applies the held-out "
+    "% 4 == 3 delta. streaming.cdc.cdc_index_sink routes each epoch: "
+    "op=D ids -> idx.delete(seq=batch_id), op=I rows -> apply_batch, "
+    "deletes first so an epoch's inserts verify against the "
+    "tombstone-filtered corpus. The answer is the FINAL epoch's pairs, "
+    "sharing dedup_index_delete_equiv's oracle VERBATIM (from-scratch "
+    "full-corpus pairs restricted to delta-touching pairs with no "
+    "deleted member) — proving stream-routed retractions == batch "
+    "delete == fresh build over survivors. Exactly-once: each half of "
+    "an epoch skips independently on its own _SUCCESS marker "
+    "(completed / completed_delete), so a redelivered delete epoch is "
+    "a no-op and a crashed mixed epoch retries only its uncommitted "
+    "half — pinned by test_cdc_delete_epoch_restart_exactly_once.",
+    tags=("streaming", "dedup", "incremental", "index", "sink", "delete",
+          "cdc"),
+)
+def streaming_index_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+    from ..streaming.cdc import cdc_index_sink
+    from ..streaming.ingest import incremental_append, stream_source
+    from .util import t_cpu
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    replay = os.path.join(tmp, f"asde_docs_cdc_replay_{tag}")
+    root = os.path.join(tmp, f"asde_stream_idx_cdc_{tag}")
+    ckpt = os.path.join(tmp, f"asde_stream_idx_cdc_ckpt_{tag}")
+    for d in (replay, root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(replay)
+
+    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ins(b: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 4 == b).select(
+            F.lit("I").alias("op"), "doc_id", "text"
+        )
+
+    dels = docs.filter(
+        (F.col("doc_id") % 4 < 3) & (F.col("doc_id") % 5 == 0)
+    ).select(
+        F.lit("D").alias("op"), "doc_id",
+        F.lit(None).cast("string").alias("text"),
+    )
+    for i, df in enumerate((ins(0), ins(1), ins(2), dels, ins(3))):
+        _land_replay_file(df, replay, i)
+
+    idx = MinHashDedupIndex(root)
+    pairs_root = os.path.join(root, "pairs")
+    apply = cdc_index_sink(
+        idx,
+        lambda d, seq: idx.apply_batch(
+            d.sparkSession, d, "text", "doc_id", seq=seq,
+            pairs_dir=os.path.join(pairs_root, f"batch_{seq:05d}"),
+        ),
+        "doc_id",
+    )
+    src = stream_source(
+        spark, replay, "op string, doc_id bigint, text string",
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, apply, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    last = sorted(_glob.glob(os.path.join(pairs_root, "batch_*")))[-1]
+    return spark.read.parquet(last)
+
+
+@register(
+    "streaming_index_ann_cdc",
+    oracle=_IVF_TOPK,  # shared with ann_ivf_topk / ann_ivf_delete_equiv
+    doc="CDC DELETES through the streaming IVF-index twin (round-9 "
+    "verdict #2, the similarity half): the replay is a change stream "
+    "with op in {I,D} — two insert epochs land the real corpus "
+    "(vec_id % 2), a third inserts a full set of cosine-1.0 CLONES "
+    "(ids offset by max(vec_id)+1, data-derived per the sf1 collision "
+    "lesson), and a DELETE epoch retracts every clone. "
+    "streaming.cdc.cdc_index_sink routes op=D ids to "
+    "idx.delete(seq=batch_id); top-k over the drained index shares "
+    "ann_ivf_topk's clone-free from-scratch oracle VERBATIM — sharp, "
+    "because one surviving clone would sit at rank 1 of its probe and "
+    "shift every true neighbor down. Exactly-once: delete epochs skip "
+    "on their own tombstone _SUCCESS marker (completed_delete), "
+    "independent of assignment commits — pinned by "
+    "test_cdc_delete_epoch_restart_exactly_once.",
+    tags=("streaming", "similarity", "ivf", "incremental", "index",
+          "sink", "delete", "cdc"),
+)
+def streaming_index_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import IVFIndex
+    from ..streaming.cdc import cdc_index_sink
+    from ..streaming.ingest import incremental_append, stream_source
+    from .util import t_cpu
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    replay = os.path.join(tmp, f"asde_emb_cdc_replay_{tag}")
+    root = os.path.join(tmp, f"asde_stream_ivf_cdc_{tag}")
+    ckpt = os.path.join(tmp, f"asde_stream_ivf_cdc_ckpt_{tag}")
+    for d in (replay, root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(replay)
+
+    v = t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = v.agg(F.max("vec_id")).first()[0] + 1  # clear of every real id
+    clones = v.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+
+    def as_op(df: DataFrame, op: str) -> DataFrame:
+        emb = (
+            F.col("embedding") if op == "I"
+            else F.lit(None).cast("array<float>")
+        )
+        return df.select(
+            F.lit(op).alias("op"), "vec_id", emb.alias("embedding")
+        )
+
+    files = (
+        as_op(v.filter(F.col("vec_id") % 2 == 0), "I"),
+        as_op(v.filter(F.col("vec_id") % 2 == 1), "I"),
+        as_op(clones, "I"),
+        as_op(clones, "D"),
+    )
+    for i, df in enumerate(files):
+        _land_replay_file(df, replay, i)
+
+    m = _ivf_centroid_modulus(sf_dir)
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    apply = cdc_index_sink(
+        idx,
+        lambda d, seq: idx.apply_batch(
+            d.sparkSession, d, "vec_id", "embedding", seq=seq
+        ),
+        "vec_id",
+    )
+    src = stream_source(
+        spark, replay, "op string, vec_id bigint, embedding array<float>",
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, apply, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return idx.topk(
+        spark, v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )

@@ -48,9 +48,26 @@ computable locally and folded on the driver.
 
 PRECONDITIONS (divergences raise, they are never silently mis-split):
 
-- **Top-level array of OBJECTS** (the FR shape): each file's first
-  non-whitespace byte must be ``[`` (checked), and depth-1 elements are
-  ``{...}`` objects (scalars/arrays at depth 1 are not extracted).
+- **Two supported shapes** (round-9 verdict #3 generalization), detected
+  from each file's first non-whitespace byte and required to agree
+  across the glob:
+
+  * ``[`` — **top-level array of objects** (the FR shape): elements are
+    the ``{...}`` objects at depth 1.
+  * ``{`` — **wrapper object** (the common API-dump shape,
+    ``{"meta": 1, "rows": [ {...}, ... ]}``): exactly ONE wrapper key
+    holds the element array; other wrapper keys may only hold SCALARS.
+    Elements are the ``{...}`` objects at depth 2. Object-valued
+    wrapper keys raise (their sub-objects would be indistinguishable
+    from elements by depth alone); a second depth-1 array raises when
+    any single chunk can see the violation (two array-opens, or an
+    array-open after a depth-2 return) — a multi-array wrapper whose
+    arrays are chunk-split apart is the one shape the per-chunk scan
+    cannot police, hence the exactly-one-array precondition.
+
+- **Elements are OBJECTS**: a scalar / string / array element at the
+  element depth raises with the byte offset (never silently dropped —
+  the round-9 error-path gate, tests/test_splittable_json.py).
 - **Valid JSON**: backslashes occur only inside strings (RFC 8259); the
   end-of-file fold check catches structural damage.
 - **UTF-8 bytes**: element slicing is at ASCII ``{``/``}`` boundaries,
@@ -93,6 +110,7 @@ _TASK_SCHEMA = T.StructType(
         T.StructField("entry_in_string", T.IntegerType()),
         T.StructField("entry_bs_parity", T.IntegerType()),
         T.StructField("entry_depth", T.LongType()),
+        T.StructField("elem_depth", T.IntegerType()),
     ]
 )
 
@@ -126,8 +144,10 @@ def _unescaped_quotes(a: np.ndarray, entry_bs_parity: int) -> np.ndarray:
 
 
 def _depth_contrib(a: np.ndarray, uq: np.ndarray, entry_in_string: int):
-    """(contrib, exit_in_string): per-byte bracket depth contributions
-    (zeroed inside strings) and the chunk's exit string state."""
+    """(contrib, exit_in_string, in_str_before): per-byte bracket depth
+    contributions (zeroed inside strings), the chunk's exit string
+    state, and the per-byte is-inside-a-string mask (True for bytes
+    after an opening quote, False ON the opening quote itself)."""
     cum = np.cumsum(uq)
     in_str_before = ((cum - uq) % 2).astype(bool)
     if entry_in_string:
@@ -137,7 +157,7 @@ def _depth_contrib(a: np.ndarray, uq: np.ndarray, entry_in_string: int):
     contrib[(a == 0x7D) | (a == 0x5D)] = -1
     contrib[in_str_before] = 0
     exit_in_string = bool(entry_in_string) ^ bool(cum[-1] % 2)
-    return contrib, exit_in_string
+    return contrib, exit_in_string, in_str_before
 
 
 def _trailing_bs(a: np.ndarray) -> tuple[int, bool]:
@@ -167,10 +187,10 @@ def _transfer_pass(
             a = _read_range(path, int(start), int(end))
             uq0 = _unescaped_quotes(a, 0)
             uq1 = _unescaped_quotes(a, 1)
-            d00, _ = _depth_contrib(a, uq0, 0)
-            d10, _ = _depth_contrib(a, uq0, 1)
-            d01, _ = _depth_contrib(a, uq1, 0)
-            d11, _ = _depth_contrib(a, uq1, 1)
+            d00, _, _ = _depth_contrib(a, uq0, 0)
+            d10, _, _ = _depth_contrib(a, uq0, 1)
+            d01, _, _ = _depth_contrib(a, uq1, 0)
+            d11, _, _ = _depth_contrib(a, uq1, 1)
             trail_par, all_bs = _trailing_bs(a)
             rows.append(
                 (
@@ -178,6 +198,12 @@ def _transfer_pass(
                     int(uq0.sum() % 2), int(uq1.sum() % 2),
                     int(d00.sum()), int(d10.sum()),
                     int(d01.sum()), int(d11.sum()),
+                    # opens-count per entry state: feeds the driver's
+                    # reopened-after-close check (a second top-level
+                    # value whose chunks straddle the close is invisible
+                    # to both entry states and in-chunk profiles alone)
+                    int((d00 == 1).sum()), int((d10 == 1).sum()),
+                    int((d01 == 1).sum()), int((d11 == 1).sum()),
                     trail_par, all_bs,
                 )
             )
@@ -185,16 +211,97 @@ def _transfer_pass(
             rows,
             columns=[
                 "path", "start", "qpar0", "qpar1",
-                "d00", "d10", "d01", "d11", "trail_par", "all_bs",
+                "d00", "d10", "d01", "d11",
+                "o00", "o10", "o01", "o11", "trail_par", "all_bs",
             ],
         )
 
 
+#: bytes allowed OUTSIDE strings at the element depth besides element
+#: opens: the array's own close, element separators, whitespace.
+_ELEM_DEPTH_OK = np.array(
+    [0x5D, 0x2C, 0x20, 0x09, 0x0A, 0x0D], dtype=np.uint8
+)
+
+
+def _validate_chunk(
+    path: str, start: int, a: np.ndarray,
+    depth_before: np.ndarray, in_str: np.ndarray, elem_depth: int,
+) -> None:
+    """Per-chunk precondition police (round-9 verdict #3): raise — with
+    the absolute byte offset — instead of silently dropping or
+    mis-slicing. Local to the chunk, so it distributes for free."""
+    outside = ~in_str
+    d0 = outside & (depth_before == 0)
+    # depth 0 admits only whitespace and the single top-level open/close
+    bad0 = d0 & ~np.isin(
+        a, np.array([0x7B, 0x5B, 0x20, 0x09, 0x0A, 0x0D], dtype=np.uint8)
+    )
+    if bad0.any():
+        off = start + int(np.nonzero(bad0)[0][0])
+        raise ValueError(
+            f"{path}: byte {off} is content outside the top-level JSON "
+            "value — the element splitter supports exactly one "
+            "top-level array / wrapper object per file."
+        )
+    # a depth-0 open AFTER this chunk's profile already left depth 0 =
+    # a second top-level value inside one chunk (the whole-file-chunk
+    # NDJSON case; the cross-chunk case is policed by the driver fold)
+    reopen = np.nonzero(d0 & ((a == 0x7B) | (a == 0x5B)))[0]
+    if len(reopen) and (depth_before[: reopen[-1]] > 0).any():
+        off = start + int(reopen[-1])
+        raise ValueError(
+            f"{path}: byte {off} begins a SECOND top-level JSON value — "
+            "one top-level array / wrapper object per file (NDJSON is "
+            "natively splittable: read it without multiLine)."
+        )
+    if elem_depth == 2:  # wrapper-object shape — check FIRST: an
+        # object-valued wrapper key also spills content at depth 2, and
+        # the root-cause message beats the generic content one.
+        d1 = outside & (depth_before == 1)
+        bad_obj = d1 & (a == 0x7B)
+        if bad_obj.any():
+            off = start + int(np.nonzero(bad_obj)[0][0])
+            raise ValueError(
+                f"{path}: byte {off} opens an OBJECT-valued wrapper key "
+                "— wrapper keys other than the element array must hold "
+                "scalars (a sub-object is indistinguishable from an "
+                "element by depth); use the native multiLine reader."
+            )
+        arr1 = np.nonzero(d1 & (a == 0x5B))[0]
+        # two depth-1 array-opens in one chunk, or an array-open after
+        # the depth profile already returned from the element depth —
+        # the locally-visible signatures of a multi-array wrapper.
+        came_down = (
+            len(arr1) > 0
+            and (depth_before[: arr1[0]] >= 2).any()
+        )
+        if len(arr1) > 1 or came_down:
+            off = start + int(arr1[-1])
+            raise ValueError(
+                f"{path}: byte {off} opens a SECOND depth-1 array — the "
+                "wrapper shape requires exactly one element array; use "
+                "the native multiLine reader."
+            )
+    at_e = outside & (depth_before == elem_depth)
+    bad = at_e & (a != 0x7B) & ~np.isin(a, _ELEM_DEPTH_OK)
+    if bad.any():
+        off = start + int(np.nonzero(bad)[0][0])
+        raise ValueError(
+            f"{path}: byte {off} ({bytes([a[np.nonzero(bad)[0][0]]])!r}) "
+            f"begins a non-object element at depth {elem_depth} — the "
+            "element splitter supports only arrays of OBJECTS "
+            "(scalars/strings/nested arrays at the element depth are "
+            "never silently dropped); use the native multiLine reader."
+        )
+
+
 def _extract_elements(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Pass 2 body: slice out the depth-1 ``{...}`` elements whose start
-    lies in the owned byte range; the last owned element may extend past
-    the range and is completed by reading forward block-wise with the
-    carried automaton state."""
+    """Pass 2 body: slice out the ``{...}`` elements (at the shape's
+    element depth — 1 for bare arrays, 2 for wrapper objects) whose
+    start lies in the owned byte range; the last owned element may
+    extend past the range and is completed by reading forward
+    block-wise with the carried automaton state."""
     out_paths: list[str] = []
     out_starts: list[int] = []
     out_elems: list[str] = []
@@ -212,21 +319,27 @@ def _extract_elements(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         return df
 
     for pdf in batches:
-        for path, start, end, e_is, e_pb, e_depth in zip(
+        for path, start, end, e_is, e_pb, e_depth, elem_depth in zip(
             pdf["path"], pdf["start"], pdf["end"],
             pdf["entry_in_string"], pdf["entry_bs_parity"],
-            pdf["entry_depth"],
+            pdf["entry_depth"], pdf["elem_depth"],
         ):
             start, end = int(start), int(end)
             e_is, e_pb, e_depth = int(e_is), int(e_pb), int(e_depth)
+            elem_depth = int(elem_depth)
             a = _read_range(path, start, end)
             raw = a.tobytes()
             uq = _unescaped_quotes(a, e_pb)
-            contrib, exit_is = _depth_contrib(a, uq, e_is)
+            contrib, exit_is, in_str = _depth_contrib(a, uq, e_is)
             depth_before = e_depth + np.cumsum(contrib) - contrib
+            _validate_chunk(path, start, a, depth_before, in_str, elem_depth)
             outside = contrib != 0  # brackets outside strings only
-            starts = np.nonzero((a == 0x7B) & outside & (depth_before == 1))[0]
-            ends = np.nonzero((a == 0x7D) & outside & (depth_before == 2))[0]
+            starts = np.nonzero(
+                (a == 0x7B) & outside & (depth_before == elem_depth)
+            )[0]
+            ends = np.nonzero(
+                (a == 0x7D) & outside & (depth_before == elem_depth + 1)
+            )[0]
             if len(starts) == 0:
                 continue
             close_idx = np.searchsorted(ends, starts)
@@ -253,10 +366,11 @@ def _extract_elements(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                                 )
                             b = np.frombuffer(block, dtype=np.uint8)
                             uqb = _unescaped_quotes(b, cur_pb)
-                            cb, exit_b = _depth_contrib(b, uqb, cur_is)
+                            cb, exit_b, _ = _depth_contrib(b, uqb, cur_is)
                             db = cur_depth + np.cumsum(cb) - cb
                             eb = np.nonzero(
-                                (b == 0x7D) & (cb != 0) & (db == 2)
+                                (b == 0x7D) & (cb != 0)
+                                & (db == elem_depth + 1)
                             )[0]
                             if len(eb):
                                 tail.extend(block[: int(eb[0]) + 1])
@@ -298,16 +412,32 @@ def read_json_splittable(
     paths = sorted(_glob.glob(path_glob))
     if not paths:
         raise FileNotFoundError(f"no files match {path_glob!r}")
-    # cheap driver-side precondition check: outer array
+    # cheap driver-side shape detection: '[' = bare array (elements at
+    # depth 1), '{' = wrapper object (elements at depth 2). All files in
+    # one read must share the shape — a mixed glob would need per-file
+    # element depths and almost certainly signals a landing-zone bug.
+    shapes: set[int] = set()
     for p in paths:
         with open(p, "rb") as f:
             head = f.read(4096).lstrip()
-        if head and not head.startswith(b"["):
+        if head.startswith(b"["):
+            shapes.add(1)
+        elif head.startswith(b"{"):
+            shapes.add(2)
+        elif head:
             raise ValueError(
-                f"{p}: first non-whitespace byte is not '[' — the "
-                "element splitter requires top-level-array files; use "
-                "the native reader for other JSON layouts"
+                f"{p}: first non-whitespace byte is neither '[' nor "
+                "'{' — the element splitter supports top-level-array "
+                "and wrapper-object files; use the native reader for "
+                "other JSON layouts"
             )
+    if len(shapes) > 1:
+        raise ValueError(
+            f"mixed shapes under {path_glob!r}: some files are bare "
+            "top-level arrays and some are wrapper objects — split the "
+            "read, the shapes need different element depths"
+        )
+    elem_depth = shapes.pop() if shapes else 1
     chunks = _plan_chunks(paths, split_bytes)
     if not chunks:  # all files empty
         return spark.createDataFrame([], schema)
@@ -316,7 +446,8 @@ def read_json_splittable(
     # (driver, O(#chunks) integers). With a manifest_dir, files whose
     # persisted transfer rows are still valid skip the pass.
     _COLS = (
-        "qpar0", "qpar1", "d00", "d10", "d01", "d11", "trail_par", "all_bs"
+        "qpar0", "qpar1", "d00", "d10", "d01", "d11",
+        "o00", "o10", "o01", "o11", "trail_par", "all_bs",
     )
     transfer: dict[tuple[str, int], dict] = {}
     todo = paths
@@ -326,7 +457,10 @@ def read_json_splittable(
         todo = []
         for p in paths:
             rows = load_chunk_rows(manifest_dir, p, split_bytes)
-            if rows is None:
+            # pre-round-9 manifests carry fewer columns (no opens
+            # counts) — treat a shape mismatch as a miss, never a
+            # half-populated transfer row
+            if rows is None or any(len(r) != 1 + len(_COLS) for r in rows):
                 todo.append(p)
             else:
                 for row in rows:
@@ -334,12 +468,14 @@ def read_json_splittable(
     if todo:
         todo_chunks = [c for c in chunks if c[0] in set(todo)]
         tasks = spark.createDataFrame(
-            [(p, s, e, 0, 0, 0) for p, s, e in todo_chunks], _TASK_SCHEMA
+            [(p, s, e, 0, 0, 0, 0) for p, s, e in todo_chunks],
+            _TASK_SCHEMA,
         ).repartition(min(len(todo_chunks), 256))
         for r in tasks.mapInPandas(
             _transfer_pass,
             schema="path string, start bigint, qpar0 int, qpar1 int, "
             "d00 bigint, d10 bigint, d01 bigint, d11 bigint, "
+            "o00 bigint, o10 bigint, o01 bigint, o11 bigint, "
             "trail_par int, all_bs boolean",
         ).collect():
             transfer[(r["path"], r["start"])] = {c: r[c] for c in _COLS}
@@ -355,18 +491,37 @@ def read_json_splittable(
                         if q == p
                     ],
                 )
-    entries: list[tuple[str, int, int, int, int, int]] = []
+    entries: list[tuple[str, int, int, int, int, int, int]] = []
     state: dict[str, tuple[int, int, int]] = {}
+    closed: dict[str, bool] = {}  # depth returned to 0 after activity
     for p, s, e in chunks:  # (path, start)-sorted
         is_, pb, depth = state.get(p, (0, 0, 0))
-        entries.append((p, s, e, is_, pb, depth))
+        entries.append((p, s, e, is_, pb, depth, elem_depth))
         r = transfer[(p, s)]
         qpar = r["qpar1"] if pb else r["qpar0"]
         delta = r[f"d{is_}{pb}"]
+        opens = int(r[f"o{is_}{pb}"])
+        # a chunk with structural opens AFTER the top-level value closed
+        # = a second top-level value (NDJSON-style file) whose values
+        # straddle chunk boundaries — invisible to the per-chunk scan
+        # (its own profile starts innocently at depth 0), so the driver
+        # polices it from the folded opens counts.
+        if closed.get(p) and opens:
+            raise ValueError(
+                f"{p}: a second top-level JSON value begins at or after "
+                f"byte {s} — the element splitter supports exactly one "
+                "top-level array / wrapper object per file (NDJSON is "
+                "natively splittable: read it with spark.read.json "
+                "without multiLine)."
+            )
         depth += int(delta)
         is_ ^= int(qpar)
         pb = (int(r["trail_par"]) ^ pb) if r["all_bs"] else int(r["trail_par"])
         state[p] = (is_, pb, depth)
+        if depth == 0 and not is_ and (opens or closed.get(p) is not None):
+            closed[p] = True
+        elif opens and closed.get(p) is None:
+            closed[p] = False  # activity seen, value still open
     bad = sorted(
         p for p, (is_, pb, depth) in state.items() if (is_, depth) != (0, 0)
     )

@@ -48,3 +48,44 @@ def cdc_apply_stream(updates: DataFrame, drop_tombstones: bool = True) -> DataFr
     if drop_tombstones:
         latest = latest.filter(F.col("last_type") != "error")
     return latest
+
+
+def cdc_index_sink(index, insert_fn, id_col: str, op_col: str = "op"):
+    """foreachBatch callable that routes a CDC-shaped micro-batch
+    (``op_col`` in {'I','D'}) to a maintained index — the production
+    shape of index maintenance, where the ingest stream carries
+    retractions alongside appends (round-9 verdict #2).
+
+    Routing per epoch, deletes FIRST so the same epoch's inserts verify
+    against a tombstone-filtered corpus (matching the batch gates, where
+    delete precedes the delta):
+
+    - op='D' rows tombstone via ``index.delete(ids, seq=batch_id)``;
+    - op='I' rows append via ``insert_fn(rows_without_op, batch_id)``
+      (the caller binds apply_batch with its column names/pairs dir).
+
+    Exactly-once across restarts: each half is skipped INDEPENDENTLY
+    when its epoch's ``_SUCCESS`` job-commit marker already exists
+    (``index.completed_delete`` / ``index.completed``) — so a mixed
+    I+D epoch that crashed between its delete commit and its insert
+    commit retries only the insert half, and a fully-committed epoch
+    redelivered by the checkpoint is a no-op. Both writes are
+    mode=overwrite, so a crashed half simply rewrites its own batch
+    dir on retry. Pinned by test_cdc_delete_epoch_restart_exactly_once.
+
+    Works for both maintained indexes (MinHashDedupIndex, IVFIndex) —
+    the contract is ``delete(spark, ids_df, seq)``, ``completed(seq)``,
+    ``completed_delete(seq)``.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deletes = batch_df.filter(F.col(op_col) == "D").select(id_col)
+        inserts = batch_df.filter(F.col(op_col) == "I").drop(op_col)
+        if not index.completed_delete(batch_id) and not deletes.isEmpty():
+            index.delete(batch_df.sparkSession, deletes, seq=batch_id)
+        if not index.completed(batch_id) and not inserts.isEmpty():
+            insert_fn(inserts, batch_id)
+
+    return apply

@@ -96,12 +96,124 @@ def test_adversarial_escapes_across_every_split_size(spark, tmp_path):
         assert got == want, f"split_bytes={sb}: {got} != {want}"
 
 
-def test_rejects_non_array_files(spark, tmp_path):
+def test_rejects_ndjson_files(spark, tmp_path):
+    """NDJSON is not a supported shape (it is natively splittable —
+    no reason to route it here). Round-9: '{' now means wrapper-object,
+    so the rejection moved from the head-byte check to (a) the driver
+    fold when the values straddle chunks, (b) the per-chunk scan
+    otherwise."""
     p = tmp_path / "lines.json"
     p.write_text('{"a": 1}\n{"a": 2}\n')
     schema = T.StructType([T.StructField("a", T.LongType())])
-    with pytest.raises(ValueError, match="top-level-array"):
+    # (a) 8-byte chunks: value 2 starts in a later chunk after the fold
+    # saw depth return to 0 -> plan-time ValueError
+    with pytest.raises(ValueError, match="top-level"):
+        read_json_splittable(spark, str(p), schema, split_bytes=8)
+    # (b) whole file in one chunk -> the extract task raises at scan time
+    with pytest.raises(Exception, match="top-level"):
+        read_json_splittable(spark, str(p), schema).collect()
+
+
+def test_rejects_non_json_head(spark, tmp_path):
+    p = tmp_path / "scalar.json"
+    p.write_text("42\n")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(ValueError, match="neither"):
         read_json_splittable(spark, str(p), schema)
+
+
+def test_rejects_scalar_and_array_elements(spark, tmp_path):
+    """Round-9 error-path gate: non-object values at the element depth
+    RAISE with a byte offset — never silently dropped."""
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    for name, body in [
+        ("nums.json", "[1, 2, 3]"),
+        ("strs.json", '["x", "y"]'),
+        ("arrs.json", "[[1], [2]]"),
+        ("mixed.json", '[{"a": 1}, 5]'),
+        ("wrapped_nums.json", '{"rows": [1, 2]}'),
+    ]:
+        p = tmp_path / name
+        p.write_text(body)
+        with pytest.raises(Exception, match="non-object element"):
+            read_json_splittable(spark, str(p), schema).collect()
+
+
+def test_wrapper_rejects_object_valued_keys(spark, tmp_path):
+    p = tmp_path / "meta.json"
+    p.write_text('{"meta": {"x": 1}, "rows": [{"a": 1}]}')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(Exception, match="wrapper key"):
+        read_json_splittable(spark, str(p), schema).collect()
+
+
+def test_wrapper_rejects_second_array_in_chunk(spark, tmp_path):
+    p = tmp_path / "two.json"
+    p.write_text('{"rows": [{"a": 1}], "more": [{"a": 2}]}')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(Exception, match="SECOND depth-1 array"):
+        read_json_splittable(spark, str(p), schema).collect()
+
+
+def test_rejects_mixed_shape_glob(spark, tmp_path):
+    (tmp_path / "a.json").write_text('[{"a": 1}]')
+    (tmp_path / "b.json").write_text('{"rows": [{"a": 2}]}')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(ValueError, match="mixed shapes"):
+        read_json_splittable(spark, str(tmp_path / "*.json"), schema)
+
+
+def test_wrapper_object_matches_native_explode_every_split_size(
+    spark, tmp_path
+):
+    """Round-9 verdict #3: the wrapper-object shape ({scalar metadata
+    keys + ONE element array}) must byte-match the native multiLine
+    reader + explode across split sizes 1..60 — same adversarial
+    payloads as the bare-array sweep, plus metadata keys BEFORE and
+    AFTER the array (string with escaped braces, numbers, null)."""
+    body = (
+        '{"status": "ok [not] {an array}", "count": 9,\n'
+        ' "rows": [\n'
+        '  {"a": "x", "b": 1},\n'
+        '  {"a": "he said \\"hi\\"", "b": 2},\n'
+        '  {"a": "backslash \\\\", "b": 3},\n'
+        '  {"a": "run \\\\\\" mix", "b": 4},\n'
+        '  {"a": "line\\nbreak", "b": 5},\n'
+        '  {"a": "unicode \\u00e9\\u0022", "b": 6},\n'
+        '  {"a": "braces {not [real] ones}", "b": 7},\n'
+        '  {"a": null, "b": 8},\n'
+        '  {"a": "nested", "b": 9, "c": {"d": [1, 2, {"e": "}"}]}}\n'
+        ' ],\n'
+        ' "version": 2, "note": null}\n'
+    )
+    p = tmp_path / "wrapped.json"
+    p.write_text(body)
+    elem = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    native_schema = T.StructType(
+        [T.StructField("rows", T.ArrayType(elem))]
+    )
+    from pyspark.sql import functions as F
+
+    native = (
+        spark.read.schema(native_schema)
+        .options(multiLine=True, mode="PERMISSIVE")
+        .json(str(p))
+        .select(F.explode("rows").alias("r"))
+        .select("r.a", "r.b")
+    )
+    want = _rows(native, ["a", "b"])
+    assert len(want) == 9
+    for sb in range(1, 61):
+        got = _rows(
+            read_json_splittable(spark, str(p), elem, split_bytes=sb),
+            ["a", "b"],
+        )
+        assert got == want, f"split_bytes={sb}: {got} != {want}"
 
 
 def test_rejects_malformed_fold(spark, tmp_path):

@@ -341,3 +341,138 @@ def test_ivf_index_streaming_restart_exactly_once(spark, tmp_path):
         ).collect()
     )
     assert got == ref and len(got) > 0
+
+
+def test_cdc_delete_epoch_restart_exactly_once(spark, tmp_path):
+    """CDC deletes through the streaming index sink across restarts
+    (round-9 verdict #2). Three scenarios against ONE checkpoint:
+
+    1. a MIXED I+D epoch whose delete half committed before a crash —
+       on redelivery the delete is SKIPPED (tombstone _SUCCESS mtime
+       unchanged) and only the insert half runs;
+    2. a pure-D epoch that crashed MID-WRITE (tombstone dir present,
+       no _SUCCESS) — on redelivery the delete is RETRIED (overwrite);
+    3. the drained index then answers a held-out delta identically to
+       a FRESH index built over the survivors — no delete lost or
+       double-applied.
+
+    cdc_index_sink is index-agnostic (same contract for IVFIndex, whose
+    end-to-end CDC path is gated by streaming_index_ann_cdc)."""
+    from amazon_sales_data_engineering_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+    )
+    from amazon_sales_data_engineering_spark.streaming.cdc import (
+        cdc_index_sink,
+    )
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta doc{i % 4} tail{i % 4}")
+        for i in range(12)
+    ]
+    schema = "op string, doc_id bigint, text string"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "idx")
+
+    def land(i, rows):
+        part = tmp_path / f"part{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(part)
+        )
+        for fn in sorted(os.listdir(part)):
+            if fn.endswith(".parquet"):
+                dst = replay / f"{i:02d}-{fn}"
+                os.rename(part / fn, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+
+    idx = MinHashDedupIndex(root)
+    sink = cdc_index_sink(
+        idx,
+        lambda d, seq: idx.apply_batch(
+            d.sparkSession, d, "text", "doc_id", seq=seq
+        ),
+        "doc_id",
+    )
+
+    def run_stream():
+        src = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(replay))
+        )
+        q = incremental_append(src, sink, ckpt)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    def ins(rows):
+        return [("I", i, t) for (i, t) in rows]
+
+    land(0, ins([d for d in docs if d[0] % 3 == 0]))
+    land(1, ins([d for d in docs if d[0] % 3 == 1]))
+    run_stream()
+    assert idx.n_batches() == 2
+
+    # --- scenario 1: mixed epoch, delete half already committed -------
+    del_ids = [0, 6]  # both indexed (% 3 == 0)
+    # simulate the crash window: the delete half of epoch 2 committed
+    # (tombstones/batch_00002 + _SUCCESS on disk) but the insert half
+    # and the checkpoint commit did not happen.
+    idx.delete(spark, del_ids, seq=2)
+    assert idx.completed_delete(2) and not idx.completed(2)
+    marker = os.path.join(root, "tombstones", "batch_00002", "_SUCCESS")
+    mt = os.path.getmtime(marker)
+    mixed = [("D", i, None) for i in del_ids] + ins(
+        [d for d in docs if d[0] % 3 == 2]
+    )
+    land(2, mixed)
+    run_stream()  # redelivers epoch 2
+    assert os.path.getmtime(marker) == mt, "committed delete was redone"
+    assert idx.completed(2), "insert half of the mixed epoch not applied"
+
+    # --- scenario 2: pure-D epoch crashed mid-write (no _SUCCESS) -----
+    crashed = os.path.join(root, "tombstones", "batch_00003")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    assert not idx.completed_delete(3)
+    land(3, [("D", 1, None)])  # 1 is indexed (% 3 == 1)
+    run_stream()
+    assert idx.completed_delete(3), "crashed delete epoch not retried"
+    assert not os.path.exists(
+        os.path.join(crashed, "part-junk.parquet")
+    ), "retry must overwrite the crashed partial write"
+
+    # --- scenario 3: final state == fresh build over survivors --------
+    deleted = {0, 6, 1}
+    extra = [
+        (100 + j, f"alpha beta gamma delta epsilon zeta doc{j} tail{j}")
+        for j in range(4)
+    ]
+    extra_df = spark.createDataFrame(extra, "doc_id bigint, text string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in idx.apply_batch(
+            spark, extra_df, "text", "doc_id"
+        ).collect()
+    )
+    fresh = MinHashDedupIndex(str(tmp_path / "fresh"))
+    fresh.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [d for d in docs if d[0] not in deleted],
+            "doc_id bigint, text string",
+        ),
+        "text", "doc_id",
+    )
+    ref = sorted(
+        (r.id_a, r.id_b)
+        for r in fresh.apply_batch(
+            spark, extra_df, "text", "doc_id"
+        ).collect()
+    )
+    assert got == ref and len(got) > 0
+    assert not any(a in deleted or b in deleted for a, b in got)
