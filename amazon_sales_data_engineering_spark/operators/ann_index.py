@@ -193,23 +193,43 @@ class IVFIndex:
         id_col: str,
         vec_col: str,
         seq: int | None = None,
+        partitioned: bool = False,
     ) -> int:
         """Assign one ingest batch against the FIXED centroids (|delta| x
         k broadcast pass — never corpus-sized) and append its inverted-
         list rows. Returns the batch sequence number. Same id-uniqueness
         contract as MinHashDedupIndex.apply_batch; same explicit-``seq``
-        + overwrite convention for idempotent streaming retry."""
+        + overwrite convention for idempotent streaming retry.
+
+        ``partitioned=True`` writes the batch hive-partitioned by
+        centroid_id — the compacted generation's layout — so probes
+        prune at the SCAN even against a long-uncompacted index
+        (round-9 verdict #7; DPP plan guard in
+        tests/test_skew_bucketing.py). The trade: one directory (and at
+        least one small file) PER TOUCHED LIST per batch, so file count
+        grows k x faster. Rule of thumb: partition appends when batches
+        are large (>> k rows, so per-list files are real) or the
+        workload is probe-heavy between compactions; keep flat appends
+        for small/frequent batches and COMPACT when flat batches
+        accumulate past ~8-16 dirs or ``list_stats``' probe-cost
+        estimate drifts — compact_to both merges the small files AND
+        applies tombstones."""
         if seq is None:
             seq = len(self._batch_dirs())
         cent = self._centroids(spark)
         batch_dir = os.path.join(
             self.root, "assignments", f"batch_{seq:05d}"
         )
-        self._nearest(
+        assigned = self._nearest(
             vectors, cent, "id", 1, id_col, vec_col
-        ).select("centroid_id", "id", F.col("v").alias("vec")).write.mode(
-            "overwrite"
-        ).parquet(batch_dir)
+        ).select("centroid_id", "id", F.col("v").alias("vec"))
+        if partitioned:
+            # cluster each list's rows -> one file per touched list
+            assigned.repartition("centroid_id").write.mode(
+                "overwrite"
+            ).partitionBy("centroid_id").parquet(batch_dir)
+        else:
+            assigned.write.mode("overwrite").parquet(batch_dir)
         _assert_job_committed(batch_dir)
         return seq
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""One-command round-close ritual (round-9 verdict #4).
+
+Runs, IN ORDER, the gates the verify skill prescribes — stopping at the
+first failure and exiting nonzero so a regression (correctness OR plan
+cost) fails loudly instead of relying on a hand-run diff:
+
+  1. full sf0.01 verify sweep        (tools/verify_sweep.py ->
+     SWEEP_RESULTS.json; auto-chunked into fresh JVMs above
+     SWEEP_CHUNK queries)
+  2. [--sf1 DIR] full big-corpus sweep into SWEEP_SF1.json
+     (8 GiB driver, 1200 s per-query watchdog, chunked)
+  3. coverage matrix regeneration    (tools/coverage_matrix.py)
+  4. full pytest                     (python -m pytest tests/ -q)
+  5. bench                           (python bench.py -> headline line +
+     BENCH_PLAN_METRICS.json sidecar)
+  6. [--gate PREV] plan-metric gate  (tools/bench_gate.py PREV sidecar)
+
+Usage:
+    python tools/round_close.py --gate BENCH_PLAN_METRICS_r08.json
+    python tools/round_close.py --sf1 /tmp/asde_sf1 --gate ...
+    python tools/round_close.py --skip-sweep --skip-pytest   # bench only
+
+ORDERING CAUTION (from the verify skill): finish every package-source
+change BEFORE running this — sweep fingerprints hash the whole package,
+so one late engine commit invalidates every cached verdict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _step(title: str, cmd: list[str], env: dict | None = None) -> None:
+    print(f"\n=== {title}: {' '.join(cmd)} ===", flush=True)
+    t0 = time.perf_counter()
+    p = subprocess.run(cmd, cwd=REPO, env={**os.environ, **(env or {})})
+    dt = time.perf_counter() - t0
+    if p.returncode:
+        print(f"*** {title} FAILED (rc={p.returncode}, {dt:.0f}s) — "
+              "round close aborted ***", flush=True)
+        sys.exit(p.returncode)
+    print(f"=== {title} ok ({dt:.0f}s) ===", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", metavar="PREV_METRICS",
+                    help="previous bench sidecar / record to gate plan "
+                         "metrics against (tools/bench_gate.py)")
+    ap.add_argument("--sf1", metavar="DIR",
+                    help="also sweep the big corpus at DIR into "
+                         "SWEEP_SF1.json (chunked fresh JVMs)")
+    ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-pytest", action="store_true")
+    ap.add_argument("--skip-bench", action="store_true")
+    args = ap.parse_args()
+    py = sys.executable
+
+    if not args.skip_sweep:
+        _step("sf0.01 sweep", [py, "tools/verify_sweep.py"])
+        if args.sf1:
+            _step(
+                "sf1 sweep",
+                [py, "tools/verify_sweep.py"],
+                env={
+                    "SWEEP_JOURNAL": os.path.join(REPO, "SWEEP_SF1.json"),
+                    "SWEEP_SF_DIR": args.sf1,
+                    "SWEEP_DRIVER_MEM": os.environ.get(
+                        "SWEEP_DRIVER_MEM", "8g"
+                    ),
+                    "SWEEP_QUERY_TIMEOUT": os.environ.get(
+                        "SWEEP_QUERY_TIMEOUT", "1200"
+                    ),
+                },
+            )
+        _step("coverage matrix", [py, "tools/coverage_matrix.py"])
+    if not args.skip_pytest:
+        _step("pytest", [py, "-m", "pytest", "tests/", "-q"])
+    if not args.skip_bench:
+        _step("bench", [py, "bench.py"]
+              + (["--gate", args.gate] if args.gate else []))
+    print("\nround close: ALL GATES GREEN", flush=True)
+
+
+if __name__ == "__main__":
+    main()

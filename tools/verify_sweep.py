@@ -9,6 +9,18 @@ order-insensitive value hash — the exact gate comparison).
 Usage:
     python tools/verify_sweep.py            # full sweep (~1-2 min)
     python tools/verify_sweep.py name1 ...  # only the named queries
+
+Chunking (round-9 verdict #5): one long-lived JVM OOMs after ~140 sf1
+queries on an 8 GiB driver (accumulated JVM/Arrow state across hundreds
+of jobs — BASELINE.md round-8 notes), so sweeps larger than SWEEP_CHUNK
+queries (default 100; 0 disables) split into named-subset runs in FRESH
+subprocess JVMs. Each child journals into the SAME file — named-subset
+journals merge, never clobber — so the full 320-query sf1 sweep now
+completes unattended:
+
+    SWEEP_JOURNAL=SWEEP_SF1.json SWEEP_SF_DIR=/tmp/asde_sf1 \\
+    SWEEP_DRIVER_MEM=8g SWEEP_QUERY_TIMEOUT=1200 \\
+    python tools/verify_sweep.py
 """
 
 from __future__ import annotations
@@ -60,7 +72,54 @@ def _pkg_fp() -> str:
     return h.hexdigest()
 
 
+def _default_journal(named: bool) -> str | None:
+    return os.environ.get("SWEEP_JOURNAL") or (
+        None
+        if named
+        else os.path.join(os.path.dirname(__file__), "..", "SWEEP_RESULTS.json")
+    )
+
+
+def _run_chunked(names: list[str], chunk: int) -> int:
+    """Split ``names`` into fresh-JVM subprocess runs of <= ``chunk``
+    queries each, journaling into one shared file (merged, never
+    clobbered). The fix for the documented 8 GiB-JVM OOM after ~140
+    sf1 queries in one session."""
+    import subprocess
+
+    journal = _default_journal(named=False)
+    env = {
+        **os.environ,
+        "_SWEEP_CHILD": "1",
+        **({"SWEEP_JOURNAL": os.path.abspath(journal)} if journal else {}),
+    }
+    rc = 0
+    n_chunks = (len(names) + chunk - 1) // chunk
+    for i in range(0, len(names), chunk):
+        sub = names[i : i + chunk]
+        print(
+            f"=== chunk {i // chunk + 1}/{n_chunks}: {len(sub)} queries "
+            "in a fresh JVM ===",
+            flush=True,
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *sub], env=env
+        )
+        rc = rc or p.returncode
+    return rc
+
+
 def main() -> int:
+    names_cli = sys.argv[1:]
+    chunk_env = os.environ.get("SWEEP_CHUNK")
+    chunk = int(chunk_env) if chunk_env not in (None, "") else 100
+    if chunk and not os.environ.get("_SWEEP_CHILD"):
+        import __spark_entry__ as e_probe
+
+        names_all = names_cli or sorted(e_probe.queries())
+        if len(names_all) > chunk:
+            return _run_chunked(names_all, chunk)
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -100,11 +159,7 @@ def main() -> int:
     # leaves its partial verdicts on disk.
     import json
 
-    journal_path = os.environ.get("SWEEP_JOURNAL") or (
-        None
-        if sys.argv[1:]
-        else os.path.join(os.path.dirname(__file__), "..", "SWEEP_RESULTS.json")
-    )
+    journal_path = _default_journal(named=bool(sys.argv[1:]))
     # Per-query watchdog: a handful of DuckDB oracle formulations are
     # deliberately brute-force (recursive closures, all-pairs evals) and
     # become infeasible at 10x data — one of them must not wedge the
