@@ -143,6 +143,13 @@ CEILINGS: dict[str, float] = {
     # carry more rows; 7.09 measured idle at 10x
     "streaming_index_ann": 11.0,
     "json_splittable_roundtrip": 9.0,  # 5.20 measured idle (2-pass scan)
+    # round-9 ops
+    "streaming_index_dedup_cdc": 3.5,  # 1.67 measured idle
+    # same per-micro-batch fixed overhead as streaming_index_ann (7.38
+    # measured idle at 10x; amortizes as batches carry more rows)
+    "streaming_index_ann_cdc": 11.0,
+    "json_splittable_wrapper": 6.0,  # 3.65 measured idle (2-pass scan)
+    "ann_ivf_partitioned_append_equiv": 4.0,  # 2.67 measured idle
 }
 
 
