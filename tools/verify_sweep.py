@@ -139,6 +139,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     duck = duckdb.connect()
+    # Cap the oracle's memory and give it a spill dir: at sf1 a handful
+    # of deliberately brute-force DuckDB formulations (pagerank closure,
+    # all-pairs evals) otherwise balloon past 100 GB and draw the KERNEL
+    # OOM killer, which takes the neighboring Spark JVM down with them —
+    # the round-9 chunk-2 casualty. With a limit + temp_directory the
+    # oracle spills to disk (slower, correct) or fails alone (cleanly
+    # journaled), never the host.
+    duck.sql(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '48GB')}'"
+    )
+    duck.sql("SET temp_directory='/tmp/duckdb_sweep_spill'")
     for tb in TABLES.split():
         p = f"{SF_DIR}/{tb}.parquet"
         if os.path.isdir(p):  # Spark-written table = directory of parts
