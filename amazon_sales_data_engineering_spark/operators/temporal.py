@@ -40,8 +40,9 @@ def asof_join(
     """As-of join (inclusive): attach to each left row the nearest right
     row matching ``by`` keys — ``direction="backward"`` takes the greatest
     ``right_time`` <= ``left_time``; ``"forward"`` the smallest
-    ``right_time`` >= ``left_time``. Left rows keep NULL right columns
-    when no match exists.
+    ``right_time`` >= ``left_time``; ``"nearest"`` whichever of the two is
+    closer in time (ties break backward, pandas merge_asof semantics).
+    Left rows keep NULL right columns when no match exists.
 
     ``tolerance`` bounds the match distance (pandas merge_asof
     semantics: a match farther than the tolerance yields NULLs, the left
@@ -61,8 +62,10 @@ def asof_join(
     shuffle.
     """
     by = by or []
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     if not by and not allow_global_window:
         raise ValueError(
             "asof_join with no 'by' keys builds a single-partition global "
@@ -112,6 +115,73 @@ def asof_join(
         ).alias("__rpack"),
     )
     merged = l_tag.unionByName(r_tag)
+
+    if direction == "nearest":
+        # Both fills over the SAME union and the SAME by-key exchange:
+        # backward = last(ignorenulls) over ascending (right-before-left
+        # tie order makes an equal-timestamp right row visible), forward =
+        # first(ignorenulls) over the trailing frame with the tie order
+        # REVERSED (left-before-right, so an equal-timestamp right row is
+        # inside currentRow..following). Two in-partition sorts, still one
+        # shuffle — never a second join.
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = merged.select(
+            *merged.columns,
+            F.last(F.col("__rpack"), ignorenulls=True).over(wb).alias("__bp"),
+            F.first(F.col("__rpack"), ignorenulls=True).over(wf).alias("__fp"),
+        )
+        rows = filled.filter(F.col("__is_left") == 1)
+        from pyspark.sql import types as T
+
+        lt_type = left.schema[left_time].dataType
+        if isinstance(lt_type, T.DateType):
+            bgap = F.datediff(F.col("__t"), F.col("__bp.__rt"))
+            fgap = F.datediff(F.col("__fp.__rt"), F.col("__t"))
+        elif isinstance(lt_type, T.NumericType):
+            bgap = F.col("__t") - F.col("__bp.__rt")
+            fgap = F.col("__fp.__rt") - F.col("__t")
+        else:
+            # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike.
+            bgap = F.expr("timestampdiff(MICROSECOND, __bp.__rt, __t)")
+            fgap = F.expr("timestampdiff(MICROSECOND, __t, __fp.__rt)")
+        choose_b = F.col("__fp").isNull() | (
+            F.col("__bp").isNotNull() & (bgap <= fgap)
+        )
+        chosen = F.when(choose_b, F.col("__bp")).otherwise(F.col("__fp"))
+        gap = F.when(choose_b, bgap).otherwise(fgap)
+        if tolerance is None:
+            ok = F.lit(True)
+        elif isinstance(lt_type, (T.DateType, T.NumericType)):
+            if isinstance(lt_type, T.DateType) and not isinstance(
+                tolerance, int
+            ):
+                raise ValueError(
+                    "tolerance for DATE time columns is an integer day count"
+                )
+            ok = gap <= F.lit(tolerance)
+        else:
+            iv = F.expr(f"INTERVAL {tolerance}")
+            rt = chosen["__rt"]
+            ok = (rt >= F.col("__t") - iv) & (rt <= F.col("__t") + iv)
+        picked = rows.select(
+            *rows.columns, chosen.alias("__np"), ok.alias("__ok")
+        )
+        return picked.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(F.col("__ok"), F.col(f"__np.__r_{c}")).alias(c)
+                for c in right_cols
+            ],
+        )
 
     # right row sorts BEFORE a left row at the same timestamp → inclusive
     # (in both directions: forward reverses the time order but keeps

@@ -171,6 +171,74 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "asof_join_nearest",
+    oracle="""
+WITH idx AS (
+  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+         MIN(o_totalprice) AS ref_price
+  FROM orders
+  WHERE day(CAST(o_orderdate AS DATE)) % 5 = 1
+  GROUP BY 1, 2
+),
+l AS (SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders),
+cand AS (
+  SELECT l.o_orderkey, l.o_orderpriority, l.od,
+         (SELECT MAX(d) FROM idx
+          WHERE idx.p = l.o_orderpriority AND idx.d <= l.od) AS bd,
+         (SELECT MIN(d) FROM idx
+          WHERE idx.p = l.o_orderpriority AND idx.d >= l.od) AS fd
+  FROM l
+),
+pick AS (
+  SELECT o_orderkey, o_orderpriority, od,
+         CASE WHEN fd IS NULL THEN bd
+              WHEN bd IS NULL THEN fd
+              WHEN (od - bd) <= (fd - od) THEN bd ELSE fd END AS nd
+  FROM cand
+)
+SELECT p.o_orderkey, p.o_orderpriority,
+       CASE WHEN p.nd IS NOT NULL AND abs(p.od - p.nd) <= 2
+            THEN i.ref_price END AS ref_price
+FROM pick p LEFT JOIN idx i
+  ON i.p = p.o_orderpriority AND i.d = p.nd
+""",
+    doc="Nearest-direction as-of join (pandas merge_asof "
+    "direction='nearest'): every order gets the reference price from the "
+    "CLOSEST index day in either direction, ties broken backward, nulled "
+    "past a 2-day tolerance — the 'snap to the nearest quote' shape "
+    "backward/forward alone can't express. Engine: the same single "
+    "union + by-key exchange as the directional as-ofs, with BOTH fills "
+    "computed over it (last(ignorenulls) ascending for backward, "
+    "first(ignorenulls) over the trailing frame with the tie order "
+    "reversed for forward) — two in-partition sorts, one shuffle, no "
+    "second join, no pair blowup. Oracle: correlated MAX/MIN subqueries "
+    "+ CASE on the day gaps + equi-join re-lookup (a different "
+    "algorithm entirely).",
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    idx = (
+        o.filter(F.dayofmonth(day) % 5 == 1)
+        .groupBy(F.col("o_orderpriority"), day.alias("d"))
+        .agg(F.min("o_totalprice").alias("ref_price"))
+    )
+    left = o.select("o_orderkey", "o_orderpriority", day.alias("od"))
+    out = asof_join(
+        left,
+        idx,
+        left_time="od",
+        right_time="d",
+        by=["o_orderpriority"],
+        right_cols=["ref_price"],
+        direction="nearest",
+        tolerance=2,
+    )
+    return out.select("o_orderkey", "o_orderpriority", "ref_price")
+
+
+@register(
     "resample_ffill_daily",
     oracle="""
 WITH daily AS (
@@ -249,6 +317,120 @@ def resample_ffill_daily(spark: SparkSession, sf_dir: str):
         F.last(F.col("dl.n"), ignorenulls=True).over(w).alias("n_orders_ff"),
         F.last(F.col("dl.tot"), ignorenulls=True).over(w).alias("total_ff"),
         F.col("dl.d").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "resample_linear_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE day(CAST(o_orderdate AS DATE)) % 3 = 1
+  GROUP BY 1, 2
+), b AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), spine AS (
+  SELECT pr.p, CAST(t.d AS DATE) AS d
+  FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) pr, b,
+       unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS t(d)
+), g AS (
+  SELECT s.p, s.d, dl.n,
+         last_value(dl.n IGNORE NULLS) OVER wb AS pn,
+         last_value(dl.d IGNORE NULLS) OVER wb AS pd,
+         first_value(dl.n IGNORE NULLS) OVER wf AS nn,
+         first_value(dl.d IGNORE NULLS) OVER wf AS nd
+  FROM spine s LEFT JOIN daily dl ON dl.p = s.p AND dl.d = s.d
+  WINDOW wb AS (PARTITION BY s.p ORDER BY s.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.p ORDER BY s.d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT p AS o_orderpriority, d AS day,
+       n IS NOT NULL AS observed, n AS n_obs,
+       CASE WHEN n IS NOT NULL THEN n * 1000
+            WHEN pn IS NOT NULL AND nn IS NOT NULL
+            THEN (pn * (nd - d) + nn * (d - pd)) * 1000 // (nd - pd)
+       END AS interp_milli
+FROM g
+""",
+    doc="Time-series resampling with LINEAR interpolation — the gap-fill "
+    "forward-fill can't express: per-priority order counts observed only "
+    "on days-of-month ≡ 1 (mod 3), resampled onto the complete daily "
+    "spine with each gap day interpolated between its surrounding "
+    "observations in EXACT integer milli-units "
+    "((prev·(next_d−d) + next·(d−prev_d))·1000 DIV span — all BIGINT, "
+    "floor-div agrees across engines on non-negative terms, so no float "
+    "ever enters the fill). Days before the first / after the last "
+    "observation stay NULL (no extrapolation). Shape at scale: one agg "
+    "shuffle, one distributed sequence+explode spine, one co-keyed left "
+    "join, then BOTH fills (last-preceding and first-following) over the "
+    "same per-key exchange — two in-partition sorts, no second shuffle, "
+    "the same single-exchange trick as the nearest as-of.",
+    tags=("temporal", "window", "resample"),
+)
+def resample_linear_interpolate(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    daily = (
+        o.filter(F.dayofmonth(day) % 3 == 1)
+        .groupBy(F.col("o_orderpriority").alias("p"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = o.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = (
+        o.select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "p",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    s = spine.alias("s")
+    dl = daily.alias("dl")
+    joined = s.join(
+        dl,
+        (F.col("s.p") == F.col("dl.p")) & (F.col("s.d") == F.col("dl.d")),
+        "left",
+    )
+    wb = (
+        Window.partitionBy(F.col("s.p"))
+        .orderBy(F.col("s.d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(F.col("s.p"))
+        .orderBy(F.col("s.d"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = joined.select(
+        F.col("s.p").alias("p"),
+        F.col("s.d").alias("d"),
+        F.col("dl.n").alias("n"),
+        F.last(F.col("dl.n"), ignorenulls=True).over(wb).alias("pn"),
+        F.last(F.col("dl.d"), ignorenulls=True).over(wb).alias("pd"),
+        F.first(F.col("dl.n"), ignorenulls=True).over(wf).alias("nn"),
+        F.first(F.col("dl.d"), ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.when(F.col("n").isNotNull(), F.col("n") * 1000).when(
+        F.col("pn").isNotNull() & F.col("nn").isNotNull(),
+        F.expr(
+            "(pn * datediff(nd, d) + nn * datediff(d, pd)) * 1000"
+            " DIV datediff(nd, pd)"
+        ),
+    )
+    return g.select(
+        F.col("p").alias("o_orderpriority"),
+        F.col("d").alias("day"),
+        F.col("n").isNotNull().alias("observed"),
+        F.col("n").alias("n_obs"),
+        interp.alias("interp_milli"),
     )
 
 

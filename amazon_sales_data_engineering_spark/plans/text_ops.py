@@ -766,6 +766,88 @@ def search_inverted_index(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "search_phrase_positions",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS l
+  FROM documents WHERE length({_NORM}) > 0
+), pos AS (
+  SELECT doc_id, CAST(g.p AS BIGINT) AS pos, l[g.p] AS term
+  FROM toks, unnest(generate_series(1, len(l))) AS g(p)
+  WHERE l[g.p] IN ('hash', 'table')
+), agg AS (
+  SELECT doc_id,
+         list(pos) FILTER (WHERE term = 'hash') AS hp,
+         list(pos) FILTER (WHERE term = 'table') AS tp
+  FROM pos GROUP BY doc_id
+), m AS (
+  SELECT doc_id,
+         list_intersect(list_transform(hp, x -> x + 1), tp) AS mt
+  FROM agg
+)
+SELECT doc_id, CAST(len(mt) AS BIGINT) AS n_phrase_hits,
+       CAST(list_min(mt) - 1 AS BIGINT) AS first_pos
+FROM m WHERE len(mt) > 0
+ORDER BY n_phrase_hits DESC, doc_id ASC LIMIT 20
+""",
+    doc="POSITIONAL inverted-index phrase search — the capability the "
+    "doc-level index (search_inverted_index) lacks: find documents "
+    "containing the exact phrase 'hash table' (adjacent tokens, in "
+    "order), with hit counts and the first match position. Engine: the "
+    "postings stream is filtered to the query's terms BEFORE any "
+    "shuffle (work ∝ the two posting lists, the property that keeps "
+    "phrase queries sublinear), then ONE groupBy(doc_id) collects each "
+    "term's position set and adjacency is resolved IN-ROW as "
+    "array_intersect(hash_positions+1, table_positions) — no positional "
+    "self-join, no pair blowup; set ops are order-insensitive so the "
+    "nondeterministic collect_list order never surfaces. first_pos is "
+    "the position of 'hash' (min matched successor − 1). Oracle: "
+    "1-based list indexing + list_intersect over the same integer "
+    "positions.",
+    tags=("text", "search", "inverted-index", "positions"),
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("nt"), " ")).alias("p0", "term"),
+        )
+        .filter(F.col("term").isin("hash", "table"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            "term",
+        )
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.collect_list(
+            F.when(F.col("term") == "hash", F.col("pos"))
+        ).alias("hp"),
+        F.collect_list(
+            F.when(F.col("term") == "table", F.col("pos"))
+        ).alias("tp"),
+    )
+    mt = F.array_intersect(
+        F.transform(F.col("hp"), lambda x: x + 1), F.col("tp")
+    )
+    out = (
+        agg.select(
+            "doc_id",
+            F.size(mt).cast("bigint").alias("n_phrase_hits"),
+            (F.array_min(mt) - 1).cast("bigint").alias("first_pos"),
+        )
+        .filter(F.col("n_phrase_hits") > 0)
+    )
+    return out.orderBy(
+        F.col("n_phrase_hits").desc(), F.col("doc_id")
+    ).limit(20)
+
+
+@register(
     "search_query_expansion",
     oracle=f"""
 WITH toks AS (

@@ -87,7 +87,50 @@ def test_asof_join_bad_direction_raises(spark):
     left = spark.createDataFrame([(1,)], "t int")
     right = spark.createDataFrame([(1, "x")], "t int, v string")
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, "t", "t", direction="nearest")
+        asof_join(left, right, "t", "t", direction="sideways")
+
+
+def test_asof_join_nearest_direction(spark):
+    left = spark.createDataFrame([(1,), (4,), (5,), (7,), (20,)], "t int")
+    right = spark.createDataFrame(
+        [(2, "a"), (5, "b"), (8, "c")], "t int, v string"
+    )
+    out = asof_join(
+        left, right, "t", "t", allow_global_window=True, direction="nearest"
+    )
+    got = {r.t: r.v for r in out.collect()}
+    # 1 -> 2 ("a", only forward in range beats nothing behind... backward
+    # none, forward 2); 4 -> gap back 2 ("a") vs forward 1 ("b") -> "b";
+    # 5 -> exact ("b"); 7 -> back 2 ("b") vs forward 1 ("c") -> "c";
+    # 20 -> only backward ("c").
+    assert got == {1: "a", 4: "b", 5: "b", 7: "c", 20: "c"}
+
+
+def test_asof_join_nearest_tie_breaks_backward(spark):
+    left = spark.createDataFrame([(5,)], "t int")
+    right = spark.createDataFrame([(3, "b"), (7, "f")], "t int, v string")
+    out = asof_join(
+        left, right, "t", "t", allow_global_window=True, direction="nearest"
+    )
+    assert out.collect()[0].v == "b"
+
+
+def test_asof_join_nearest_tolerance(spark):
+    left = spark.createDataFrame([(10,), (30,)], "t int")
+    right = spark.createDataFrame([(12, "x")], "t int, v string")
+    out = asof_join(
+        left,
+        right,
+        "t",
+        "t",
+        allow_global_window=True,
+        direction="nearest",
+        tolerance=5,
+    )
+    got = {r.t: r.v for r in out.collect()}
+    # 10 matches 12 (gap 2 <= 5); 30's nearest is 12 (gap 18) -> nulled,
+    # row survives (merge_asof tolerance semantics).
+    assert got == {10: "x", 30: None}
 
 
 def test_asof_join_date_tolerance(spark):
