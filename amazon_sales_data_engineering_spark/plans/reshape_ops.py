@@ -589,3 +589,145 @@ def order_items_nested_export(spark: SparkSession, sf_dir: str):
             "n_items",
         )
     )
+
+
+@register(
+    "schema_evolution_audit",
+    oracle="""
+WITH g1 AS (
+  SELECT o_orderkey, o_totalprice, 1 AS generation
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1995
+), g2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority, 2 AS generation
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1995
+), u AS (
+  SELECT * FROM g1 UNION ALL BY NAME SELECT * FROM g2
+)
+SELECT generation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status_present,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT)
+         AS n_priority_nulls,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM u GROUP BY generation
+""",
+    doc="Schema-evolution union audit — the mergeSchema shape every "
+    "long-lived lake table hits: an old file generation lacking later "
+    "columns (here: pre-1995 orders without o_orderstatus / o_orderpriority) "
+    "unioned BY NAME with the evolved generation, missing columns "
+    "null-filled, then a per-generation provenance report (rows, "
+    "evolved-column presence/null counts, exact-decimal revenue). "
+    "Engine: unionByName(allowMissingColumns=True) — the DataFrame "
+    "twin of spark.read.option('mergeSchema', true); the audit is one "
+    "map-side-combinable aggregate over the union, no shuffle beyond "
+    "the 2-group agg. Oracle: DuckDB UNION ALL BY NAME (its native "
+    "schema-evolution union).",
+    tags=("reshape", "schema-evolution", "audit"),
+)
+def schema_evolution_audit(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    g1 = o.filter(yr < 1995).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("generation")
+    )
+    g2 = o.filter(yr >= 1995).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.lit(2).alias("generation"),
+    )
+    u = g1.unionByName(g2, allowMissingColumns=True)
+    return u.groupBy("generation").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_status_present"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
+            "n_priority_nulls"
+        ),
+        decimal_sum("o_totalprice", alias="revenue"),
+    )
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), top AS (
+  SELECT key, cnt FROM freq ORDER BY cnt DESC, key LIMIT 20
+), tail AS (
+  SELECT f.cnt FROM freq f WHERE f.key NOT IN (SELECT key FROM top)
+), hh AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS hh_pairs FROM top),
+tl AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tail_total,
+         CAST(COUNT(*) AS BIGINT) AS tail_keys
+  FROM tail
+), act AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS actual_pairs,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM freq
+)
+SELECT act.n_keys, hh.hh_pairs,
+       CASE WHEN tl.tail_keys = 0 THEN 0
+            ELSE (tl.tail_total * tl.tail_total) // tl.tail_keys
+       END AS tail_est_pairs,
+       hh.hh_pairs + (CASE WHEN tl.tail_keys = 0 THEN 0
+            ELSE (tl.tail_total * tl.tail_total) // tl.tail_keys END)
+         AS est_pairs,
+       act.actual_pairs,
+       abs(hh.hh_pairs + (CASE WHEN tl.tail_keys = 0 THEN 0
+            ELSE (tl.tail_total * tl.tail_total) // tl.tail_keys END)
+           - act.actual_pairs) * 1000000 // act.actual_pairs
+         AS abs_err_ppm
+FROM act, hh, tl
+""",
+    doc="Pre-flight join/self-join SIZE ESTIMATION — the cost-based-"
+    "optimizer (and LSH-bucket pre-flight) calculation: predict "
+    "Σ cnt(k)² for the l_partkey self-join from a bounded summary "
+    "(top-20 exact heavy hitters + uniform-tail assumption "
+    "tail_total²/tail_keys) and report it against the exact second "
+    "frequency moment with an integer ppm error. This is the number "
+    "that decides whether a candidate-pair stage will blow up BEFORE "
+    "running it. Shape at scale: one map-side-combinable count, a "
+    "TakeOrdered top-20 (per-partition heaps), a broadcast anti-join "
+    "for the tail, three 1-row aggregates cross-joined broadcast — the "
+    "summary is O(20), never the key set. All 64-bit integer "
+    "multiply/floor-divide on non-negative terms (engine-exact).",
+    tags=("profile", "planner", "estimate"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = freq.orderBy(F.col("cnt").desc(), "key").limit(20)
+    tail = freq.join(F.broadcast(top.select("key")), "key", "left_anti")
+    hh = top.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("hh_pairs"))
+    tl = tail.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("tail_total"),
+        F.count(F.lit(1)).alias("tail_keys"),
+    )
+    act = freq.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("actual_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    tail_est = F.when(F.col("tail_keys") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(tail_total * tail_total) div tail_keys")
+    )
+    return (
+        act.crossJoin(F.broadcast(hh))
+        .crossJoin(F.broadcast(tl))
+        .select(
+            "n_keys",
+            "hh_pairs",
+            tail_est.alias("tail_est_pairs"),
+            (F.col("hh_pairs") + tail_est).alias("est_pairs"),
+            "actual_pairs",
+            F.expr(
+                "abs(hh_pairs + (CASE WHEN tail_keys = 0 THEN 0"
+                " ELSE (tail_total * tail_total) div tail_keys END)"
+                " - actual_pairs) * 1000000 div actual_pairs"
+            ).alias("abs_err_ppm"),
+        )
+    )
