@@ -353,3 +353,228 @@ def decode_image_gray8(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=f"{id_col} bigint, px array<int>"
     )
+
+
+def synthesize_media_with_metadata(df: DataFrame, id_col: str) -> DataFrame:
+    """``synthesize_media`` plus privacy-sensitive ancillary metadata — the
+    payload shape an EXIF/GPS scrub pass exists for:
+
+        png (even ids): sig + IHDR + tEXt("GPS", fixed-width lat/lon)
+                        + tEXt("Author", fixed-width) + IEND
+        wav (odd ids):  RIFF( fmt, LIST(INFO/IART fixed 12-byte artist),
+                        data )
+
+    Every metadata payload is FIXED WIDTH (zero-padded ids), so total byte
+    counts stay pure functions of the id and a SQL oracle can predict the
+    scrubber's before/after arithmetic exactly: png before = 122 bytes
+    (8+25+41+36+12), after = 45; wav before = 44 + data_size + 32, after
+    = 44 + data_size, data_size = (100 + id%50) * ((1 + (id//2)%2) * 2).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        def png_bytes(i: int) -> bytes:
+            ihdr = struct.pack(
+                ">IIBBBBB", i % 640 + 16, (i * 7) % 480 + 16, 8, 6, 0, 0, 0
+            )
+            gps = b"GPS\x00" + (f"lat={i % 90:08d};lon={i % 180:08d}").encode()
+            author = b"Author\x00" + (f"spark-engine-{i % 10000:04d}").encode()
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"tEXt", gps)
+                + chunk(b"tEXt", author)
+                + chunk(b"IEND", b"")
+            )
+
+        def wav_bytes(i: int) -> bytes:
+            nch = 1 + (i // 2) % 2
+            rate = 8000 * (1 + i % 3)
+            frames = 100 + i % 50
+            block_align = nch * 2
+            data_size = frames * block_align
+            info = b"INFO" + b"IART" + struct.pack("<I", 12) + (
+                f"artist-{i % 100000:05d}".encode()
+            )
+            assert len(info) == 24
+            return (
+                b"RIFF"
+                + struct.pack("<I", 4 + 24 + len(info) + 8 + 8 + data_size)
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, nch, rate, rate * block_align, block_align, 16
+                )
+                + b"LIST"
+                + struct.pack("<I", len(info))
+                + info
+                + b"data"
+                + struct.pack("<I", data_size)
+                + b"\x00" * data_size
+            )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        png_bytes(int(i)) if i % 2 == 0 else wav_bytes(int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+SCRUB_SCHEMA = (
+    "doc_id bigint, format string, n_removed int, bytes_before bigint, "
+    "bytes_after bigint, valid_after boolean"
+)
+
+
+def scrub_metadata_chunks(
+    df: DataFrame, id_col: str, payload_col: str, emit_payload: bool = False
+) -> DataFrame:
+    """Strip privacy-bearing ANCILLARY metadata from media containers —
+    the EXIF/GPS-scrub pass a training pipeline runs before images/audio
+    enter a corpus — as real byte surgery in one Arrow mapInPandas stage:
+
+    - PNG: walk the chunk stream; drop every ancillary chunk (bit 5 of
+      the first type byte set — tEXt/iTXt/eXIf/...), keep critical ones
+      (IHDR/PLTE/IDAT/IEND) byte-for-byte (their CRCs are untouched, so
+      no recompute needed).
+    - WAV: walk the RIFF subchunks; drop LIST (INFO/IART artist tags,
+      where RIFF carries authorship/GPS), keep fmt/data, REWRITE the
+      RIFF size field for the shortened file.
+
+    Emits the audit row the privacy review wants (removed count,
+    before/after bytes) plus ``valid_after`` — the scrubbed payload
+    re-parsed by the same checks the decoder applies (PNG: signature +
+    leading CRC-valid IHDR; WAV: RIFF/WAVE + fmt + data + consistent
+    size field). Corrupt/unknown payloads pass through UNCHANGED with
+    format='unknown', n_removed=0, valid_after=false — a scrubber must
+    never destroy what it cannot parse.
+
+    ``emit_payload=True`` appends the scrubbed bytes as a ``payload``
+    column — the TRANSFORM mode a pipeline sinks back to the corpus
+    (idempotent: a second pass removes nothing); the default audit mode
+    keeps result rows thin for the privacy-review report.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def scrub_png(data: bytes):
+            out = bytearray(data[:8])
+            pos, removed = 8, 0
+            while pos + 8 <= len(data):
+                (length,) = struct.unpack(">I", data[pos : pos + 4])
+                ctype = data[pos + 4 : pos + 8]
+                end = pos + 12 + length
+                if end > len(data):
+                    return None
+                if ctype[0] & 0x20:  # ancillary (lowercase first letter)
+                    removed += 1
+                else:
+                    out += data[pos:end]
+                pos = end
+                if ctype == b"IEND":
+                    break
+            if pos != len(data):
+                return None
+            return bytes(out), removed
+
+        def valid_png(data: bytes) -> bool:
+            if data[:8] != b"\x89PNG\r\n\x1a\n" or len(data) < 33:
+                return False
+            (length,) = struct.unpack(">I", data[8:12])
+            if data[12:16] != b"IHDR" or length != 13:
+                return False
+            (crc,) = struct.unpack(">I", data[29:33])
+            return crc == (zlib.crc32(data[12:29]) & 0xFFFFFFFF)
+
+        def scrub_wav(data: bytes):
+            if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return None
+            body = bytearray()
+            pos, removed = 12, 0
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                end = pos + 8 + size + (size & 1)
+                if end > len(data):
+                    return None
+                if cid == b"LIST":
+                    removed += 1
+                else:
+                    body += data[pos:end]
+                pos = end
+            if pos != len(data):
+                return None
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + bytes(body),
+                removed,
+            )
+
+        def valid_wav(data: bytes) -> bool:
+            if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return False
+            (stated,) = struct.unpack("<I", data[4:8])
+            if stated != len(data) - 8:
+                return False
+            seen = set()
+            pos = 12
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                seen.add(cid)
+                pos += 8 + size + (size & 1)
+            return b"fmt " in seen and b"data" in seen
+
+        def scrub(payload) -> tuple:
+            data = bytes(payload) if payload is not None else b""
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                res = scrub_png(data)
+                if res is not None:
+                    scrubbed, removed = res
+                    return (
+                        "png", removed, len(data), len(scrubbed),
+                        valid_png(scrubbed), scrubbed,
+                    )
+            elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                res = scrub_wav(data)
+                if res is not None:
+                    scrubbed, removed = res
+                    return (
+                        "wav", removed, len(data), len(scrubbed),
+                        valid_wav(scrubbed), scrubbed,
+                    )
+            return ("unknown", 0, len(data), len(data), False, data)
+
+        for pdf in batches:
+            rows = [scrub(p) for p in pdf[payload_col]]
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "format": [r[0] for r in rows],
+                "n_removed": [r[1] for r in rows],
+                "bytes_before": [r[2] for r in rows],
+                "bytes_after": [r[3] for r in rows],
+                "valid_after": [r[4] for r in rows],
+            }
+            if emit_payload:
+                out["payload"] = [r[5] for r in rows]
+            yield pd.DataFrame(out)
+
+    schema = SCRUB_SCHEMA + (", payload binary" if emit_payload else "")
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -403,3 +403,43 @@ def multimodal_phash_near_dedup(spark: SparkSession, sf_dir: str):
         .join(cb, "key_b")
         .select("key_a", "key_b", "hamming", "n_docs_a", "n_docs_b")
     )
+
+
+@register(
+    "multimodal_metadata_scrub",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_removed,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 122
+            ELSE 76 + (100 + doc_id % 50) * ((1 + (doc_id // 2) % 2) * 2)
+       END AS BIGINT) AS bytes_before,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 45
+            ELSE 44 + (100 + doc_id % 50) * ((1 + (doc_id // 2) % 2) * 2)
+       END AS BIGINT) AS bytes_after,
+       TRUE AS valid_after
+FROM documents
+""",
+    doc="Privacy metadata scrub over media containers — the EXIF/GPS-"
+    "strip pass run before images/audio enter a training corpus: "
+    "spec-valid PNGs carrying tEXt GPS+Author chunks and WAVs carrying "
+    "LIST/INFO artist tags are synthesized per doc_id, then "
+    "scrub_metadata_chunks drops every ancillary chunk with REAL byte "
+    "surgery (PNG chunk walk keying on the ancillary bit; RIFF subchunk "
+    "walk with the size field rewritten) and re-validates the result "
+    "with the decoder's own checks. Fixed-width metadata makes every "
+    "before/after byte count a pure function of doc_id, so the oracle "
+    "predicts the surgery arithmetic exactly. Two chained narrow "
+    "mapInPandas stages, no shuffle; corrupt payloads pass through "
+    "unchanged (pinned by tests/test_multimodal_decode.py).",
+    tags=("multimodal", "privacy"),
+)
+def multimodal_metadata_scrub(spark: SparkSession, sf_dir: str):
+    from ..multimodal.binary_ops import (
+        scrub_metadata_chunks,
+        synthesize_media_with_metadata,
+    )
+
+    d = t_cpu(spark, sf_dir, "documents").select("doc_id")
+    payloads = synthesize_media_with_metadata(d, "doc_id")
+    return scrub_metadata_chunks(payloads, "doc_id", "payload")

@@ -77,3 +77,59 @@ def test_extract_binary_meta_sniffs_real_signatures(spark):
     assert got[2] == (len(rows[1][1]), ord("R"), "wav")
     assert got[3] == (15, ord("n"), "other")
     assert got[4] == (0, -1, "empty")
+
+
+def test_scrub_removes_ancillary_and_revalidates(spark):
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        scrub_metadata_chunks,
+        synthesize_media_with_metadata,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (2,), (7,)], "doc_id bigint")
+    payloads = synthesize_media_with_metadata(ids, "doc_id")
+    rows = {
+        r.doc_id: r
+        for r in scrub_metadata_chunks(payloads, "doc_id", "payload").collect()
+    }
+    # even -> png with 2 tEXt chunks removed; odd -> wav with 1 LIST
+    assert rows[0].format == "png" and rows[0].n_removed == 2
+    assert rows[1].format == "wav" and rows[1].n_removed == 1
+    assert all(r.valid_after for r in rows.values())
+    assert all(r.bytes_after < r.bytes_before for r in rows.values())
+    # the GPS text is genuinely gone from the payload bytes
+    raw = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    assert b"lat=" in raw[0] and b"artist-" in raw[1]
+
+
+def test_scrub_is_idempotent_and_safe_on_garbage(spark):
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        scrub_metadata_chunks,
+        synthesize_media_with_metadata,
+    )
+
+    ids = spark.createDataFrame([(4,), (5,)], "doc_id bigint")
+    first = scrub_metadata_chunks(
+        synthesize_media_with_metadata(ids, "doc_id"),
+        "doc_id",
+        "payload",
+        emit_payload=True,
+    )
+    # idempotence: a second pass over the scrubbed payloads removes
+    # nothing and changes no bytes
+    second = scrub_metadata_chunks(
+        first.select("doc_id", "payload"), "doc_id", "payload"
+    ).collect()
+    assert all(r.n_removed == 0 for r in second)
+    assert all(r.bytes_after == r.bytes_before for r in second)
+    assert all(r.valid_after for r in second)
+    first = first.collect()
+
+    # garbage passes through unchanged, flagged invalid
+    garbage = spark.createDataFrame(
+        [(9, bytearray(b"not a media file"))], "doc_id bigint, payload binary"
+    )
+    g = scrub_metadata_chunks(garbage, "doc_id", "payload").collect()[0]
+    assert g.format == "unknown" and g.n_removed == 0
+    assert g.bytes_before == g.bytes_after == 16
+    assert g.valid_after is False
+    assert {r.format for r in first} == {"png", "wav"}
