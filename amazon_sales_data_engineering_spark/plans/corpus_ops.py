@@ -1229,3 +1229,109 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str):
             F.col("budget").alias("budget_tokens"),
         )
     )
+
+
+@register(
+    "corpus_curation_e2e",
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+base AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT mx.off + doc_id AS doc_id, text, 'mirror' AS source
+  FROM documents, mx WHERE doc_id % 37 = 0
+),
+m AS (
+  SELECT doc_id, source, {_NORM_SQL} AS nt,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS ntok,
+         CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of')))
+              AS BIGINT) AS nstop
+  FROM base
+),
+q AS (
+  SELECT * FROM m
+  WHERE ntok BETWEEN 10 AND 2000 AND (nstop * 1000) // ntok >= 10
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+  FROM q
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_quality,
+         CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS docs_final,
+         CAST(COALESCE(SUM(ntok) FILTER (WHERE rn = 1), 0) AS BIGINT)
+           AS tokens_final
+  FROM k GROUP BY source
+),
+din AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in FROM base GROUP BY source
+)
+SELECT d.source, d.docs_in,
+       CAST(COALESCE(a.docs_quality, 0) AS BIGINT) AS docs_quality,
+       CAST(COALESCE(a.docs_final, 0) AS BIGINT) AS docs_final,
+       CAST(COALESCE(a.tokens_final, 0) AS BIGINT) AS tokens_final
+FROM din d LEFT JOIN agg a USING (source)
+""",
+    doc="END-TO-END curation pipeline — the 'raw crawl → training corpus' "
+    "composition a user actually runs, as ONE declarative plan: quality "
+    "gate (token-count band + integer stopword-density floor, pure "
+    "map) → exact dedup (md5 fingerprint window, min-id keeper — one "
+    "shuffle) → per-source yield report (docs in/after-quality/"
+    "after-dedup, surviving token budget). Non-vacuity is SEEDED: every "
+    "37th document is mirrored under source='mirror' with a DATA-DERIVED "
+    "id offset (max(doc_id)+1 — never a fixed constant, the sf1 "
+    "collision rule), so the dedup stage provably removes the whole "
+    "mirror source (docs_final = 0 on the mirror row) while real "
+    "sources pass through. Scale shape: the quality gate prunes before "
+    "the dedup exchange; both report aggregates are map-side "
+    "combinable; the 1-row max offset broadcasts. The SQL oracle replays "
+    "all three stages in CTEs.",
+    tags=("corpus", "dedup", "pipeline", "composition"),
+    bench=True,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str):
+    from ..functions.text import normalized_text, stopword_count, token_count
+
+    d = t_cpu(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mx = d.agg((F.max("doc_id") + 1).alias("off"))
+    clones = (
+        d.filter(F.col("doc_id") % 37 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("off") + F.col("doc_id")).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    base = d.unionByName(clones)
+    m = base.select(
+        "doc_id",
+        "source",
+        normalized_text("text").alias("nt"),
+        token_count("text").alias("ntok"),
+        stopword_count("text").alias("nstop"),
+    )
+    q = m.filter(
+        (F.col("ntok") >= 10)
+        & (F.col("ntok") <= 2000)
+        & (F.expr("(nstop * 1000) div ntok") >= 10)
+    )
+    w = Window.partitionBy(F.md5("nt")).orderBy("doc_id")
+    k = q.withColumn("rn", F.row_number().over(w))
+    agg = k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_quality"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("docs_final"),
+        F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("ntok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+    din = base.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
+    return din.join(agg, "source", "left").select(
+        "source",
+        "docs_in",
+        F.coalesce("docs_quality", F.lit(0)).cast("bigint").alias("docs_quality"),
+        F.coalesce("docs_final", F.lit(0)).cast("bigint").alias("docs_final"),
+        F.coalesce("tokens_final", F.lit(0)).cast("bigint").alias("tokens_final"),
+    )
