@@ -371,6 +371,7 @@ FROM g
     "same per-key exchange — two in-partition sorts, no second shuffle, "
     "the same single-exchange trick as the nearest as-of.",
     tags=("temporal", "window", "resample"),
+    bench=True,
 )
 def resample_linear_interpolate(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window

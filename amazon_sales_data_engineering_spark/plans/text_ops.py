@@ -805,6 +805,7 @@ ORDER BY n_phrase_hits DESC, doc_id ASC LIMIT 20
     "1-based list indexing + list_intersect over the same integer "
     "positions.",
     tags=("text", "search", "inverted-index", "positions"),
+    bench=True,
 )
 def search_phrase_positions(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")

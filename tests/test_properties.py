@@ -268,12 +268,13 @@ asof_right_st = st.lists(
 
 @SETTINGS
 @given(left=asof_left_st, right=asof_right_st,
-       direction=st.sampled_from(["backward", "forward"]),
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
        tol=st.sampled_from([None, 0, 3, 10]))
 def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol):
-    """Differential oracle: our union+window as-of (both directions, with
-    and without tolerance) must agree with pandas merge_asof — a wholly
-    independent single-node implementation."""
+    """Differential oracle: our union+window as-of (all three directions,
+    with and without tolerance) must agree with pandas merge_asof — a
+    wholly independent single-node implementation (nearest tie-break:
+    both prefer the backward match)."""
     import pandas as pd
 
     from amazon_sales_data_engineering_spark.operators.temporal import asof_join

@@ -154,6 +154,16 @@ CEILINGS: dict[str, float] = {
     "streaming_index_ann_cdc": 11.0,
     "json_splittable_wrapper": 6.0,  # 3.65 measured idle (2-pass scan)
     "ann_ivf_partitioned_append_equiv": 4.0,  # 2.67 measured idle
+    # round-9 late additions (measured 0.80-1.73 idle — near-flat: all
+    # are map-dominated or bounded-summary plans)
+    "asof_join_nearest": 2.0,  # 0.94 measured idle
+    "resample_linear_interpolate": 2.0,  # 0.85 measured idle
+    "search_phrase_positions": 2.0,  # 1.02 measured idle
+    "embedding_jl_projection": 2.0,  # 0.90 measured idle
+    "schema_evolution_audit": 2.0,  # 1.18 measured idle
+    "join_size_estimate": 2.8,  # 1.73 measured idle (top-20 broadcast)
+    "multimodal_metadata_scrub": 2.0,  # 0.80 measured idle
+    "corpus_curation_e2e": 2.0,  # 1.08 measured idle
 }
 
 
