@@ -384,3 +384,53 @@ def test_ndcg_windows_take_ordered_not_global_sort(spark):
     driver merge, never a one-partition corpus sort."""
     plan = _plan(spark, "search_ndcg_eval")
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_phrase_search_single_exchange_take_ordered(spark):
+    """Positional phrase matching must stay one groupBy exchange with an
+    in-row array intersection — no positional self-join — and resolve the
+    global top-20 as TakeOrderedAndProject."""
+    plan = _plan(spark, "search_phrase_positions")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_jl_projection_is_pure_map(spark):
+    """The 64->8 JL projection is literal-matrix arithmetic inside
+    codegen: a keyed or range Exchange means the plan regressed to a
+    real shuffle (the only allowed Exchange is t_cpu's round-robin
+    spread of an under-parallelized single-file scan)."""
+    plan = _plan(spark, "embedding_jl_projection")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Sort" not in plan and "Join" not in plan
+
+
+def test_asof_nearest_no_join_two_exchanges(spark):
+    """Nearest as-of = union + two fills over ONE by-key exchange (the
+    second exchange is the sparse index build) — never a join."""
+    plan = _plan(spark, "asof_join_nearest")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_curation_e2e_no_cartesian_no_smj(spark):
+    """The end-to-end curation pipeline: fingerprint window + two
+    map-side-combinable aggregates; the only nested-loop is the 1-row
+    max-offset broadcast, and the source-report join must broadcast."""
+    plan = _plan(spark, "corpus_curation_e2e")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_size_estimate_bounded_summary(spark):
+    """The estimator reads a bounded summary: top-20 via TakeOrdered
+    (per-partition heaps), tail via broadcast anti-join — never a sort
+    or shuffle proportional to the key set."""
+    plan = _plan(spark, "join_size_estimate")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
