@@ -181,26 +181,28 @@ WITH idx AS (
   GROUP BY 1, 2
 ),
 l AS (SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders),
-cand AS (
-  SELECT l.o_orderkey, l.o_orderpriority, l.od,
-         (SELECT MAX(d) FROM idx
-          WHERE idx.p = l.o_orderpriority AND idx.d <= l.od) AS bd,
-         (SELECT MIN(d) FROM idx
-          WHERE idx.p = l.o_orderpriority AND idx.d >= l.od) AS fd
-  FROM l
+b AS (
+  SELECT l.o_orderkey, l.o_orderpriority, l.od, i.d AS bd, i.ref_price AS bp
+  FROM l ASOF LEFT JOIN idx i ON l.o_orderpriority = i.p AND l.od >= i.d
+),
+f AS (
+  SELECT l.o_orderkey, i.d AS fd, i.ref_price AS fp
+  FROM l ASOF LEFT JOIN idx i ON l.o_orderpriority = i.p AND l.od <= i.d
 ),
 pick AS (
-  SELECT o_orderkey, o_orderpriority, od,
-         CASE WHEN fd IS NULL THEN bd
-              WHEN bd IS NULL THEN fd
-              WHEN (od - bd) <= (fd - od) THEN bd ELSE fd END AS nd
-  FROM cand
+  SELECT b.o_orderkey, b.o_orderpriority, b.od,
+         CASE WHEN f.fd IS NULL THEN b.bd WHEN b.bd IS NULL THEN f.fd
+              WHEN (b.od - b.bd) <= (f.fd - b.od) THEN b.bd ELSE f.fd
+         END AS nd,
+         CASE WHEN f.fd IS NULL THEN b.bp WHEN b.bd IS NULL THEN f.fp
+              WHEN (b.od - b.bd) <= (f.fd - b.od) THEN b.bp ELSE f.fp
+         END AS np
+  FROM b JOIN f ON f.o_orderkey = b.o_orderkey
 )
-SELECT p.o_orderkey, p.o_orderpriority,
-       CASE WHEN p.nd IS NOT NULL AND abs(p.od - p.nd) <= 2
-            THEN i.ref_price END AS ref_price
-FROM pick p LEFT JOIN idx i
-  ON i.p = p.o_orderpriority AND i.d = p.nd
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN nd IS NOT NULL AND abs(od - nd) <= 2 THEN np
+       END AS ref_price
+FROM pick
 """,
     doc="Nearest-direction as-of join (pandas merge_asof "
     "direction='nearest'): every order gets the reference price from the "
@@ -211,9 +213,10 @@ FROM pick p LEFT JOIN idx i
     "computed over it (last(ignorenulls) ascending for backward, "
     "first(ignorenulls) over the trailing frame with the tie order "
     "reversed for forward) — two in-partition sorts, one shuffle, no "
-    "second join, no pair blowup. Oracle: correlated MAX/MIN subqueries "
-    "+ CASE on the day gaps + equi-join re-lookup (a different "
-    "algorithm entirely).",
+    "second join, no pair blowup. Oracle: DuckDB's NATIVE ASOF joins in "
+    "both directions + CASE on the day gaps (a different algorithm "
+    "entirely; the correlated-subquery formulation was O(n·idx) and "
+    "timed out at sf1).",
     tags=("join", "asof", "temporal"),
 )
 def asof_join_nearest(spark: SparkSession, sf_dir: str):

@@ -75,6 +75,14 @@ SHOWCASE = [
     "ann_ivf_drift_monitor",
     "streaming_index_ann",
     "json_splittable_roundtrip",
+    # round-9 additions
+    "asof_join_nearest",
+    "resample_linear_interpolate",
+    "search_phrase_positions",
+    "embedding_jl_projection",
+    "join_size_estimate",
+    "corpus_curation_e2e",
+    "multimodal_metadata_scrub",
 ]
 
 
