@@ -118,12 +118,17 @@ def asof_join(
 
     if direction == "nearest":
         # Both fills over the SAME union and the SAME by-key exchange:
-        # backward = last(ignorenulls) over ascending (right-before-left
-        # tie order makes an equal-timestamp right row visible), forward =
-        # first(ignorenulls) over the trailing frame with the tie order
-        # REVERSED (left-before-right, so an equal-timestamp right row is
-        # inside currentRow..following). Two in-partition sorts, still one
-        # shuffle — never a second join.
+        # backward = running last(ignorenulls) over ascending time,
+        # forward = running last(ignorenulls) over DESCENDING time (the
+        # identical trick the plain forward direction uses) — right rows
+        # sort before left rows at an equal timestamp in BOTH orders, so
+        # equality stays inclusive. Two in-partition sorts, one shuffle,
+        # never a second join. Both frames are RUNNING
+        # (unboundedPreceding..currentRow): a currentRow..unboundedFollowing
+        # frame looks equivalent for the forward fill but Spark's
+        # UnboundedFollowingWindowFunctionFrame recomputes the aggregate
+        # from scratch per row — O(partition²), a measured hang at 1.5M
+        # rows/key — while running frames stream in O(partition).
         wb = (
             Window.partitionBy(*by)
             .orderBy(F.col("__t"), F.col("__is_left"))
@@ -131,13 +136,13 @@ def asof_join(
         )
         wf = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t"), F.col("__is_left").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = merged.select(
             *merged.columns,
             F.last(F.col("__rpack"), ignorenulls=True).over(wb).alias("__bp"),
-            F.first(F.col("__rpack"), ignorenulls=True).over(wf).alias("__fp"),
+            F.last(F.col("__rpack"), ignorenulls=True).over(wf).alias("__fp"),
         )
         rows = filled.filter(F.col("__is_left") == 1)
         from pyspark.sql import types as T

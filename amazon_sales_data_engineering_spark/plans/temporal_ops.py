@@ -408,10 +408,14 @@ def resample_linear_interpolate(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("s.d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The next-observation fill is a RUNNING last() over DESCENDING day —
+    # never a currentRow..unboundedFollowing frame, which Spark executes
+    # as a per-row rescan of the partition remainder (O(partition²); the
+    # nearest-asof operator hit this as a measured hang at sf1).
     wf = (
         Window.partitionBy(F.col("s.p"))
-        .orderBy(F.col("s.d"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("s.d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = joined.select(
         F.col("s.p").alias("p"),
@@ -419,8 +423,8 @@ def resample_linear_interpolate(spark: SparkSession, sf_dir: str):
         F.col("dl.n").alias("n"),
         F.last(F.col("dl.n"), ignorenulls=True).over(wb).alias("pn"),
         F.last(F.col("dl.d"), ignorenulls=True).over(wb).alias("pd"),
-        F.first(F.col("dl.n"), ignorenulls=True).over(wf).alias("nn"),
-        F.first(F.col("dl.d"), ignorenulls=True).over(wf).alias("nd"),
+        F.last(F.col("dl.n"), ignorenulls=True).over(wf).alias("nn"),
+        F.last(F.col("dl.d"), ignorenulls=True).over(wf).alias("nd"),
     )
     interp = F.when(F.col("n").isNotNull(), F.col("n") * 1000).when(
         F.col("pn").isNotNull() & F.col("nn").isNotNull(),
