@@ -449,13 +449,22 @@ def scrub_metadata_chunks(
     the EXIF/GPS-scrub pass a training pipeline runs before images/audio
     enter a corpus — as real byte surgery in one Arrow mapInPandas stage:
 
-    - PNG: walk the chunk stream; drop every ancillary chunk (bit 5 of
-      the first type byte set — tEXt/iTXt/eXIf/...), keep critical ones
-      (IHDR/PLTE/IDAT/IEND) byte-for-byte (their CRCs are untouched, so
-      no recompute needed).
-    - WAV: walk the RIFF subchunks; drop LIST (INFO/IART artist tags,
-      where RIFF carries authorship/GPS), keep fmt/data, REWRITE the
-      RIFF size field for the shortened file.
+    Scrub policy (privacy-first drop-by-default, rendering-safe keep
+    list — round-9 ADVICE asked for the scope to be explicit):
+
+    - PNG: critical chunks (bit 5 of the first type byte clear —
+      IHDR/PLTE/IDAT/IEND) are kept byte-for-byte (CRCs untouched, no
+      recompute). Ancillary chunks are kept ONLY when on the
+      rendering-relevant safe list (tRNS/gAMA/sRGB/cHRM/iCCP/sBIT/bKGD/
+      pHYs/hIST/sPLT and the APNG animation trio) — every other
+      ancillary chunk is dropped, which removes the known metadata
+      carriers (tEXt/zTXt/iTXt/eXIf/tIME) AND unknown private chunks
+      that could smuggle provenance.
+    - WAV: LIST chunks are dropped only when their form type is INFO
+      (IART artist / location tags); adtl cue-label LISTs survive.
+      Standalone metadata chunks id3/ID3/bext/iXML/axml are dropped
+      too. fmt/data/fact and anything else structural is kept, and the
+      RIFF size field is REWRITTEN for the shortened file.
 
     Emits the audit row the privacy review wants (removed count,
     before/after bytes) plus ``valid_after`` — the scrubbed payload
@@ -475,6 +484,15 @@ def scrub_metadata_chunks(
         import struct
         import zlib
 
+        # Ancillary PNG chunks that affect RENDERING, not provenance —
+        # the keep list; every other ancillary chunk (metadata carriers
+        # tEXt/zTXt/iTXt/eXIf/tIME and unknown private types) is dropped.
+        png_safe = {
+            b"tRNS", b"gAMA", b"sRGB", b"cHRM", b"iCCP", b"sBIT",
+            b"bKGD", b"pHYs", b"hIST", b"sPLT", b"acTL", b"fcTL",
+            b"fdAT",
+        }
+
         def scrub_png(data: bytes):
             out = bytearray(data[:8])
             pos, removed = 8, 0
@@ -484,8 +502,8 @@ def scrub_metadata_chunks(
                 end = pos + 12 + length
                 if end > len(data):
                     return None
-                if ctype[0] & 0x20:  # ancillary (lowercase first letter)
-                    removed += 1
+                if ctype[0] & 0x20 and ctype not in png_safe:
+                    removed += 1  # ancillary (lowercase first letter)
                 else:
                     out += data[pos:end]
                 pos = end
@@ -504,6 +522,11 @@ def scrub_metadata_chunks(
             (crc,) = struct.unpack(">I", data[29:33])
             return crc == (zlib.crc32(data[12:29]) & 0xFFFFFFFF)
 
+        # RIFF chunks that exist to carry authorship/location metadata;
+        # LIST is handled separately (only INFO-form lists are dropped —
+        # adtl cue labels are playback data, not provenance).
+        wav_meta = {b"id3 ", b"ID3 ", b"bext", b"iXML", b"axml"}
+
         def scrub_wav(data: bytes):
             if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
                 return None
@@ -515,7 +538,10 @@ def scrub_metadata_chunks(
                 end = pos + 8 + size + (size & 1)
                 if end > len(data):
                     return None
-                if cid == b"LIST":
+                is_info_list = (
+                    cid == b"LIST" and data[pos + 8 : pos + 12] == b"INFO"
+                )
+                if is_info_list or cid in wav_meta:
                     removed += 1
                 else:
                     body += data[pos:end]
@@ -538,9 +564,15 @@ def scrub_metadata_chunks(
             while pos + 8 <= len(data):
                 cid = data[pos : pos + 4]
                 (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                end = pos + 8 + size + (size & 1)
+                if end > len(data):  # final chunk overruns the buffer
+                    return False
                 seen.add(cid)
-                pos += 8 + size + (size & 1)
-            return b"fmt " in seen and b"data" in seen
+                pos = end
+            # the walk must land EXACTLY at end-of-buffer — a trailing
+            # partial chunk header (< 8 bytes) is structural corruption,
+            # mirroring scrub_wav's own end > len(data) rejection.
+            return pos == len(data) and b"fmt " in seen and b"data" in seen
 
         def scrub(payload) -> tuple:
             data = bytes(payload) if payload is not None else b""

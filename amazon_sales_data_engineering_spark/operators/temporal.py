@@ -60,6 +60,11 @@ def asof_join(
     reverses the window order, and tolerance is a post-window filter on
     the matched time carried through the fill — no extra join, no extra
     shuffle.
+
+    When multiple right rows share the same (by, time), the attached
+    payload is deterministic: the fill order breaks ties on a 64-bit hash
+    of the packed right payload (largest hash wins), so repeated runs and
+    different partitionings pick the same duplicate.
     """
     by = by or []
     if direction not in ("backward", "forward", "nearest"):
@@ -78,14 +83,26 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in by and c != right_time]
     non_key_left = [c for c in left.columns if c not in by]
 
+    from pyspark.sql import types as T
+
     rt_type = right.schema[right_time].dataType
+    lt_type = left.schema[left_time].dataType
+    # DATE tolerance validation lives ABOVE the direction split so the
+    # nearest and directional paths can't drift (round-9 ADVICE).
+    if (
+        tolerance is not None
+        and isinstance(lt_type, T.DateType)
+        and not isinstance(tolerance, int)
+    ):
+        raise ValueError(
+            "tolerance for DATE time columns is an integer day count"
+        )
 
     # Right-row attributes travel as ONE struct, non-null exactly when the
     # row IS a right row: last(ignorenulls) over the struct then skips
     # only left rows — filling each attribute separately would let a
     # legitimately-NULL right value (e.g. an open-ended valid_to) bleed
     # the PREVIOUS right row's value through.
-    from pyspark.sql import types as T
 
     pack_type = T.StructType(
         [T.StructField("__rt", rt_type)]
@@ -116,6 +133,17 @@ def asof_join(
     )
     merged = l_tag.unionByName(r_tag)
 
+    # Deterministic tie-break for right rows sharing the same (by, time):
+    # last(ignorenulls) picks whichever duplicate the in-partition sort
+    # places last, so without a third sort key the attached payload is
+    # nondeterministic across runs (round-9 ADVICE). A 64-bit hash of the
+    # packed payload is stable, cheap, and orderable regardless of the
+    # payload's own types (maps aren't orderable; hashes always are).
+    # Left rows all hash the null pack to one constant — their relative
+    # order never matters (each carries its own distinct output row).
+    tie = F.xxhash64(F.col("__rpack")).alias("__tie")
+    merged = merged.select(*merged.columns, tie)
+
     if direction == "nearest":
         # Both fills over the SAME union and the SAME by-key exchange:
         # backward = running last(ignorenulls) over ascending time,
@@ -131,12 +159,12 @@ def asof_join(
         # rows/key — while running frames stream in O(partition).
         wb = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t"), F.col("__is_left"))
+            .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tie"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").desc(), F.col("__is_left"))
+            .orderBy(F.col("__t").desc(), F.col("__is_left"), F.col("__tie"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = merged.select(
@@ -145,9 +173,6 @@ def asof_join(
             F.last(F.col("__rpack"), ignorenulls=True).over(wf).alias("__fp"),
         )
         rows = filled.filter(F.col("__is_left") == 1)
-        from pyspark.sql import types as T
-
-        lt_type = left.schema[left_time].dataType
         if isinstance(lt_type, T.DateType):
             bgap = F.datediff(F.col("__t"), F.col("__bp.__rt"))
             fgap = F.datediff(F.col("__fp.__rt"), F.col("__t"))
@@ -166,12 +191,6 @@ def asof_join(
         if tolerance is None:
             ok = F.lit(True)
         elif isinstance(lt_type, (T.DateType, T.NumericType)):
-            if isinstance(lt_type, T.DateType) and not isinstance(
-                tolerance, int
-            ):
-                raise ValueError(
-                    "tolerance for DATE time columns is an integer day count"
-                )
             ok = gap <= F.lit(tolerance)
         else:
             iv = F.expr(f"INTERVAL {tolerance}")
@@ -192,9 +211,9 @@ def asof_join(
     # (in both directions: forward reverses the time order but keeps
     # right-first within a timestamp).
     order = (
-        [F.col("__t"), F.col("__is_left")]
+        [F.col("__t"), F.col("__is_left"), F.col("__tie")]
         if direction == "backward"
-        else [F.col("__t").desc(), F.col("__is_left")]
+        else [F.col("__t").desc(), F.col("__is_left"), F.col("__tie")]
     )
     w = (
         Window.partitionBy(*by)
@@ -217,14 +236,8 @@ def asof_join(
     if tolerance is None:
         ok = F.lit(True)
     else:
-        from pyspark.sql import types as T
-
         matched = F.col("__f___rt")
-        if isinstance(left.schema[left_time].dataType, T.DateType):
-            if not isinstance(tolerance, int):
-                raise ValueError(
-                    "tolerance for DATE time columns is an integer day count"
-                )
+        if isinstance(lt_type, T.DateType):
             gap = (
                 F.datediff(F.col("__t"), matched)
                 if direction == "backward"

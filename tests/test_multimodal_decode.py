@@ -133,3 +133,106 @@ def test_scrub_is_idempotent_and_safe_on_garbage(spark):
     assert g.bytes_before == g.bytes_after == 16
     assert g.valid_after is False
     assert {r.format for r in first} == {"png", "wav"}
+
+
+def test_scrub_policy_keeps_rendering_chunks_drops_metadata(spark):
+    """Round-10 policy refinement: the scrubber is selective, not
+    drop-everything — PNG rendering-relevant ancillary chunks (tRNS,
+    gAMA) and WAV adtl cue-label LISTs survive, while tEXt, INFO LISTs
+    and standalone id3 chunks are removed."""
+    import struct
+    import zlib
+
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        scrub_metadata_chunks,
+    )
+
+    def png_chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"gAMA", struct.pack(">I", 45455))
+        + png_chunk(b"tRNS", b"\x00\x01")
+        + png_chunk(b"tEXt", b"Author\x00someone")
+        + png_chunk(b"prVt", b"smuggled")  # unknown private ancillary
+        + png_chunk(b"IEND", b"")
+    )
+
+    def riff_chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    fmt = riff_chunk(
+        b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    )
+    adtl = riff_chunk(b"LIST", b"adtl" + riff_chunk(b"labl", b"\x01\x00\x00\x00cue"))
+    info = riff_chunk(b"LIST", b"INFO" + riff_chunk(b"IART", b"artist-x"))
+    id3 = riff_chunk(b"id3 ", b"ID3\x03\x00tagbytes")
+    data = riff_chunk(b"data", b"\x00" * 20)
+    body = fmt + adtl + info + id3 + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in scrub_metadata_chunks(
+            df, "doc_id", "payload", emit_payload=True
+        ).collect()
+    }
+    # png: tEXt + unknown private dropped; gAMA/tRNS kept
+    p = rows[1]
+    assert p.n_removed == 2 and p.valid_after
+    out = bytes(p.payload)
+    assert b"gAMA" in out and b"tRNS" in out
+    assert b"tEXt" not in out and b"prVt" not in out
+    # wav: INFO LIST + id3 dropped; adtl LIST kept; RIFF size rewritten
+    w = rows[2]
+    assert w.n_removed == 2 and w.valid_after
+    out = bytes(w.payload)
+    assert b"adtl" in out and b"labl" in out
+    assert b"INFO" not in out and b"id3 " not in out
+    (stated,) = struct.unpack("<I", out[4:8])
+    assert stated == len(out) - 8
+
+
+def test_valid_after_rejects_overrunning_final_chunk(spark):
+    """Round-9 ADVICE: valid_wav must reject a payload whose final chunk
+    size overruns the buffer, and require the walk to land exactly at
+    end-of-buffer. An overrunning input can't be scrubbed either, so it
+    passes through as-is — valid_after must come back False, not True."""
+    import struct
+
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        scrub_metadata_chunks,
+    )
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    # data chunk claims 100 bytes but carries 4
+    bad_data = b"data" + struct.pack("<I", 100) + b"\x00" * 4
+    body = fmt + bad_data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # trailing partial header: walk cannot land exactly at end-of-buffer
+    body2 = fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4 + b"XYZ"
+    wav2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WAVE" + body2
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav2))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in scrub_metadata_chunks(df, "doc_id", "payload").collect()
+    }
+    assert rows[1].valid_after is False and rows[1].n_removed == 0
+    assert rows[2].valid_after is False and rows[2].n_removed == 0

@@ -224,3 +224,32 @@ def test_quantized_topk_strict_missing_probe_raises(spark):
     assert {r.probe_id for r in out} == {1}
     with pytest.raises(ValueError, match="99"):
         quantized_topk(vectors, probes, k=2, strict=True)
+
+
+def test_asof_join_duplicate_right_times_deterministic(spark):
+    """Round-9 ADVICE: multiple right rows sharing the same (by, time)
+    must attach a DETERMINISTIC payload — the fill breaks ties on a
+    hash of the packed right payload, so re-runs and different right
+    partitionings agree. All three directions."""
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 3)], "by string, t int"
+    )
+    dup_rows = [("k", 5, f"v{i}") for i in range(8)]
+    expected = {}
+    for direction in ("backward", "forward", "nearest"):
+        picks = set()
+        for n_parts in (1, 3, 8):
+            right = spark.createDataFrame(
+                dup_rows, "by string, t int, v string"
+            ).repartition(n_parts)
+            out = asof_join(
+                left, right, "t", "t", by=["by"], direction=direction
+            )
+            picks.add(tuple(sorted((r.t, r.v) for r in out.collect())))
+        assert len(picks) == 1, f"{direction}: nondeterministic {picks}"
+        expected[direction] = picks.pop()
+    # directions differ in WHICH left rows match (backward can't match
+    # t=3, forward can't match t=10) but every matched row must attach
+    # the SAME duplicate — the hash order is direction-independent.
+    chosen = {v for pick in expected.values() for _, v in pick if v is not None}
+    assert len(chosen) == 1, f"directions disagree on the duplicate: {chosen}"
