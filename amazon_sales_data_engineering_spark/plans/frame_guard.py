@@ -1,0 +1,68 @@
+"""Mechanical guard against the O(partition²) window-frame class.
+
+Spark executes any window frame that ENDS at ``unboundedFollowing`` but
+does not START at ``unboundedPreceding`` (e.g. ``currentRow ..
+unboundedFollowing``) with ``UnboundedFollowingWindowFunctionFrame``,
+which recomputes the aggregate FROM SCRATCH for every row — O(partition²)
+work. The round-9 forward-fill bug built exactly that frame: it passed
+every sf0.001/sf0.01/sf0.1 gate and then hung 15+ minutes at sf1
+(1.5M rows/key). Full-partition frames
+(``unboundedPreceding .. unboundedFollowing``) are fine — Spark computes
+those ONCE per partition (``UnboundedWindowFunctionFrame``) — and every
+suffix aggregation has an O(n) formulation as a RUNNING frame over the
+reversed sort order (see operators/temporal.py's nearest fill).
+
+Two enforcement layers use this module:
+
+- ``tests/test_frame_quality.py`` — static AST scan of the package
+  source for ``rowsBetween``/``rangeBetween`` calls that build the bad
+  frame, so the pattern can't be committed at all.
+- ``tools/verify_sweep.py`` + plan tests — ``assert_no_quadratic_frames``
+  on the OPTIMIZED plan of every registered query, so a bad frame that
+  sneaks in through SQL strings, ``F.expr`` window specs, or a future
+  helper still fails the gate before it can reach a large corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# specifiedwindowframe(RowFrame, <lower>, unboundedfollowing$()) — the
+# lower bound is everything up to the last comma; only a full-partition
+# frame (lower == unboundedpreceding$()) is allowed to end unbounded.
+_FRAME_RE = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,\s*([^,]+?),\s*"
+    r"unboundedfollowing\$\(\)\)"
+)
+
+
+def find_quadratic_frames(plan_text: str) -> list[str]:
+    """Return the offending lower bounds of every window frame in
+    ``plan_text`` that ends at unboundedFollowing without starting at
+    unboundedPreceding (the per-row-recompute class). Empty list means
+    the plan is clean."""
+    return [
+        m.group(1)
+        for m in _FRAME_RE.finditer(plan_text)
+        if m.group(1) != "unboundedpreceding$()"
+    ]
+
+
+def assert_no_quadratic_frames(df: DataFrame, context: str = "") -> None:
+    """Fail fast if ``df``'s optimized plan contains a suffix window
+    frame (start != unboundedPreceding, end == unboundedFollowing) —
+    Spark executes those O(partition²). Rewrite as a running frame over
+    the reversed sort order instead."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = find_quadratic_frames(plan)
+    if bad:
+        raise AssertionError(
+            f"O(partition^2) window frame{' in ' + context if context else ''}: "
+            f"frame ends at unboundedFollowing with lower bound(s) {bad} — "
+            "Spark recomputes the aggregate per row "
+            "(UnboundedFollowingWindowFunctionFrame). Use a RUNNING frame "
+            "(unboundedPreceding..currentRow) over the REVERSED sort order; "
+            "see operators/temporal.py's nearest fill."
+        )

@@ -1,0 +1,96 @@
+"""tools/verify_sweep.py resource-failure auto-retry (round-9 verdict
+#2): DuckDB OOM / spill-disk oracle casualties must be classified apart
+from value mismatches and re-run isolated with a raised memory cap —
+the three sf1 casualties needed exactly this by hand last round."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import verify_sweep as vs  # noqa: E402
+
+
+def test_resource_failure_classification():
+    assert vs._is_resource_failure(
+        "Out of Memory Error: could not allocate block of size 256KB"
+    )
+    assert vs._is_resource_failure(
+        "IO Error: No space left on device: failed to write spill file"
+    )
+    assert vs._is_resource_failure("OutOfMemoryError: Java heap space")
+    assert vs._is_resource_failure("failed to allocate data of size 1.5 GiB")
+    # value mismatches and plan failures are NOT resource failures
+    assert not vs._is_resource_failure("value hash mismatch: 3 != 7")
+    assert not vs._is_resource_failure("rows 10 != oracle rows 12")
+    assert not vs._is_resource_failure(
+        "O(partition^2) window frame in q: ends at unboundedFollowing"
+    )
+
+
+def test_retry_reruns_only_resource_failures(tmp_path, monkeypatch):
+    journal = tmp_path / "sweep.json"
+    names = ["ok_q", "mismatch_q", "timeout_q", "oom_q", "oom_stuck_q"]
+    journal.write_text(
+        json.dumps(
+            {
+                "ok_q": {"ok": True, "sec": 1.0},
+                "mismatch_q": {"ok": False, "err": "value hash mismatch"},
+                "timeout_q": {"ok": False, "timeout": True},
+                "oom_q": {
+                    "ok": False,
+                    "err": "Out of Memory Error: could not allocate",
+                    "resource": True,
+                },
+                "oom_stuck_q": {
+                    "ok": False,
+                    "err": "Out of Memory Error: could not allocate",
+                    "resource": True,
+                },
+                "other_round_oom": {"ok": False, "resource": True},
+            }
+        )
+    )
+
+    calls: list[tuple[list[str], str]] = []
+
+    def fake_run(cmd, env=None, **kw):
+        # last argv element is the single retried query name
+        name = cmd[-1]
+        calls.append((cmd, env.get("SWEEP_DUCK_MEM")))
+        data = json.loads(journal.read_text())
+        if name == "oom_q":  # recovers at the raised cap
+            data[name] = {"ok": True, "sec": 9.9}
+        journal.write_text(json.dumps(data))
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr("subprocess.run", fake_run)
+    rc = vs._retry_resource_failures(names, str(journal), env={})
+
+    # only the two resource failures were retried — one query per
+    # subprocess, raised DuckDB cap; the mismatch, the timeout, and the
+    # resource failure from a DIFFERENT round's names were not
+    retried = {c[0][-1] for c in calls}
+    assert retried == {"oom_q", "oom_stuck_q"}
+    assert all(mem == "100GB" for _, mem in calls)
+    # rc: oom_stuck_q still failed and mismatch_q is a real failure;
+    # the timeout keeps its non-failure child semantics
+    assert rc == 1
+    final = json.loads(journal.read_text())
+    assert final["oom_q"]["ok"] is True
+
+    # all-green after retry -> rc 0 (timeouts don't fail the sweep)
+    data = json.loads(journal.read_text())
+    data["mismatch_q"] = {"ok": True}
+    data["oom_stuck_q"] = {"ok": True}
+    journal.write_text(json.dumps(data))
+    calls.clear()
+    assert vs._retry_resource_failures(names, str(journal), env={}) == 0
+    assert calls == []  # nothing left classified as resource-failed

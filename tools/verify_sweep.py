@@ -21,6 +21,15 @@ completes unattended:
     SWEEP_JOURNAL=SWEEP_SF1.json SWEEP_SF_DIR=/tmp/asde_sf1 \\
     SWEEP_DRIVER_MEM=8g SWEEP_QUERY_TIMEOUT=1200 \\
     python tools/verify_sweep.py
+
+Round-10 additions:
+- Every query's OPTIMIZED PLAN is screened for O(partition²) suffix
+  window frames (plans/frame_guard.py) before the value comparison —
+  the round-9 forward-fill bug class fails the sweep even at sf0.01.
+- Resource-classified oracle failures (DuckDB OOM / spill-disk, see
+  _RESOURCE_MARKERS) are automatically re-run ISOLATED — one query per
+  fresh subprocess with SWEEP_DUCK_MEM_RETRY (default 100GB) — before
+  a failure verdict stands; value mismatches and timeouts are not.
 """
 
 from __future__ import annotations
@@ -72,6 +81,28 @@ def _pkg_fp() -> str:
     return h.hexdigest()
 
 
+#: Error-text markers of a RESOURCE failure (oracle ran out of memory or
+#: spill disk) as opposed to a value mismatch — these are retried
+#: isolated in a fresh process with a raised DuckDB memory cap before a
+#: failure verdict stands (round-9 verdict #2: the three sf1 casualties
+#: ann_pq_adc_recall / graph_sssp_weighted / pagerank_copurchase all
+#: needed exactly that by hand).
+_RESOURCE_MARKERS = (
+    "out of memory",
+    "no space left on device",
+    "failed to allocate",
+    "could not allocate",
+    "memory limit",
+    "java heap space",
+    "gc overhead limit",
+)
+
+
+def _is_resource_failure(msg: str) -> bool:
+    low = msg.lower()
+    return any(m in low for m in _RESOURCE_MARKERS)
+
+
 def _default_journal(named: bool) -> str | None:
     return os.environ.get("SWEEP_JOURNAL") or (
         None
@@ -106,7 +137,63 @@ def _run_chunked(names: list[str], chunk: int) -> int:
             [sys.executable, os.path.abspath(__file__), *sub], env=env
         )
         rc = rc or p.returncode
+    if journal:
+        rc = _retry_resource_failures(names, journal, env) or rc
     return rc
+
+
+def _retry_resource_failures(names: list[str], journal: str, env: dict) -> int:
+    """Re-run every resource-classified failure (DuckDB OOM / spill-disk
+    exhaustion, journaled ``resource: true``) ISOLATED: one query per
+    fresh subprocess, serially, with the DuckDB cap raised to
+    SWEEP_DUCK_MEM_RETRY (default 100GB) — a fresh process also releases
+    the previous oracle's spill files. Value mismatches and watchdog
+    timeouts are NOT retried (they are real verdicts). Returns the final
+    rc over ``names`` from the merged journal."""
+    import json
+    import subprocess
+
+    with open(journal) as fh:
+        verdicts = json.load(fh)
+    retry = [
+        n
+        for n in names
+        if not verdicts.get(n, {}).get("ok") and verdicts.get(n, {}).get("resource")
+    ]
+    retry_env = {
+        **env,
+        "SWEEP_DUCK_MEM": os.environ.get("SWEEP_DUCK_MEM_RETRY", "100GB"),
+        "SWEEP_JOURNAL": os.path.abspath(journal),
+    }
+    for n in retry:
+        print(
+            f"=== resource-failure retry: {n} isolated with "
+            f"SWEEP_DUCK_MEM={retry_env['SWEEP_DUCK_MEM']} ===",
+            flush=True,
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), n], env=retry_env
+        )
+    with open(journal) as fh:
+        verdicts = json.load(fh)
+    # watchdog timeouts keep their child-rc semantics (documented
+    # infeasible-at-this-sf oracles, not failures) — only real failures
+    # drive the final rc.
+    failed = [
+        n
+        for n in names
+        if not verdicts.get(n, {}).get("ok")
+        and not verdicts.get(n, {}).get("timeout")
+    ]
+    if retry:
+        print(
+            f"retries: {len(retry) - sum(1 for n in retry if n in failed)}"
+            f"/{len(retry)} resource failures recovered",
+            flush=True,
+        )
+    if failed:
+        print(f"FINAL failures after retry: {failed}", flush=True)
+    return 1 if failed else 0
 
 
 def main() -> int:
@@ -124,6 +211,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
+    from amazon_sales_data_engineering_spark.plans.frame_guard import (
+        assert_no_quadratic_frames,
+    )
     from tests.oracle_util import compare
 
     spark = (
@@ -268,12 +358,17 @@ def main() -> int:
             timer.daemon = True
             timer.start()
         try:
+            df_q = qs[name](spark, SF_DIR)
+            # Plan-level frame screen (round-9 verdict #1): a suffix
+            # window frame is O(partition²) at execution — invisible to
+            # every value gate below sf1, so the sweep rejects the PLAN.
+            assert_no_quadratic_frames(df_q, context=name)
             if name not in oracles:
-                n = qs[name](spark, SF_DIR).count()
+                n = df_q.count()
                 print(f"  rows-only {name}: {n} rows", flush=True)
                 verdicts[name] = {"ok": True, "rows_only": True, "fp": _fp(name)}
                 continue
-            compare(qs[name](spark, SF_DIR), duck, oracles[name])
+            compare(df_q, duck, oracles[name])
             dt = round(time.perf_counter() - t0, 1)
             print(f"  ok {name} ({dt}s)", flush=True)
             verdicts[name] = {"ok": True, "sec": dt, "fp": _fp(name)}
@@ -283,8 +378,11 @@ def main() -> int:
                 verdicts[name] = {"ok": False, "timeout": True}
             else:
                 failed.append(name)
+                v = {"ok": False, "err": str(ex)[:300]}
+                if _is_resource_failure(str(ex)):
+                    v["resource"] = True  # parent retries isolated
                 print(f"  FAIL {name}: {ex}", flush=True)
-                verdicts[name] = {"ok": False, "err": str(ex)[:300]}
+                verdicts[name] = v
         finally:
             done.set()
             if timer is not None:
