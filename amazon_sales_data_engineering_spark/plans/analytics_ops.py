@@ -572,13 +572,17 @@ def nullsafe_join_keys(spark: SparkSession, sf_dir: str):
 @register(
     "pagerank_copurchase",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing at sf1 (round-9 verdict #6): without
+  -- it DuckDB inlines the lineitem self-join into nodes/deg/c1/c2 and
+  -- recomputes the ~240M-row pair build four times — 563s and a 100GB
+  -- cap by hand; materialized it runs once and fits the default cap.
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
 ), n AS (
   SELECT COUNT(*) AS n_nodes FROM nodes
@@ -1239,7 +1243,11 @@ WITH pairs AS (
          CAST(1 + LEAST(a.l_quantity, b.l_quantity) AS BIGINT) AS w
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-), e AS (
+), e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing at sf1 (round-9 verdict #6): inlined,
+  -- DuckDB recomputes the lineitem-pair build inside seed/d1/d2/d3 and
+  -- exhausted spill disk when heavy oracles overlapped; materialized
+  -- the pair build runs once.
   SELECT u, v, MIN(w) AS w FROM pairs GROUP BY 1, 2
 ), seed AS (
   SELECT u AS node FROM (
@@ -1248,13 +1256,13 @@ WITH pairs AS (
   )
 ), d0 AS (
   SELECT node, CAST(0 AS BIGINT) AS dist FROM seed
-), d1 AS (
+), d1 AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT node, dist FROM d0
     UNION ALL
     SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.node
   ) GROUP BY 1
-), d2 AS (
+), d2 AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT node, dist FROM d1
     UNION ALL

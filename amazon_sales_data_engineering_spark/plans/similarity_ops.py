@@ -1341,7 +1341,10 @@ WITH v AS (
   FROM embeddings
 ),
 subs AS (SELECT unnest(range(0, 8)) AS sub),
-vs AS (
+vs AS MATERIALIZED (
+  -- materialized: referenced by cs, codes AND probes/lut — inlined,
+  -- DuckDB recomputes the corpus x 8 subvector split three times
+  -- (round-9 verdict #6 sf1 lesson).
   SELECT vec_id, sub,
          list_transform(range(1, 9), i -> e[sub * 8 + i]) AS sv
   FROM v, subs
@@ -1429,7 +1432,10 @@ WITH v AS (
   FROM embeddings
 ),
 subs AS (SELECT unnest(range(0, 8)) AS sub),
-vs AS (
+vs AS MATERIALIZED (
+  -- materialized: referenced by cs, codes AND probes/lut — inlined,
+  -- DuckDB recomputes the corpus x 8 subvector split three times
+  -- (round-9 verdict #6 sf1 lesson).
   SELECT vec_id, sub,
          list_transform(range(1, 9), i -> e[sub * 8 + i]) AS sv
   FROM v, subs

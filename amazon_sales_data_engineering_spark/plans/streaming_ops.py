@@ -1283,3 +1283,184 @@ def streaming_index_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, v.filter(F.col("vec_id") % 100 == 0),
         "vec_id", "embedding", k=5, nprobe=2,
     )
+
+
+@register(
+    "dedup_index_lifecycle_e2e",
+    oracle=_LSH_FULL_PAIRS + _DEL_FILTER,
+    doc="ONE end-to-end lifecycle gate for the maintained dedup index "
+    "(round-9 verdict #3 — the composition the ~12 piecewise *_equiv "
+    "gates prove separately): a CDC replay streams three insert epochs "
+    "(doc_id % 4 in 0..2) and a delete epoch (op=D tombstones for the "
+    "doc_id % 5 == 0 slice of the indexed corpus) through "
+    "streaming.cdc.cdc_index_sink; the drained index is then COMPACTED "
+    "copy-on-write to a fresh root (tombstones applied physically — "
+    "asserted: the new generation starts tombstone-free); finally the "
+    "held-out % 4 == 3 delta applies as a batch against the compacted "
+    "generation. The answer is that final delta's pairs, sharing "
+    "dedup_index_delete_equiv's from-scratch oracle VERBATIM: "
+    "stream-routed ingest -> CDC retraction -> physical compaction -> "
+    "incremental probe must land byte-identical to a fresh build over "
+    "the survivors. This is the full production maintenance loop of a "
+    "100 TB dedup index in one registered, oracle-gated query.",
+    tags=("streaming", "dedup", "incremental", "index", "delete", "cdc",
+          "layout", "lifecycle"),
+)
+def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+    from ..streaming.cdc import cdc_index_sink
+    from ..streaming.ingest import incremental_append, stream_source
+    from .util import t_cpu
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    replay = os.path.join(tmp, f"asde_lifec_dedup_replay_{tag}")
+    root = os.path.join(tmp, f"asde_lifec_dedup_idx_{tag}")
+    croot = os.path.join(tmp, f"asde_lifec_dedup_cmp_{tag}")
+    ckpt = os.path.join(tmp, f"asde_lifec_dedup_ckpt_{tag}")
+    for d in (replay, root, croot, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(replay)
+
+    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ins(b: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 4 == b).select(
+            F.lit("I").alias("op"), "doc_id", "text"
+        )
+
+    dels = docs.filter(
+        (F.col("doc_id") % 4 < 3) & (F.col("doc_id") % 5 == 0)
+    ).select(
+        F.lit("D").alias("op"), "doc_id",
+        F.lit(None).cast("string").alias("text"),
+    )
+    for i, df in enumerate((ins(0), ins(1), ins(2), dels)):
+        _land_replay_file(df, replay, i)
+
+    idx = MinHashDedupIndex(root)
+    apply = cdc_index_sink(
+        idx,
+        lambda d, seq: idx.apply_batch(
+            d.sparkSession, d, "text", "doc_id", seq=seq
+        ),
+        "doc_id",
+    )
+    src = stream_source(
+        spark, replay, "op string, doc_id bigint, text string",
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, apply, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    compacted = idx.compact_to(spark, croot)
+    assert not compacted._tomb_dirs(), (
+        "lifecycle e2e: compaction must apply tombstones physically"
+    )
+    return compacted.apply_batch(
+        spark, docs.filter(F.col("doc_id") % 4 == 3), "text", "doc_id"
+    )
+
+
+@register(
+    "ann_index_lifecycle_e2e",
+    oracle=_IVF_TOPK,  # shared with ann_ivf_topk and every *_equiv gate
+    doc="ONE end-to-end lifecycle gate for the maintained IVF ANN index "
+    "(round-9 verdict #3, the similarity half): a CDC replay streams an "
+    "insert epoch (vec_id % 2 == 0), an epoch of cosine-1.0 CLONES (ids "
+    "offset by max(vec_id)+1 — data-derived per the sf1 collision "
+    "lesson), and a delete epoch retracting every clone through "
+    "streaming.cdc.cdc_index_sink; the drained index is COMPACTED "
+    "copy-on-write (tombstones dropped physically, lists re-laid "
+    "hive-partitioned by centroid_id); then the held-out % 2 == 1 half "
+    "APPENDS post-compaction with apply_batch(partitioned=True) so the "
+    "final probe prunes at the scan of every generation (DPP plan "
+    "pinned in tests/test_plan_quality.py); top-k runs against the "
+    "compacted+appended index. Oracle: ann_ivf_topk's clone-free "
+    "from-scratch formulation VERBATIM — one surviving clone would sit "
+    "at rank 1 of its probe, one lost survivor would promote a wrong "
+    "neighbor. Ingest -> retraction -> physical reclaim -> partitioned "
+    "growth -> pruned probe: the full index lifecycle in one "
+    "oracle-gated query.",
+    tags=("streaming", "similarity", "ivf", "incremental", "index",
+          "delete", "cdc", "layout", "lifecycle"),
+)
+def ann_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import IVFIndex
+    from ..streaming.cdc import cdc_index_sink
+    from ..streaming.ingest import incremental_append, stream_source
+    from .util import t_cpu
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    replay = os.path.join(tmp, f"asde_lifec_ivf_replay_{tag}")
+    root = os.path.join(tmp, f"asde_lifec_ivf_idx_{tag}")
+    croot = os.path.join(tmp, f"asde_lifec_ivf_cmp_{tag}")
+    ckpt = os.path.join(tmp, f"asde_lifec_ivf_ckpt_{tag}")
+    for d in (replay, root, croot, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(replay)
+
+    v = t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = v.agg(F.max("vec_id")).first()[0] + 1  # clear of every real id
+    clones = v.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+
+    def as_op(df: DataFrame, op: str) -> DataFrame:
+        emb = (
+            F.col("embedding") if op == "I"
+            else F.lit(None).cast("array<float>")
+        )
+        return df.select(
+            F.lit(op).alias("op"), "vec_id", emb.alias("embedding")
+        )
+
+    files = (
+        as_op(v.filter(F.col("vec_id") % 2 == 0), "I"),
+        as_op(clones, "I"),
+        as_op(clones, "D"),
+    )
+    for i, df in enumerate(files):
+        _land_replay_file(df, replay, i)
+
+    m = _ivf_centroid_modulus(sf_dir)
+    idx = IVFIndex(root).create(
+        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+    )
+    apply = cdc_index_sink(
+        idx,
+        lambda d, seq: idx.apply_batch(
+            d.sparkSession, d, "vec_id", "embedding", seq=seq
+        ),
+        "vec_id",
+    )
+    src = stream_source(
+        spark, replay, "op string, vec_id bigint, embedding array<float>",
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    q = incremental_append(src, apply, ckpt)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    compacted = idx.compact_to(spark, croot)
+    assert compacted.tombstones(spark) is None, (
+        "lifecycle e2e: compaction must drop tombstones physically"
+    )
+    compacted.apply_batch(
+        spark, v.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding",
+        partitioned=True,
+    )
+    return compacted.topk(
+        spark, v.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )

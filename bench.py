@@ -45,6 +45,29 @@ import urllib.request
 
 SIDECAR_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_PLAN_METRICS.json")
+SF1_SIDECAR_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_SF1.json")
+
+#: The standing sf1 mini-bench set (round-9 verdict #5): the heaviest
+#: seats by sf0.1 wall plus the maintained-index twins and the two
+#: lifecycle composition gates. Purpose: a committed ABSOLUTE wall +
+#: plan-metric record at 10x the bench corpus, so the round-9 bug class
+#: (an O(partition²) frame that hangs only at sf1) is caught by a
+#: standing record even for operators without a probe ceiling. One
+#: measured run per seat — plan metrics are deterministic per plan, and
+#: the wall column is a hang detector, not a microbenchmark.
+SF1_BENCH = [
+    "q1_pricing_summary",
+    "graph_triangle_count",
+    "graph_sssp_weighted",
+    "pagerank_copurchase",
+    "dsir_importance_ppm",
+    "dedup_repeated_passages",
+    "dedup_index_maintained_equiv",
+    "ann_ivf_incremental_equiv",
+    "dedup_index_lifecycle_e2e",
+    "ann_index_lifecycle_e2e",
+]
 # Headroom under the driver's 2000-char stdout tail: the tail may also
 # catch a trailing newline / stray log line, and the bench set grows a
 # few queries per round. tests/test_bench_emit.py fails the build when
@@ -130,9 +153,16 @@ def _run() -> int:
                     help="after benching, diff plan metrics against this "
                          "previous bench/sidecar record; exit 1 on a plan "
                          "regression")
+    ap.add_argument("--sf1", metavar="DIR", default=None,
+                    help="run the standing sf1 mini-bench (SF1_BENCH heavy "
+                         "seats, one measured run each) against DIR instead "
+                         "of the full bench set; sidecar goes to "
+                         "BENCH_SF1.json")
     args = ap.parse_args()
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = args.sf1 or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -166,25 +196,42 @@ def _run() -> int:
         once()
         return round(min(once(), once()), 4)
 
+    if args.sf1:
+        from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+        missing = [n for n in SF1_BENCH if n not in REGISTRY]
+        assert not missing, f"SF1_BENCH names not in registry: {missing}"
+        bench_set = {n: REGISTRY[n] for n in SF1_BENCH}
+    else:
+        bench_set = bench_queries()
+
     canary_first = canary()
     timings: dict[str, float] = {}
     timings_full: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
-    for name, q in sorted(bench_queries().items()):
-        # warm-up once (JIT/codegen/file listing), then best-of-2 measured.
+    for name, q in sorted(bench_set.items()):
         def run_once() -> float:
             t0 = time.perf_counter()
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        run_once()
-        t1 = run_once()
-        # plan metrics from exactly the FINAL execution: stage-id
-        # watermark before, stage-sum after (AQE replans identically on
-        # identical data/conf, so these are per-plan constants)
-        w = _max_stage_id(spark)
-        t2 = run_once()
-        best = min(t1, t2)
+        if args.sf1:
+            # sf1 mini-bench: ONE measured run — the seats are heavy
+            # (minutes total), plan metrics are per-plan constants, and
+            # the wall column exists to catch hangs, not 5% drifts.
+            w = _max_stage_id(spark)
+            best = run_once()
+        else:
+            # warm-up once (JIT/codegen/file listing), then best-of-2
+            # measured; plan metrics from exactly the FINAL execution:
+            # stage-id watermark before, stage-sum after (AQE replans
+            # identically on identical data/conf, so these are per-plan
+            # constants)
+            run_once()
+            t1 = run_once()
+            w = _max_stage_id(spark)
+            t2 = run_once()
+            best = min(t1, t2)
         # millisecond resolution in the driver-facing line keeps 54+
         # queries inside the 2000-char tail; the sidecar keeps 4dp.
         timings[name] = round(best, 3)
@@ -192,11 +239,14 @@ def _run() -> int:
         pm = _metrics_since(spark, w)
         if pm is not None:
             plan_metrics[name] = pm
+        if args.sf1:
+            print(f"  sf1 {name}: {best:.1f}s", flush=True)
 
     canary_last = canary()
     total = round(sum(timings_full.values()), 4)
     payload = {
-        "metric": "headline_queries_total_sec",
+        "metric": ("sf1_mini_bench_total_sec" if args.sf1
+                   else "headline_queries_total_sec"),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -230,8 +280,9 @@ def _run() -> int:
 
         old = load(args.gate)
         rc = diff_plan_metrics(old, payload)
+    default_sidecar = SF1_SIDECAR_DEFAULT if args.sf1 else SIDECAR_DEFAULT
     emit(payload, os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
-                                 SIDECAR_DEFAULT))
+                                 default_sidecar))
     return rc
 
 

@@ -434,3 +434,36 @@ def test_join_size_estimate_bounded_summary(spark):
     assert "TakeOrderedAndProject" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_lifecycle_probe_prunes_post_compaction(spark):
+    """Round-9 verdict #3: the lifecycle e2e's final probe runs against
+    a compacted generation plus a partitioned append — BOTH laid out
+    hive-partitioned by centroid_id — so the nprobe lists must prune at
+    the scan via dynamic partition pruning, and the probe plan must be
+    free of the O(partition²) window-frame class."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+    from amazon_sales_data_engineering_spark.plans.frame_guard import (
+        assert_no_quadratic_frames,
+    )
+
+    df = REGISTRY["ann_index_lifecycle_e2e"].spark_fn(spark, SF_DIR)
+    assert_no_quadratic_frames(df, context="ann_index_lifecycle_e2e")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression(cast(centroid_id" in plan, plan[:4000]
+
+
+def test_dedup_lifecycle_compacted_generation_is_clean(spark):
+    """The dedup lifecycle e2e compacts tombstones away before the final
+    delta — the delta probe joins the ONE merged generation with no
+    tombstone anti-join left in the plan (broadcast band join, no
+    cartesian)."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["dedup_index_lifecycle_e2e"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -164,6 +164,12 @@ CEILINGS: dict[str, float] = {
     "join_size_estimate": 2.8,  # 1.73 measured idle (top-20 broadcast)
     "multimodal_metadata_scrub": 2.0,  # 0.80 measured idle
     "corpus_curation_e2e": 2.0,  # 1.08 measured idle
+    # round-10 lifecycle composition gates
+    "dedup_index_lifecycle_e2e": 2.5,  # 1.67 measured idle
+    # CDC epochs + compaction rewrite + partitioned append + probe;
+    # sub-linear (5.91 measured idle at 10x) but carries the IVF
+    # √n-centroid growth like the rest of the ann_ivf family
+    "ann_index_lifecycle_e2e": 8.9,
 }
 
 

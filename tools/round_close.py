@@ -15,6 +15,10 @@ cost) fails loudly instead of relying on a hand-run diff:
   5. bench                           (python bench.py -> headline line +
      BENCH_PLAN_METRICS.json sidecar)
   6. [--gate PREV] plan-metric gate  (tools/bench_gate.py PREV sidecar)
+  7. [--sf1 DIR] standing sf1 mini-bench (python bench.py --sf1 DIR ->
+     BENCH_SF1.json; [--sf1-gate PREV] plan-metric gate against a
+     previous sf1 record — round-9 verdict #5: an absolute 10x wall +
+     plan record catches hang-class bugs without a probe ceiling)
 
 Usage:
     python tools/round_close.py --gate BENCH_PLAN_METRICS_r08.json
@@ -56,7 +60,11 @@ def main() -> None:
                          "metrics against (tools/bench_gate.py)")
     ap.add_argument("--sf1", metavar="DIR",
                     help="also sweep the big corpus at DIR into "
-                         "SWEEP_SF1.json (chunked fresh JVMs)")
+                         "SWEEP_SF1.json (chunked fresh JVMs) and run the "
+                         "standing sf1 mini-bench into BENCH_SF1.json")
+    ap.add_argument("--sf1-gate", metavar="PREV_SF1",
+                    help="previous BENCH_SF1 record to gate the sf1 "
+                         "mini-bench plan metrics against")
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-pytest", action="store_true")
     ap.add_argument("--skip-bench", action="store_true")
@@ -86,6 +94,9 @@ def main() -> None:
     if not args.skip_bench:
         _step("bench", [py, "bench.py"]
               + (["--gate", args.gate] if args.gate else []))
+        if args.sf1:
+            _step("sf1 mini-bench", [py, "bench.py", "--sf1", args.sf1]
+                  + (["--gate", args.sf1_gate] if args.sf1_gate else []))
     print("\nround close: ALL GATES GREEN", flush=True)
 
 
