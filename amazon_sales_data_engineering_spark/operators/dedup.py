@@ -990,17 +990,15 @@ def suffix_window_hashes(
     )
 
 
-def suffix_dup_spans(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8
+def _merge_dup_islands(
+    wh: DataFrame, id_col: str, k: int, span_len_alias: str
 ) -> DataFrame:
-    """MAXIMAL duplicated-span extraction (detect half of ExactSubstr):
-    windows whose hash occurs >= 2 times anywhere in the corpus
-    (including within one document) are merged per doc into maximal
-    [span_start, span_end] token ranges via the pos - row_number islands
-    trick. Returns (id, span_start, span_end, span_tokens, n_windows).
-    One content-hash aggregate + one equi-join + one per-doc window —
-    nothing pairwise."""
-    wh = suffix_window_hashes(df, text_col, id_col, k).persist()
+    """Shared back half of both ExactSubstr detect variants: windows
+    whose hash occurs >= 2 times anywhere in the corpus (including
+    within one document) are merged per doc into maximal
+    [span_start, span_end] unit ranges via the pos - row_number islands
+    trick. One content-hash aggregate + one equi-join + one per-doc
+    window — nothing pairwise."""
     dup = (
         wh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1018,37 +1016,86 @@ def suffix_dup_spans(
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),
             (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
-            (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_tokens"),
+            (F.max("pos") + k - F.min("pos")).cast("bigint").alias(span_len_alias),
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         )
-        .select(id_col, "span_start", "span_end", "span_tokens", "n_windows")
+        .select(id_col, "span_start", "span_end", span_len_alias, "n_windows")
     )
 
 
-def suffix_apply_dedup(
+def suffix_dup_spans(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
-    """APPLY half of ExactSubstr: drop every token covered by a
-    duplicated k-window occurrence that is not the canonical first one
-    (lexicographic min (id, pos) per window hash), reassemble each doc.
-    Returns (id, n_tokens, n_kept, n_removed, kept_hash); docs reduced
-    to zero tokens vanish. See dedup_suffix_apply for the scale notes.
+    """MAXIMAL duplicated-span extraction (detect half of ExactSubstr)
+    at TOKEN granularity. Returns
+    (id, span_start, span_end, span_tokens, n_windows)."""
+    wh = suffix_window_hashes(df, text_col, id_col, k).persist()
+    return _merge_dup_islands(wh, id_col, k, "span_tokens")
 
-    Empty-normalized docs are mapped to an EMPTY token array here (not
-    the [''] that split('') yields), so the public operator never
-    reports a phantom n_tokens=1 / kept_hash=md5('') — such docs simply
-    vanish, matching the zero-tokens-vanish contract, without relying
-    on any plan-level length>0 pre-filter."""
+
+def suffix_char_window_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 24
+) -> DataFrame:
+    """Positioned k-CHARACTER window hashes: one row per character
+    start, ``(id, pos, h)`` with 1-based ``pos`` and ``h = md5`` of the
+    k-char substring of the whitespace-normalized text — the
+    byte-granularity ExactSubstr front end (Lee et al. 2022 match at
+    UTF-8 byte level with a 50-byte minimum; character windows are the
+    cross-engine-deterministic equivalent — identical for ASCII, and
+    both Spark substring and DuckDB substr count CHARACTERS, so the
+    oracle agrees on any input). Stricter than the token profile: a
+    duplicated run need not start on a token boundary, and the minimum
+    match is k characters rather than k whole tokens. Docs shorter than
+    k chars produce no windows. Narrow map-only; each window recopies k
+    chars (O(len·k) per doc) — at petabyte scale the same shape runs as
+    a rolling/gear hash, which changes only this function's hash
+    expression, not the span/apply machinery downstream."""
     nrm = normalized_text(F.col(text_col))
-    docs = df.select(
-        F.col(id_col),
-        F.when(F.length(nrm) > 0, F.split(nrm, " "))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("ws"),
-    ).persist()
-    wh = suffix_window_hashes(
-        docs.select(id_col, F.array_join("ws", " ").alias("__t")), "__t", id_col, k
-    ).persist()
+    win = F.when(
+        F.length(nrm) < k,
+        F.array().cast("array<struct<pos:bigint,h:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(nrm) - (k - 1)),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.substr(nrm, i, F.lit(k))).alias("h"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(win).alias("w"))
+        .select(id_col, "w.pos", "w.h")
+    )
+
+
+def suffix_dup_spans_chars(
+    df: DataFrame, text_col: str, id_col: str, k: int = 24
+) -> DataFrame:
+    """MAXIMAL duplicated-span extraction at CHARACTER granularity —
+    the stricter ExactSubstr profile, sharing the islands machinery
+    with the token variant. Returns
+    (id, span_start, span_end, span_chars, n_windows) in 1-based
+    character positions of the normalized text."""
+    wh = suffix_char_window_hashes(df, text_col, id_col, k).persist()
+    return _merge_dup_islands(wh, id_col, k, "span_chars")
+
+
+def _apply_dedup_from_units(
+    docs: DataFrame,
+    wh: DataFrame,
+    id_col: str,
+    k: int,
+    len_alias: str,
+    sep: str,
+) -> DataFrame:
+    """Shared delete/reassemble machinery of both ExactSubstr apply
+    variants. ``docs`` carries (id, us: array<string>) — the per-doc
+    unit sequence (tokens or characters); ``wh`` the positioned window
+    hashes over the same sequence. Drops every unit covered by a
+    duplicated k-window occurrence that is not the canonical first one
+    (lexicographic min (id, pos) per window hash), reassembles each doc
+    joined on ``sep``. Docs reduced to zero units vanish."""
     agg = wh.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"),
@@ -1066,23 +1113,71 @@ def suffix_apply_dedup(
     ).distinct()
     toks = docs.select(
         F.col(id_col),
-        F.size("ws").cast("bigint").alias("n_tokens"),
-        F.posexplode("ws").alias("p0", "tok"),
+        F.size("us").cast("bigint").alias("__n_units"),
+        F.posexplode("us").alias("p0", "tok"),
     ).select(
-        id_col, "n_tokens", (F.col("p0") + 1).cast("bigint").alias("tp"), "tok"
+        id_col, "__n_units", (F.col("p0") + 1).cast("bigint").alias("tp"), "tok"
     )
     kept = toks.join(removed, [id_col, "tp"], "left_anti")
     return kept.groupBy(id_col).agg(
-        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("__n_units").cast("bigint").alias(len_alias),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        (F.min("n_tokens") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+        (F.min("__n_units") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
         F.md5(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("tp", "tok"))),
                     lambda x: x["tok"],
                 ),
-                " ",
+                sep,
             )
         ).alias("kept_hash"),
     )
+
+
+def suffix_apply_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """APPLY half of ExactSubstr at TOKEN granularity: drop every token
+    covered by a duplicated k-window occurrence that is not the
+    canonical first one, reassemble each doc.
+    Returns (id, n_tokens, n_kept, n_removed, kept_hash); docs reduced
+    to zero tokens vanish. See dedup_suffix_apply for the scale notes.
+
+    Empty-normalized docs are mapped to an EMPTY token array here (not
+    the [''] that split('') yields), so the public operator never
+    reports a phantom n_tokens=1 / kept_hash=md5('') — such docs simply
+    vanish, matching the zero-tokens-vanish contract, without relying
+    on any plan-level length>0 pre-filter."""
+    nrm = normalized_text(F.col(text_col))
+    docs = df.select(
+        F.col(id_col),
+        F.when(F.length(nrm) > 0, F.split(nrm, " "))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("us"),
+    ).persist()
+    wh = suffix_window_hashes(
+        docs.select(id_col, F.array_join("us", " ").alias("__t")), "__t", id_col, k
+    ).persist()
+    return _apply_dedup_from_units(docs, wh, id_col, k, "n_tokens", " ")
+
+
+def suffix_apply_dedup_chars(
+    df: DataFrame, text_col: str, id_col: str, k: int = 24
+) -> DataFrame:
+    """APPLY half of ExactSubstr at CHARACTER granularity — the
+    stricter profile (duplicated runs need not start or end on token
+    boundaries, minimum deleted match is k characters), sharing the
+    delete/reassemble machinery with the token variant.
+    Returns (id, n_chars, n_kept, n_removed, kept_hash) over the
+    normalized text's character sequence; docs reduced to zero
+    characters vanish."""
+    nrm = normalized_text(F.col(text_col))
+    docs = df.select(
+        F.col(id_col),
+        F.when(F.length(nrm) > 0, F.split(nrm, ""))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("us"),
+    ).persist()
+    wh = suffix_char_window_hashes(df, text_col, id_col, k).persist()
+    return _apply_dedup_from_units(docs, wh, id_col, k, "n_chars", "")

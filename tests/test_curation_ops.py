@@ -741,3 +741,51 @@ def test_ivf_drift_skew_monitor_and_requantize_restores(spark, tmp_path):
     assert e_req < 0.9 * e_drift, (
         f"requantize did not rebalance: E {e_drift:.1f} -> {e_req:.1f}"
     )
+
+
+def test_char_suffix_catches_mid_token_duplication(spark):
+    """Round-9 verdict #7: the CHARACTER-granularity ExactSubstr profile
+    must catch a seeded duplicated run that does not align with token
+    boundaries and is shorter than the token profile's 8-token minimum
+    — invisible to dedup_suffix_spans, found by the chars variant."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        suffix_apply_dedup_chars,
+        suffix_dup_spans,
+        suffix_dup_spans_chars,
+    )
+
+    # a 30-char run duplicated mid-sentence across two docs; only ~5
+    # tokens long, so the k=8-token profile sees nothing
+    dup_run = "xqzjvkwpmh rlatbcnd efgsouyi t"
+    assert len(dup_run) == 30
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {dup_run} gamma delta epsilon"),
+            (2, f"omega {dup_run} psi chi phi upsilon"),
+            (3, "entirely unrelated text with no repeats at all here"),
+        ],
+        "id bigint, text string",
+    )
+    tok = suffix_dup_spans(docs, "text", "id", k=8).collect()
+    assert tok == []  # token profile: no 8-token duplicate exists
+
+    ch = {r.id: r for r in suffix_dup_spans_chars(docs, "text", "id", k=24).collect()}
+    assert set(ch) == {1, 2}
+    # the MAXIMAL duplicated run also absorbs shared context: "beta "
+    # and "omega " both end in "a ", so the common substring is
+    # "a " + dup_run + " " = 33 chars — starting at 1-based pos 10 in
+    # doc 1 (inside the token "beta"!) and pos 5 in doc 2
+    assert (ch[1].span_start, ch[1].span_chars) == (10, 33)
+    assert (ch[2].span_start, ch[2].span_chars) == (5, 33)
+
+    out = {
+        r.id: r
+        for r in suffix_apply_dedup_chars(docs, "text", "id", k=24).collect()
+    }
+    # canonical first occurrence (doc 1, the min (id, pos)) keeps all
+    # characters; doc 2 loses exactly the 33-char maximal run (deletion
+    # starts and ends MID-TOKEN); doc 3 untouched
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 33
+    assert out[3].n_removed == 0
+    assert out[2].n_kept == out[2].n_chars - 33

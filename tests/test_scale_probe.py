@@ -170,6 +170,10 @@ CEILINGS: dict[str, float] = {
     # sub-linear (5.91 measured idle at 10x) but carries the IVF
     # √n-centroid growth like the rest of the ann_ivf family
     "ann_index_lifecycle_e2e": 8.9,
+    "dedup_suffix_spans_chars": 2.7,  # 1.75 measured idle
+    # per-char posexplode + anti-join reassembly: linear work dominates
+    # once the corpus outgrows the scheduling floor; 7.31 measured idle
+    "dedup_suffix_apply_chars": 11.0,
 }
 
 
