@@ -106,3 +106,15 @@ def test_watermark_none_skips_metrics():
     """ADVICE fix: an unavailable stage API must yield ABSENT metrics,
     never a since-app-start sum."""
     assert bench._metrics_since(None, None) is None
+
+
+def test_sf1_bench_names_are_registered():
+    """bench.py --sf1 runs a curated heavy-seat list; a registry rename
+    must fail HERE, not an hour into the round-close ritual."""
+    import bench
+
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    missing = [n for n in bench.SF1_BENCH if n not in REGISTRY]
+    assert not missing, missing
+    assert len(bench.SF1_BENCH) >= 10

@@ -41,6 +41,36 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _resolve_anchor(spec: str | None, label: str) -> str | None:
+    """Resolve a gate anchor. ``git:REF:PATH`` (or ``git:REF`` with the
+    path defaulting to BENCH_PLAN_METRICS.json) extracts the COMMITTED
+    sidecar to a temp file via ``git show`` — the safe default, because
+    bench.py overwrites the repo-root sidecar on every run (including
+    interim smoke runs), so gating against the working-tree path can
+    compare a fresh run to itself or to garbage (the round-9 second-close
+    footgun, recorded in the verify skill). Plain paths pass through."""
+    if not spec or not spec.startswith("git:"):
+        return spec
+    import tempfile
+
+    rest = spec[4:]
+    ref, _, path = rest.partition(":")
+    path = path or "BENCH_PLAN_METRICS.json"
+    out = subprocess.run(
+        ["git", "show", f"{ref}:{path}"], cwd=REPO, capture_output=True
+    )
+    if out.returncode:
+        print(f"*** cannot resolve {label} anchor {spec!r}: "
+              f"{out.stderr.decode().strip()} ***", flush=True)
+        sys.exit(2)
+    fd, tmp = tempfile.mkstemp(prefix=f"anchor_{ref.replace('/', '_')}_",
+                               suffix=".json")
+    with os.fdopen(fd, "wb") as fh:
+        fh.write(out.stdout)
+    print(f"{label} anchor: {spec} -> {tmp}", flush=True)
+    return tmp
+
+
 def _step(title: str, cmd: list[str], env: dict | None = None) -> None:
     print(f"\n=== {title}: {' '.join(cmd)} ===", flush=True)
     t0 = time.perf_counter()
@@ -57,7 +87,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", metavar="PREV_METRICS",
                     help="previous bench sidecar / record to gate plan "
-                         "metrics against (tools/bench_gate.py)")
+                         "metrics against (tools/bench_gate.py). Use "
+                         "git:REF[:PATH] to extract the COMMITTED sidecar "
+                         "(default PATH BENCH_PLAN_METRICS.json) — never "
+                         "gate against the working-tree sidecar, bench "
+                         "overwrites it")
     ap.add_argument("--sf1", metavar="DIR",
                     help="also sweep the big corpus at DIR into "
                          "SWEEP_SF1.json (chunked fresh JVMs) and run the "
@@ -70,6 +104,11 @@ def main() -> None:
     ap.add_argument("--skip-bench", action="store_true")
     args = ap.parse_args()
     py = sys.executable
+    # resolve git: anchors UP FRONT so a typo aborts before the hour of
+    # sweeps, and so the extraction happens before bench overwrites
+    # anything
+    args.gate = _resolve_anchor(args.gate, "--gate")
+    args.sf1_gate = _resolve_anchor(args.sf1_gate, "--sf1-gate")
 
     if not args.skip_sweep:
         _step("sf0.01 sweep", [py, "tools/verify_sweep.py"])
