@@ -49,3 +49,37 @@ def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) ->
     """Number of tokens that are stopwords (exact-match on tokens)."""
     toks = tokens(col)
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("bigint")
+
+
+def mojibake_markers(col: Column | str) -> Column:
+    """Count of UTF-8-read-as-Latin-1 artifact lead chars: every 2-byte
+    UTF-8 sequence for U+0080..U+07FF misdecoded as Latin-1 starts with
+    U+00C2 'Â' or U+00C3 'Ã' (0xC2/0xC3 lead bytes) — the classic
+    mojibake signature ('é' -> 'Ã©', NBSP -> 'Â '). Exact integer count
+    via length deltas; pure map-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.length(c)
+        - F.length(F.replace(c, F.lit("Ã"), F.lit("")))
+        + F.length(c)
+        - F.length(F.replace(c, F.lit("Â"), F.lit("")))
+    ).cast("bigint")
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """ftfy-style single-pass mojibake repair, entirely JVM-side: text
+    that was UTF-8-encoded but decoded as Latin-1 round-trips back
+    through ``decode(encode(text, 'ISO-8859-1'), 'UTF-8')``. Applied
+    only when the marker count is positive AND the re-encoded bytes are
+    valid UTF-8 (``is_valid_utf8`` — Spark 4's ``decode`` THROWS
+    MALFORMED_CHARACTER_CODING on bad input, and CaseWhen evaluates the
+    matched branch only, so the guard must come first) — clean text and
+    false-positive markers pass through untouched, making the repair
+    safe to run corpus-wide and idempotent (repaired text has no
+    markers left)."""
+    c = F.col(col) if isinstance(col, str) else col
+    as_bytes = F.encode(c, "ISO-8859-1")
+    return F.when(
+        (mojibake_markers(c) > 0) & F.is_valid_utf8(as_bytes),
+        F.decode(as_bytes, "UTF-8"),
+    ).otherwise(c)

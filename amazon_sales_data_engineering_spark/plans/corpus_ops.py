@@ -1335,3 +1335,66 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str):
         F.coalesce("docs_final", F.lit(0)).cast("bigint").alias("docs_final"),
         F.coalesce("tokens_final", F.lit(0)).cast("bigint").alias("tokens_final"),
     )
+
+
+@register(
+    "text_mojibake_repair",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(text, ' the ', ' th' || chr(233) || ' ')
+              ELSE text END AS t
+  FROM documents
+), corrupted AS (
+  SELECT doc_id, t, replace(t, chr(233), chr(195) || chr(169)) AS c
+  FROM seeded
+)
+SELECT doc_id,
+       CAST(length(c) - length(replace(c, chr(195), '')) AS BIGINT)
+         AS n_markers,
+       length(c) <> length(t) AS repaired,
+       CAST(length(c) - length(t) AS BIGINT) AS len_delta,
+       md5(t) AS repaired_hash
+FROM corrupted
+""",
+    doc="ftfy-style ENCODING REPAIR — the corpus-cleaning pass a web "
+    "crawl needs before any text op (quality scores, shingles and "
+    "tokenizers all read mojibake as distinct garbage tokens): text "
+    "that was UTF-8-encoded but decoded as Latin-1 ('é' -> 'Ã©', "
+    "NBSP -> 'Â ') round-trips back through Spark's JVM-side "
+    "decode(encode(t,'ISO-8859-1'),'UTF-8'), applied only when the "
+    "0xC2/0xC3 marker count is positive and the round-trip produces "
+    "no U+FFFD (functions.text.repair_mojibake — safe corpus-wide, "
+    "idempotent). The corpus is ASCII, so the query SEEDS ground "
+    "truth the clones way: every 7th doc gets ' the ' -> ' thé ', is "
+    "then corrupted through the exact UTF-8-bytes-as-Latin-1 "
+    "transform, and the engine must repair it back. The oracle never "
+    "runs charset code: it PREDICTS the repaired text as the seeded "
+    "pre-corruption string by pure string algebra — md5(repaired) "
+    "must equal md5(ground truth) byte-for-byte, so a repair that "
+    "mangles one char hash-fails. Pure codegen map, zero shuffles, "
+    "zero UDFs — encode/decode are Catalyst expressions.",
+    tags=("corpus", "text", "scrub"),
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str):
+    from ..functions.text import mojibake_markers, repair_mojibake
+
+    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    accented = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" thé ")),
+    ).otherwise(F.col("text"))
+    seeded = docs.select(
+        "doc_id",
+        F.replace(accented, F.lit("é"), F.lit("Ã©")).alias("__c"),
+    )
+    repaired = repair_mojibake(F.col("__c"))
+    n_markers = mojibake_markers(F.col("__c"))
+    return seeded.select(
+        "doc_id",
+        n_markers.alias("n_markers"),
+        (n_markers > 0).alias("repaired"),
+        (F.length("__c") - F.length(repaired)).cast("bigint").alias("len_delta"),
+        F.md5(repaired).alias("repaired_hash"),
+    )

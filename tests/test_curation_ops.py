@@ -789,3 +789,57 @@ def test_char_suffix_catches_mid_token_duplication(spark):
     assert out[2].n_removed == 33
     assert out[3].n_removed == 0
     assert out[2].n_kept == out[2].n_chars - 33
+
+
+def test_mojibake_repair_guards_and_idempotence(spark):
+    """repair_mojibake must (1) fix real UTF-8-as-Latin-1 artifacts,
+    (2) leave clean text and ALREADY-correct accents untouched, (3)
+    refuse a false-positive marker whose round-trip is invalid UTF-8
+    (the U+FFFD guard), and (4) be idempotent."""
+    from amazon_sales_data_engineering_spark.functions.text import (
+        mojibake_markers,
+        repair_mojibake,
+    )
+
+    rows = [
+        (1, "cafÃ© au lait Â½"),   # real mojibake -> repaired
+        (2, "plain ascii text"),   # untouched
+        (3, "café déjà vu"),       # correct accents -> untouched
+        (4, "Ãz lone lead byte"),  # invalid round-trip -> untouched
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            mojibake_markers("t").alias("m"),
+            repair_mojibake("t").alias("f"),
+        ).collect()
+    }
+    assert out[1].f == "café au lait ½" and out[1].m == 2
+    assert out[2].f == "plain ascii text" and out[2].m == 0
+    assert out[3].f == "café déjà vu" and out[3].m == 0
+    assert out[4].f == "Ãz lone lead byte" and out[4].m == 1
+
+    # idempotence: a second pass over the repaired column changes nothing
+    fixed = df.select("id", repair_mojibake("t").alias("t"))
+    again = {
+        r.id: r.f
+        for r in fixed.select("id", repair_mojibake("t").alias("f")).collect()
+    }
+    assert again == {i: out[i].f for i in (1, 2, 3, 4)}
+
+
+def test_mojibake_query_is_pure_map(spark):
+    """The registered repair query must stay a zero-shuffle codegen map
+    — encode/decode are Catalyst expressions, never UDFs."""
+    from .conftest import SF_DIR
+
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["text_mojibake_repair"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is t_cpu's deliberate round-robin fan-out of the
+    # single-split table; the op itself adds no keyed shuffle
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -171,6 +171,7 @@ CEILINGS: dict[str, float] = {
     # √n-centroid growth like the rest of the ann_ivf family
     "ann_index_lifecycle_e2e": 8.9,
     "dedup_suffix_spans_chars": 2.7,  # 1.75 measured idle
+    "text_mojibake_repair": 2.0,  # 0.70 measured idle (pure map)
     # per-char posexplode + anti-join reassembly: linear work dominates
     # once the corpus outgrows the scheduling floor; 7.31 measured idle
     "dedup_suffix_apply_chars": 11.0,
