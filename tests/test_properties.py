@@ -1161,3 +1161,27 @@ def test_splittable_json_matches_json_loads(
         assert got == want
     finally:
         _os.unlink(path)
+
+
+# Latin-1-representable text WITHOUT native mojibake lead chars (U+00C2
+# 'Â' / U+00C3 'Ã') — the repair contract's stated domain: for any such
+# string, corrupting through the exact UTF-8-bytes-read-as-Latin-1
+# transform and repairing must round-trip to the original.
+_MOJI_ALPHABET = st.characters(
+    codec="latin-1", exclude_characters="ÂÃ"
+)
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(_MOJI_ALPHABET, max_size=40), min_size=1, max_size=8))
+def test_mojibake_repair_round_trips(spark, texts):
+    from amazon_sales_data_engineering_spark.functions.text import (
+        repair_mojibake,
+    )
+
+    corrupted = [t.encode("utf-8").decode("iso-8859-1") for t in texts]
+    df = spark.createDataFrame(
+        list(enumerate(corrupted)), "id bigint, t string"
+    )
+    got = {r.id: r.f for r in df.select("id", repair_mojibake("t").alias("f")).collect()}
+    assert got == dict(enumerate(texts))
