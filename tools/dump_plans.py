@@ -83,6 +83,12 @@ SHOWCASE = [
     "join_size_estimate",
     "corpus_curation_e2e",
     "multimodal_metadata_scrub",
+    # round-10 additions
+    "dedup_index_lifecycle_e2e",
+    "ann_index_lifecycle_e2e",
+    "dedup_suffix_spans_chars",
+    "dedup_suffix_apply_chars",
+    "text_mojibake_repair",
 ]
 
 
