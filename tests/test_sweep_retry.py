@@ -24,6 +24,12 @@ def test_resource_failure_classification():
     assert vs._is_resource_failure("OutOfMemoryError: Java heap space")
     assert vs._is_resource_failure("failed to allocate data of size 1.5 GiB")
     # value mismatches and plan failures are NOT resource failures
+    # a dying chunk JVM (round-10 close: driver OOM after 56 sf1
+    # queries) surfaces as these two — both must retry in a fresh JVM
+    assert vs._is_resource_failure(
+        "Job 507 cancelled because SparkContext was shut down"
+    )
+    assert vs._is_resource_failure("[Errno 111] Connection refused")
     assert not vs._is_resource_failure("value hash mismatch: 3 != 7")
     assert not vs._is_resource_failure("rows 10 != oracle rows 12")
     assert not vs._is_resource_failure(
@@ -55,15 +61,16 @@ def test_retry_reruns_only_resource_failures(tmp_path, monkeypatch):
         )
     )
 
-    calls: list[tuple[list[str], str]] = []
+    calls: list[list[str]] = []
 
     def fake_run(cmd, env=None, **kw):
-        # last argv element is the single retried query name
-        name = cmd[-1]
-        calls.append((cmd, env.get("SWEEP_DUCK_MEM")))
+        # argv tail after the script path = the retried query names
+        sub = cmd[2:]
+        calls.append(sub)
+        assert env.get("SWEEP_DUCK_MEM") == "100GB"
         data = json.loads(journal.read_text())
-        if name == "oom_q":  # recovers at the raised cap
-            data[name] = {"ok": True, "sec": 9.9}
+        if "oom_q" in sub:  # recovers at the raised cap
+            data["oom_q"] = {"ok": True, "sec": 9.9}
         journal.write_text(json.dumps(data))
 
         class R:
@@ -74,12 +81,11 @@ def test_retry_reruns_only_resource_failures(tmp_path, monkeypatch):
     monkeypatch.setattr("subprocess.run", fake_run)
     rc = vs._retry_resource_failures(names, str(journal), env={})
 
-    # only the two resource failures were retried — one query per
-    # subprocess, raised DuckDB cap; the mismatch, the timeout, and the
-    # resource failure from a DIFFERENT round's names were not
-    retried = {c[0][-1] for c in calls}
-    assert retried == {"oom_q", "oom_stuck_q"}
-    assert all(mem == "100GB" for _, mem in calls)
+    # pass 1: BOTH resource failures in one fresh-JVM batch (a dead
+    # chunk JVM fails a whole tail — one batch heals it); pass 2: the
+    # still-failing one isolated. The mismatch, the timeout, and the
+    # resource failure from a DIFFERENT round's names are never retried.
+    assert calls == [["oom_q", "oom_stuck_q"], ["oom_stuck_q"]]
     # rc: oom_stuck_q still failed and mismatch_q is a real failure;
     # the timeout keeps its non-failure child semantics
     assert rc == 1

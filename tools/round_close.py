@@ -125,6 +125,12 @@ def main() -> None:
                     "SWEEP_QUERY_TIMEOUT": os.environ.get(
                         "SWEEP_QUERY_TIMEOUT", "1200"
                     ),
+                    # the round-10 close lost a 100-query chunk's tail
+                    # when the JVM's driver heap gave out after 56 heavy
+                    # sf1 queries — smaller chunks bound the blast
+                    # radius AND the accumulated JVM state (auto-retry
+                    # heals what remains)
+                    "SWEEP_CHUNK": os.environ.get("SWEEP_CHUNK", "50"),
                 },
             )
         _step("coverage matrix", [py, "tools/coverage_matrix.py"])

@@ -95,6 +95,13 @@ _RESOURCE_MARKERS = (
     "memory limit",
     "java heap space",
     "gc overhead limit",
+    # a dying chunk JVM (driver OOM at sf1) surfaces as these two in
+    # sequence: jobs cancelled while the context tears down, then bare
+    # socket refusals once the gateway is gone — the round-10 close lost
+    # 44 queries of one chunk to exactly this; every one went green in a
+    # fresh JVM
+    "sparkcontext was shut down",
+    "connection refused",
 )
 
 
@@ -138,42 +145,57 @@ def _run_chunked(names: list[str], chunk: int) -> int:
         )
         rc = rc or p.returncode
     if journal:
-        rc = _retry_resource_failures(names, journal, env) or rc
+        # the retry pass recomputes the FINAL rc from the merged journal
+        # over all names — a chunk rc poisoned by failures the retry
+        # fixed must not survive it
+        return _retry_resource_failures(names, journal, env)
     return rc
 
 
 def _retry_resource_failures(names: list[str], journal: str, env: dict) -> int:
     """Re-run every resource-classified failure (DuckDB OOM / spill-disk
-    exhaustion, journaled ``resource: true``) ISOLATED: one query per
-    fresh subprocess, serially, with the DuckDB cap raised to
-    SWEEP_DUCK_MEM_RETRY (default 100GB) — a fresh process also releases
-    the previous oracle's spill files. Value mismatches and watchdog
-    timeouts are NOT retried (they are real verdicts). Returns the final
-    rc over ``names`` from the merged journal."""
+    exhaustion, a chunk JVM dying under the driver heap — journaled
+    ``resource: true``) with the DuckDB cap raised to
+    SWEEP_DUCK_MEM_RETRY (default 100GB): first ALL of them as ONE
+    fresh-JVM batch (a dead chunk JVM fails its whole alphabetical tail;
+    one batch heals those cheaply), then anything still failing gets its
+    own subprocess (full isolation for genuine per-query OOMs — a fresh
+    process also releases the previous oracle's spill files). Value
+    mismatches and watchdog timeouts are NOT retried (they are real
+    verdicts). Returns the final rc over ``names`` from the merged
+    journal."""
     import json
     import subprocess
 
-    with open(journal) as fh:
-        verdicts = json.load(fh)
-    retry = [
-        n
-        for n in names
-        if not verdicts.get(n, {}).get("ok") and verdicts.get(n, {}).get("resource")
-    ]
+    def _resource_failed() -> list[str]:
+        with open(journal) as fh:
+            v = json.load(fh)
+        return [
+            n
+            for n in names
+            if not v.get(n, {}).get("ok") and v.get(n, {}).get("resource")
+        ]
+
     retry_env = {
         **env,
         "SWEEP_DUCK_MEM": os.environ.get("SWEEP_DUCK_MEM_RETRY", "100GB"),
         "SWEEP_JOURNAL": os.path.abspath(journal),
     }
-    for n in retry:
+    retry = _resource_failed()
+    if retry:
         print(
-            f"=== resource-failure retry: {n} isolated with "
-            f"SWEEP_DUCK_MEM={retry_env['SWEEP_DUCK_MEM']} ===",
+            f"=== resource-failure retry: {len(retry)} queries as one "
+            f"fresh-JVM batch (SWEEP_DUCK_MEM={retry_env['SWEEP_DUCK_MEM']}) ===",
             flush=True,
         )
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), n], env=retry_env
+            [sys.executable, os.path.abspath(__file__), *retry], env=retry_env
         )
+        for n in _resource_failed():
+            print(f"=== resource-failure retry: {n} isolated ===", flush=True)
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), n], env=retry_env
+            )
     with open(journal) as fh:
         verdicts = json.load(fh)
     # watchdog timeouts keep their child-rc semantics (documented
