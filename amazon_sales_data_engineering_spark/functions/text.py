@@ -70,16 +70,26 @@ def repair_mojibake(col: Column | str) -> Column:
     """ftfy-style single-pass mojibake repair, entirely JVM-side: text
     that was UTF-8-encoded but decoded as Latin-1 round-trips back
     through ``decode(encode(text, 'ISO-8859-1'), 'UTF-8')``. Applied
-    only when the marker count is positive AND the re-encoded bytes are
-    valid UTF-8 (``is_valid_utf8`` — Spark 4's ``decode`` THROWS
-    MALFORMED_CHARACTER_CODING on bad input, and CaseWhen evaluates the
-    matched branch only, so the guard must come first) — clean text and
-    false-positive markers pass through untouched, making the repair
-    safe to run corpus-wide and idempotent (repaired text has no
-    markers left)."""
+    only when the marker count is positive AND every character is in
+    the Latin-1 range (Spark 4's ``encode`` throws on unmappable
+    characters — emoji/CJK alongside a marker means mixed content, not
+    pure mojibake) AND the re-encoded bytes are valid UTF-8
+    (``decode`` throws on malformed input) — clean text, mixed
+    content, and false-positive markers pass through untouched, making
+    the repair safe to run corpus-wide and idempotent (repaired text
+    has no markers left)."""
     c = F.col(col) if isinstance(col, str) else col
     as_bytes = F.encode(c, "ISO-8859-1")
-    return F.when(
-        (mojibake_markers(c) > 0) & F.is_valid_utf8(as_bytes),
-        F.decode(as_bytes, "UTF-8"),
-    ).otherwise(c)
+    # Sequential CaseWhen branches, each evaluated only when the prior
+    # guards fell through: Spark 4's encode THROWS
+    # MALFORMED_CHARACTER_CODING on characters outside Latin-1 (emoji,
+    # CJK, em-dashes — ubiquitous in web text), so the Latin-1-domain
+    # check must pass BEFORE any branch touches encode. True mojibake is
+    # Latin-1-only by construction (it came out of a Latin-1 decoder);
+    # mixed content with markers passes through untouched.
+    return (
+        F.when(mojibake_markers(c) == 0, c)
+        .when(c.rlike("[^\\x00-\\xff]"), c)
+        .when(F.is_valid_utf8(as_bytes), F.decode(as_bytes, "UTF-8"))
+        .otherwise(c)
+    )

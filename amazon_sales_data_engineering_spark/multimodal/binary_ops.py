@@ -538,8 +538,13 @@ def scrub_metadata_chunks(
                 end = pos + 8 + size + (size & 1)
                 if end > len(data):
                     return None
+                # the form-type read needs the LIST's own size >= 4 —
+                # an undersized LIST would read the NEXT chunk's header
+                # bytes as its form type
                 is_info_list = (
-                    cid == b"LIST" and data[pos + 8 : pos + 12] == b"INFO"
+                    cid == b"LIST"
+                    and size >= 4
+                    and data[pos + 8 : pos + 12] == b"INFO"
                 )
                 if is_info_list or cid in wav_meta:
                     removed += 1

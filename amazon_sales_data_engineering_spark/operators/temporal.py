@@ -63,7 +63,8 @@ def asof_join(
 
     When multiple right rows share the same (by, time), the attached
     payload is deterministic: the fill order breaks ties on a 64-bit hash
-    of the packed right payload (largest hash wins), so repeated runs and
+    of the packed right payload's non-map fields (largest hash wins —
+    Spark's hash expressions reject MapType), so repeated runs and
     different partitionings pick the same duplicate.
     """
     by = by or []
@@ -137,11 +138,31 @@ def asof_join(
     # last(ignorenulls) picks whichever duplicate the in-partition sort
     # places last, so without a third sort key the attached payload is
     # nondeterministic across runs (round-9 ADVICE). A 64-bit hash of the
-    # packed payload is stable, cheap, and orderable regardless of the
-    # payload's own types (maps aren't orderable; hashes always are).
-    # Left rows all hash the null pack to one constant — their relative
-    # order never matters (each carries its own distinct output row).
-    tie = F.xxhash64(F.col("__rpack")).alias("__tie")
+    # packed payload is stable, cheap, and orderable. Spark's hash
+    # expressions REJECT MapType inputs (DATATYPE_MISMATCH.HASH_MAP_TYPE
+    # under the default conf), so map-bearing payload fields are
+    # excluded from the hash — the tie-break is deterministic modulo
+    # rows identical in every non-map field (and degrades to the old
+    # arbitrary-pick behavior only when NO field is hashable). Left rows
+    # all hash the null pack to one constant — their relative order
+    # never matters (each carries its own distinct output row).
+    def _has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [
+        f.name for f in pack_type.fields if not _has_map(f.dataType)
+    ]
+    tie = (
+        F.xxhash64(*[F.col("__rpack")[n] for n in hashable])
+        if hashable
+        else F.lit(0)
+    ).alias("__tie")
     merged = merged.select(*merged.columns, tie)
 
     if direction == "nearest":

@@ -29,11 +29,17 @@ import re
 
 from pyspark.sql import DataFrame
 
-# specifiedwindowframe(RowFrame, <lower>, unboundedfollowing$()) — the
-# lower bound is everything up to the last comma; only a full-partition
-# frame (lower == unboundedpreceding$()) is allowed to end unbounded.
+# specifiedwindowframe(RowFrame, <lower>, unboundedfollowing$()) — only
+# a full-partition frame (lower == unboundedpreceding$()) may end
+# unbounded. The lower bound can itself contain commas and parens (a
+# computed RangeFrame bound like coalesce(x, 1) renders inline), so the
+# group is a tempered non-greedy scan that may cross commas but never
+# into the NEXT frame literal — a plain [^,]+? would silently skip any
+# comma-bearing quadratic frame, and a bare .*? could splice two
+# adjacent frames into one false positive.
 _FRAME_RE = re.compile(
-    r"specifiedwindowframe\((?:Row|Range)Frame,\s*([^,]+?),\s*"
+    r"specifiedwindowframe\((?:Row|Range)Frame,\s*"
+    r"((?:(?!specifiedwindowframe\().)*?),\s*"
     r"unboundedfollowing\$\(\)\)"
 )
 

@@ -806,6 +806,11 @@ def test_mojibake_repair_guards_and_idempotence(spark):
         (2, "plain ascii text"),   # untouched
         (3, "café déjà vu"),       # correct accents -> untouched
         (4, "Ãz lone lead byte"),  # invalid round-trip -> untouched
+        # marker + non-Latin-1 char (round-10 review: Spark 4's encode
+        # THROWS on unmappable chars; mixed content must pass through,
+        # not crash the job)
+        (5, "cafÃ© emoji \U0001f60a"),
+        (6, "cafÃ© dash — ok"),
     ]
     df = spark.createDataFrame(rows, "id bigint, t string")
     out = {
@@ -820,6 +825,8 @@ def test_mojibake_repair_guards_and_idempotence(spark):
     assert out[2].f == "plain ascii text" and out[2].m == 0
     assert out[3].f == "café déjà vu" and out[3].m == 0
     assert out[4].f == "Ãz lone lead byte" and out[4].m == 1
+    assert out[5].f == "cafÃ© emoji \U0001f60a" and out[5].m == 1
+    assert out[6].f == "cafÃ© dash — ok" and out[6].m == 1
 
     # idempotence: a second pass over the repaired column changes nothing
     fixed = df.select("id", repair_mojibake("t").alias("t"))
@@ -827,7 +834,7 @@ def test_mojibake_repair_guards_and_idempotence(spark):
         r.id: r.f
         for r in fixed.select("id", repair_mojibake("t").alias("f")).collect()
     }
-    assert again == {i: out[i].f for i in (1, 2, 3, 4)}
+    assert again == {i: out[i].f for i in (1, 2, 3, 4, 5, 6)}
 
 
 def test_mojibake_query_is_pure_map(spark):

@@ -174,3 +174,29 @@ def test_fixed_round9_sites_stay_clean(spark):
     for name in ("asof_join_nearest", "resample_linear_interpolate"):
         df = REGISTRY[name].spark_fn(spark, SF_DIR)
         assert_no_quadratic_frames(df, context=name)
+
+
+def test_plan_regex_handles_comma_bounds_and_adjacent_frames():
+    """Round-10 review: the lower-bound group must cross commas (a
+    computed RangeFrame bound renders as e.g. coalesce(x, 1)) without
+    splicing two adjacent frame literals into one false positive."""
+    # comma-bearing computed lower bound -> still caught
+    assert find_quadratic_frames(
+        "specifiedwindowframe(RangeFrame, coalesce(x#1, 1), "
+        "unboundedfollowing$())"
+    ) == ["coalesce(x#1, 1)"]
+    # adjacent frames, both benign (running + full) -> no false positive
+    clean = (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+        " ... "
+        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())"
+    )
+    assert find_quadratic_frames(clean) == []
+    # adjacent frames, second one quadratic -> exactly that one flagged
+    mixed = (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+        " ... "
+        "specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())"
+    )
+    assert find_quadratic_frames(mixed) == ["currentrow$()"]

@@ -236,3 +236,31 @@ def test_valid_after_rejects_overrunning_final_chunk(spark):
     }
     assert rows[1].valid_after is False and rows[1].n_removed == 0
     assert rows[2].valid_after is False and rows[2].n_removed == 0
+
+
+def test_undersized_list_chunk_not_misread_as_info(spark):
+    """Round-10 review: the LIST form-type read requires the LIST's own
+    size >= 4 — an undersized LIST followed by bytes spelling 'INFO'
+    (the next chunk's id) must NOT be classified as an INFO list."""
+    import struct
+
+    from amazon_sales_data_engineering_spark.multimodal.binary_ops import (
+        scrub_metadata_chunks,
+    )
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    # zero-size LIST immediately followed by a chunk whose ID is 'INFO'
+    empty_list = b"LIST" + struct.pack("<I", 0)
+    info_named = b"INFO" + struct.pack("<I", 4) + b"abcd"
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    body = fmt + empty_list + info_named + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id bigint, payload binary")
+    r = scrub_metadata_chunks(df, "doc_id", "payload", emit_payload=True).collect()[0]
+    # nothing dropped: the empty LIST isn't INFO-form, and 'INFO' here is
+    # a chunk ID, not a form type
+    assert r.n_removed == 0
+    assert bytes(r.payload) == wav

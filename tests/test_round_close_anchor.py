@@ -47,3 +47,12 @@ def test_git_anchor_explicit_path_and_bad_ref():
     with pytest.raises(SystemExit) as ex:
         rc._resolve_anchor("git:no-such-ref-xyz", "--gate")
     assert ex.value.code == 2
+
+
+def test_sf1_gate_bare_ref_defaults_to_sf1_record():
+    """Round-10 review: a bare git:REF for --sf1-gate must extract the
+    SF1 record, not the sf0.1 sidecar (whose shared query names carry
+    10x-smaller plan metrics and would flag every healthy sf1 seat)."""
+    out = rc._resolve_anchor("git:HEAD", "--sf1-gate", default_path="BENCH_SF1.json")
+    with open(out) as fh:
+        assert json.load(fh)["metric"] == "sf1_mini_bench_total_sec"

@@ -100,3 +100,65 @@ def test_retry_reruns_only_resource_failures(tmp_path, monkeypatch):
     calls.clear()
     assert vs._retry_resource_failures(names, str(journal), env={}) == 0
     assert calls == []  # nothing left classified as resource-failed
+
+
+def test_run_id_completeness_heals_crashed_chunk_tail(tmp_path, monkeypatch):
+    """Round-10 review: a chunk child that dies before journaling its
+    tail leaves STALE committed green verdicts for never-run names —
+    with a run id, those names are detected, re-run in the retry batch,
+    and only count green once stamped by THIS run."""
+    journal = tmp_path / "sweep.json"
+    names = ["ran_q", "stale_q", "stale_dead_q"]
+    journal.write_text(
+        json.dumps(
+            {
+                "ran_q": {"ok": True, "sec": 1.0, "run": "r10"},
+                # green, but from a PREVIOUS sweep — the chunk died
+                # before reaching these two
+                "stale_q": {"ok": True, "sec": 0.5},
+                "stale_dead_q": {"ok": True, "sec": 0.5, "run": "r09"},
+            }
+        )
+    )
+
+    calls: list[list[str]] = []
+
+    def fake_run(cmd, env=None, **kw):
+        sub = cmd[2:]
+        calls.append(sub)
+        data = json.loads(journal.read_text())
+        if "stale_q" in sub:  # this one re-runs green
+            data["stale_q"] = {"ok": True, "sec": 2.0, "run": "r10"}
+        # stale_dead_q stays unstamped (still failing to run)
+        journal.write_text(json.dumps(data))
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr("subprocess.run", fake_run)
+    rc = vs._retry_resource_failures(names, str(journal), env={}, run_id="r10")
+    # both unstamped names retried (batch, then the still-stale one
+    # isolated); final rc fails because stale_dead_q never ran this sweep
+    assert calls == [["stale_q", "stale_dead_q"], ["stale_dead_q"]]
+    assert rc == 1
+
+    # once everything is stamped by this run -> rc 0, no retries
+    data = json.loads(journal.read_text())
+    data["stale_dead_q"] = {"ok": True, "run": "r10"}
+    journal.write_text(json.dumps(data))
+    calls.clear()
+    assert vs._retry_resource_failures(
+        names, str(journal), env={}, run_id="r10"
+    ) == 0
+    assert calls == []
+
+    # SWEEP_RESUME opts out: stale greens are trusted
+    data["stale_dead_q"] = {"ok": True}
+    journal.write_text(json.dumps(data))
+    monkeypatch.setenv("SWEEP_RESUME", "1")
+    assert vs._retry_resource_failures(
+        names, str(journal), env={}, run_id="r10"
+    ) == 0
+    assert calls == []

@@ -253,3 +253,25 @@ def test_asof_join_duplicate_right_times_deterministic(spark):
     # the SAME duplicate — the hash order is direction-independent.
     chosen = {v for pick in expected.values() for _, v in pick if v is not None}
     assert len(chosen) == 1, f"directions disagree on the duplicate: {chosen}"
+
+
+def test_asof_join_map_payload(spark):
+    """Round-10 review: Spark's hash expressions reject MapType, so the
+    tie-break must hash only non-map payload fields — a map-carrying
+    right side must still work (it did before the tie-break landed) and
+    stay deterministic via the remaining fields."""
+    left = spark.createDataFrame([("k", 10)], "by string, t int")
+    rows = [("k", 5, f"v{i}", {"m": f"x{i}"}) for i in range(4)]
+    picks = set()
+    for n_parts in (1, 4):
+        right = spark.createDataFrame(
+            rows, "by string, t int, v string, extra map<string,string>"
+        ).repartition(n_parts)
+        out = asof_join(left, right, "t", "t", by=["by"]).collect()
+        assert len(out) == 1 and out[0].v is not None
+        picks.add((out[0].v, out[0].extra["m"]))
+    # deterministic pick via the hashable (non-map) fields, and the map
+    # travels with its own row's value
+    assert len(picks) == 1
+    v, m = picks.pop()
+    assert m == "x" + v[1:]

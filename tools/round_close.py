@@ -41,10 +41,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _resolve_anchor(spec: str | None, label: str) -> str | None:
+def _resolve_anchor(
+    spec: str | None, label: str, default_path: str = "BENCH_PLAN_METRICS.json"
+) -> str | None:
     """Resolve a gate anchor. ``git:REF:PATH`` (or ``git:REF`` with the
-    path defaulting to BENCH_PLAN_METRICS.json) extracts the COMMITTED
-    sidecar to a temp file via ``git show`` — the safe default, because
+    path defaulting to the gate's own sidecar — BENCH_PLAN_METRICS.json
+    for --gate, BENCH_SF1.json for --sf1-gate) extracts the COMMITTED
+    record to a temp file via ``git show`` — the safe default, because
     bench.py overwrites the repo-root sidecar on every run (including
     interim smoke runs), so gating against the working-tree path can
     compare a fresh run to itself or to garbage (the round-9 second-close
@@ -55,7 +58,7 @@ def _resolve_anchor(spec: str | None, label: str) -> str | None:
 
     rest = spec[4:]
     ref, _, path = rest.partition(":")
-    path = path or "BENCH_PLAN_METRICS.json"
+    path = path or default_path
     out = subprocess.run(
         ["git", "show", f"{ref}:{path}"], cwd=REPO, capture_output=True
     )
@@ -108,7 +111,12 @@ def main() -> None:
     # sweeps, and so the extraction happens before bench overwrites
     # anything
     args.gate = _resolve_anchor(args.gate, "--gate")
-    args.sf1_gate = _resolve_anchor(args.sf1_gate, "--sf1-gate")
+    # the sf1 gate's bare git:REF must extract the SF1 record — the sf0.1
+    # sidecar shares query names with 10x-smaller plan metrics, which
+    # would flag every healthy sf1 seat as a regression
+    args.sf1_gate = _resolve_anchor(
+        args.sf1_gate, "--sf1-gate", default_path="BENCH_SF1.json"
+    )
 
     if not args.skip_sweep:
         _step("sf0.01 sweep", [py, "tools/verify_sweep.py"])

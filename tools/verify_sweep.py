@@ -124,11 +124,21 @@ def _run_chunked(names: list[str], chunk: int) -> int:
     clobbered). The fix for the documented 8 GiB-JVM OOM after ~140
     sf1 queries in one session."""
     import subprocess
+    import uuid
 
     journal = _default_journal(named=False)
+    # Per-run nonce: children stamp every verdict they write (including
+    # cache replays) with this id, and the final rc counts a name as
+    # FAILED if its journal entry lacks the current run's stamp — a
+    # chunk child that dies before journaling its tail (kernel OOM,
+    # segfault) must not let STALE committed green verdicts masquerade
+    # as this run's results (round-10 review finding). SWEEP_RESUME
+    # deliberately trusts prior greens, so it opts out of the check.
+    run_id = uuid.uuid4().hex[:12]
     env = {
         **os.environ,
         "_SWEEP_CHILD": "1",
+        "SWEEP_RUN_ID": run_id,
         **({"SWEEP_JOURNAL": os.path.abspath(journal)} if journal else {}),
     }
     rc = 0
@@ -147,12 +157,15 @@ def _run_chunked(names: list[str], chunk: int) -> int:
     if journal:
         # the retry pass recomputes the FINAL rc from the merged journal
         # over all names — a chunk rc poisoned by failures the retry
-        # fixed must not survive it
-        return _retry_resource_failures(names, journal, env)
+        # fixed must not survive it, and names without this run's stamp
+        # (a child died before journaling them) must fail it
+        return _retry_resource_failures(names, journal, env, run_id=run_id)
     return rc
 
 
-def _retry_resource_failures(names: list[str], journal: str, env: dict) -> int:
+def _retry_resource_failures(
+    names: list[str], journal: str, env: dict, run_id: str | None = None
+) -> int:
     """Re-run every resource-classified failure (DuckDB OOM / spill-disk
     exhaustion, a chunk JVM dying under the driver heap — journaled
     ``resource: true``) with the DuckDB cap raised to
@@ -160,20 +173,34 @@ def _retry_resource_failures(names: list[str], journal: str, env: dict) -> int:
     fresh-JVM batch (a dead chunk JVM fails its whole alphabetical tail;
     one batch heals those cheaply), then anything still failing gets its
     own subprocess (full isolation for genuine per-query OOMs — a fresh
-    process also releases the previous oracle's spill files). Value
-    mismatches and watchdog timeouts are NOT retried (they are real
-    verdicts). Returns the final rc over ``names`` from the merged
-    journal."""
+    process also releases the previous oracle's spill files). Names whose
+    journal entry lacks this run's stamp (a child died before reaching
+    them — their entries are stale survivors of an earlier sweep) are
+    retried the same way. Value mismatches and watchdog timeouts are NOT
+    retried (they are real verdicts). Returns the final rc over
+    ``names`` from the merged journal."""
     import json
     import subprocess
 
-    def _resource_failed() -> list[str]:
+    def _load() -> dict:
         with open(journal) as fh:
-            v = json.load(fh)
+            return json.load(fh)
+
+    def _not_this_run(v: dict, n: str) -> bool:
+        """True when the journal entry was NOT written by this sweep —
+        a stale prior-round verdict surviving a crashed chunk child.
+        SWEEP_RESUME deliberately trusts prior greens, so it opts out."""
+        if not run_id or os.environ.get("SWEEP_RESUME"):
+            return False
+        return v.get(n, {}).get("run") != run_id
+
+    def _resource_failed() -> list[str]:
+        v = _load()
         return [
             n
             for n in names
-            if not v.get(n, {}).get("ok") and v.get(n, {}).get("resource")
+            if (not v.get(n, {}).get("ok") and v.get(n, {}).get("resource"))
+            or _not_this_run(v, n)
         ]
 
     retry_env = {
@@ -196,16 +223,18 @@ def _retry_resource_failures(names: list[str], journal: str, env: dict) -> int:
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), n], env=retry_env
             )
-    with open(journal) as fh:
-        verdicts = json.load(fh)
+    verdicts = _load()
     # watchdog timeouts keep their child-rc semantics (documented
     # infeasible-at-this-sf oracles, not failures) — only real failures
-    # drive the final rc.
+    # and never-ran-this-sweep names drive the final rc.
     failed = [
         n
         for n in names
-        if not verdicts.get(n, {}).get("ok")
-        and not verdicts.get(n, {}).get("timeout")
+        if (
+            not verdicts.get(n, {}).get("ok")
+            and not verdicts.get(n, {}).get("timeout")
+        )
+        or _not_this_run(verdicts, n)
     ]
     if retry:
         print(
@@ -271,6 +300,13 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = sys.argv[1:] or sorted(qs)
+    # stamp every verdict this process writes with the sweep's run
+    # nonce (set by the chunking coordinator) so the parent can tell
+    # fresh verdicts from stale journal survivors of a crashed child
+    _run_id = os.environ.get("SWEEP_RUN_ID")
+
+    def _stamp(d: dict) -> dict:
+        return {**d, "run": _run_id} if _run_id else d
     df = e.entry(spark)
     assert df.count() >= 0, "entry() returned no result"
 
@@ -342,7 +378,7 @@ def main() -> int:
             and verdicts[n].get("fp") == _fp(n)
         ]
         for n in hits:
-            verdicts[n] = {**verdicts[n], "cached": True}
+            verdicts[n] = _stamp({**verdicts[n], "cached": True})
         names = [n for n in names if n not in hits]
         print(
             f"cache: {len(hits)} fingerprint-matched green verdicts "
@@ -388,23 +424,25 @@ def main() -> int:
             if name not in oracles:
                 n = df_q.count()
                 print(f"  rows-only {name}: {n} rows", flush=True)
-                verdicts[name] = {"ok": True, "rows_only": True, "fp": _fp(name)}
+                verdicts[name] = _stamp(
+                    {"ok": True, "rows_only": True, "fp": _fp(name)}
+                )
                 continue
             compare(df_q, duck, oracles[name])
             dt = round(time.perf_counter() - t0, 1)
             print(f"  ok {name} ({dt}s)", flush=True)
-            verdicts[name] = {"ok": True, "sec": dt, "fp": _fp(name)}
+            verdicts[name] = _stamp({"ok": True, "sec": dt, "fp": _fp(name)})
         except Exception as ex:  # noqa: BLE001
             if timed_out.is_set():
                 print(f"  TIMEOUT {name} (> {q_timeout:.0f}s)", flush=True)
-                verdicts[name] = {"ok": False, "timeout": True}
+                verdicts[name] = _stamp({"ok": False, "timeout": True})
             else:
                 failed.append(name)
                 v = {"ok": False, "err": str(ex)[:300]}
                 if _is_resource_failure(str(ex)):
                     v["resource"] = True  # parent retries isolated
                 print(f"  FAIL {name}: {ex}", flush=True)
-                verdicts[name] = v
+                verdicts[name] = _stamp(v)
         finally:
             done.set()
             if timer is not None:
