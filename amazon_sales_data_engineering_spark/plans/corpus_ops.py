@@ -1398,3 +1398,98 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str):
         (F.length("__c") - F.length(repaired)).cast("bigint").alias("len_delta"),
         F.md5(repaired).alias("repaired_hash"),
     )
+
+
+@register(
+    "text_mojibake_repair_deep",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(
+                CASE WHEN doc_id % 7 = 0
+                     THEN replace(text, ' the ', ' th' || chr(233) || ' ')
+                     ELSE text END,
+                ' and ', ' and' || chr(8217) || ' ')
+              ELSE CASE WHEN doc_id % 7 = 0
+                        THEN replace(text, ' the ', ' th' || chr(233) || ' ')
+                        ELSE text END END AS t
+  FROM documents
+), corrupted AS (
+  SELECT doc_id, t,
+    CASE doc_id % 3
+      WHEN 0 THEN replace(replace(t,
+                    chr(233), chr(195) || chr(169)),
+                    chr(8217), chr(226) || chr(8364) || chr(8482))
+      WHEN 1 THEN replace(replace(t,
+                    chr(233), chr(195) || chr(402) || chr(194) || chr(169)),
+                    chr(8217), chr(195) || chr(162) || chr(226) || chr(8218)
+                              || chr(172) || chr(226) || chr(8222) || chr(162))
+      ELSE t END AS c
+  FROM seeded
+)
+SELECT doc_id,
+       CAST((length(c) - length(replace(c, chr(195), '')))
+          + (length(c) - length(replace(c, chr(194), '')))
+          + (length(c) - length(replace(c, chr(226), '')))
+          + (length(c) - length(replace(c, chr(240), ''))) AS BIGINT)
+         AS n_markers,
+       c <> t AS repaired,
+       CAST(length(c) - length(t) AS BIGINT) AS len_delta,
+       md5(t) AS repaired_hash
+FROM corrupted
+""",
+    doc="DEEP encoding repair (round-10 verdict #8 + ADVICE): the "
+    "cp1252 mojibake profile ('’' -> 'â€™' — UTF-8 read by a "
+    "Windows-1252 decoder, THE most common real-world variant) and "
+    "DOUBLE-encoded text ('é' -> 'ÃƒÂ©', '’' -> 'Ã¢â‚¬â„¢') repaired "
+    "by functions.text.repair_mojibake's ≤2-pass fixed point: each "
+    "pass translates the 27 cp1252-only codepoints back to their C1 "
+    "source bytes, then round-trips decode(encode(t,'ISO-8859-1'),"
+    "'UTF-8') under the marker/domain/valid-UTF-8 guards. Seeding "
+    "mirrors text_mojibake_repair: every 7th doc gains ' thé ', every "
+    "5th ' and’ ', then doc_id%3 picks the corruption depth (0=single "
+    "cp1252-display, 1=double, 2=clean control group). The oracle "
+    "never runs charset code — it PREDICTS the corrupted string AND "
+    "the repaired string by chr() algebra, so md5(repaired) must land "
+    "byte-identical to the pre-corruption ground truth and the clean "
+    "third must hash unchanged. Pure codegen map, zero shuffles, zero "
+    "UDFs.",
+    tags=("corpus", "text", "scrub"),
+)
+def text_mojibake_repair_deep(spark: SparkSession, sf_dir: str):
+    from ..functions.text import mojibake_markers, repair_mojibake
+
+    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    accented = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" thé ")),
+    ).otherwise(F.col("text"))
+    quoted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.replace(accented, F.lit(" and "), F.lit(" and’ ")),
+    ).otherwise(accented)
+    single = F.replace(
+        F.replace(quoted, F.lit("é"), F.lit("Ã©")),
+        F.lit("’"), F.lit("â€™"),
+    )
+    double = F.replace(
+        F.replace(quoted, F.lit("é"), F.lit("ÃƒÂ©")),
+        F.lit("’"), F.lit("Ã¢â‚¬â„¢"),
+    )
+    seeded = docs.select(
+        "doc_id",
+        quoted.alias("__t"),
+        F.when(F.col("doc_id") % 3 == 0, single)
+        .when(F.col("doc_id") % 3 == 1, double)
+        .otherwise(quoted)
+        .alias("__c"),
+    )
+    repaired = repair_mojibake(F.col("__c"))
+    return seeded.select(
+        "doc_id",
+        mojibake_markers(F.col("__c")).alias("n_markers"),
+        (repaired != F.col("__c")).alias("repaired"),
+        (F.length("__c") - F.length(repaired)).cast("bigint").alias("len_delta"),
+        F.md5(repaired).alias("repaired_hash"),
+    )

@@ -56,12 +56,50 @@ def find_quadratic_frames(plan_text: str) -> list[str]:
     ]
 
 
+#: truncatedString's elision marker ("... N more fields"). A rendered
+#: plan containing it may have dropped the very frame literal this guard
+#: matches on, so truncation must never read as clean.
+_TRUNCATION_RE = re.compile(r"\.\.\.\s*\d+\s+more fields")
+
+#: High enough that no real plan in this repo truncates; finite so a
+#: pathological million-column plan still renders in bounded memory.
+_MAX_FIELDS = "100000"
+
+
+def _full_plan_text(df: DataFrame) -> str:
+    """Render the optimized plan WITHOUT field-list truncation.
+
+    ``toString`` elides expression lists past
+    ``spark.sql.debug.maxToStringFields`` (default 25) as
+    "... N more fields" — a quadratic frame positioned past the 25th
+    expression of a wide Project/Window node would vanish from the
+    rendered text and the guard would silently pass (round-10 ADVICE,
+    verified empirically). Raise the conf around the render, restore it
+    after, and fail loudly if the marker still appears so truncation can
+    never read as clean."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    prev = conf.get(key)
+    try:
+        conf.set(key, _MAX_FIELDS)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        conf.set(key, prev)
+    if _TRUNCATION_RE.search(plan):
+        raise AssertionError(
+            "frame guard: optimized plan still truncated ('... N more "
+            f"fields') with {key}={_MAX_FIELDS} — cannot certify the plan "
+            "frame-clean; widen _MAX_FIELDS."
+        )
+    return plan
+
+
 def assert_no_quadratic_frames(df: DataFrame, context: str = "") -> None:
     """Fail fast if ``df``'s optimized plan contains a suffix window
     frame (start != unboundedPreceding, end == unboundedFollowing) —
     Spark executes those O(partition²). Rewrite as a running frame over
     the reversed sort order instead."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _full_plan_text(df)
     bad = find_quadratic_frames(plan)
     if bad:
         raise AssertionError(

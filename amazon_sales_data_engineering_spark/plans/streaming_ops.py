@@ -130,6 +130,23 @@ def _write_replay(
     return flat
 
 
+def _await_drained(q, timeout_sec: int = 180) -> None:
+    """Await an AvailableNow replay and ASSERT it actually drained
+    before the caller reads the result (round-10 ADVICE: on a loaded
+    host an undrained replay silently yields a partially built
+    index/table — the sweep's oracle would surface it only as a
+    confusing value mismatch, and ``bench.py --sf1`` (no oracle) would
+    record a green wall number over wrong state). Always stops the
+    query."""
+    try:
+        drained = q.awaitTermination(timeout_sec)
+        assert drained, (
+            f"streaming replay did not drain within {timeout_sec}s"
+        )
+    finally:
+        q.stop()
+
+
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a bounded stream to completion through a memory sink
     (Trigger.AvailableNow) and return the final table."""
@@ -142,10 +159,7 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     return spark.table(qname)
 
 
@@ -667,10 +681,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, upsert, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     _ = Window  # (imported for symmetry with the oracle's formulation)
     return spark.read.parquet(state)
 
@@ -1010,10 +1021,7 @@ def streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     return spark.read.parquet(f"{pairs_root}/batch_*")
 
 
@@ -1089,10 +1097,7 @@ def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     return idx.topk(
         spark,
         t_cpu(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0),
@@ -1190,10 +1195,7 @@ def streaming_index_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     last = sorted(_glob.glob(os.path.join(pairs_root, "batch_*")))[-1]
     return spark.read.parquet(last)
 
@@ -1275,10 +1277,7 @@ def streaming_index_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
     return idx.topk(
         spark, v.filter(F.col("vec_id") % 100 == 0),
         "vec_id", "embedding", k=5, nprobe=2,
@@ -1353,10 +1352,7 @@ def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
 
     compacted = idx.compact_to(spark, croot)
     assert not compacted._tomb_dirs(), (
@@ -1447,10 +1443,7 @@ def ann_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="parquet", max_files_per_trigger=1,
     )
     q = incremental_append(src, apply, ckpt)
-    try:
-        q.awaitTermination(180)
-    finally:
-        q.stop()
+    _await_drained(q)
 
     compacted = idx.compact_to(spark, croot)
     assert compacted.tombstones(spark) is None, (

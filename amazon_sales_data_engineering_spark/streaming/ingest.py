@@ -97,7 +97,11 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        drained = q.awaitTermination(timeout_sec)
+        assert drained, (
+            f"stream did not drain within {timeout_sec}s — rows read "
+            "now would reflect a partially replayed input"
+        )
     finally:
         q.stop()
     spark = stream_df.sparkSession

@@ -20,7 +20,9 @@ tests/test_bench_emit.py:
   bytes/records, scan bytes/records from the Spark stage API), their
   totals, and a redundant full-precision copy of the timings — goes to
   the SIDECAR file ``BENCH_PLAN_METRICS.json`` next to this script
-  (override with $SPARK_GRAFT_BENCH_SIDECAR), which
+  (override with $SPARK_GRAFT_BENCH_SIDECAR; ``--sf1`` runs write
+  ``BENCH_SF1.json`` and honor only $SPARK_GRAFT_SF1_SIDECAR so one
+  override can never clobber the other flavor's record), which
   ``tools/bench_gate.py`` reads.
 
 Wall-clock on a shared host swings ±20% with contention (the round-7
@@ -280,9 +282,16 @@ def _run() -> int:
 
         old = load(args.gate)
         rc = diff_plan_metrics(old, payload)
-    default_sidecar = SF1_SIDECAR_DEFAULT if args.sf1 else SIDECAR_DEFAULT
-    emit(payload, os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
-                                 default_sidecar))
+    # Separate env overrides per bench flavor (round-10 ADVICE: with a
+    # single override, round_close's sf1 step — which runs right after
+    # the main bench — would clobber the headline sidecar record).
+    if args.sf1:
+        sidecar = os.environ.get("SPARK_GRAFT_SF1_SIDECAR",
+                                 SF1_SIDECAR_DEFAULT)
+    else:
+        sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
+                                 SIDECAR_DEFAULT)
+    emit(payload, sidecar)
     return rc
 
 

@@ -200,3 +200,36 @@ def test_plan_regex_handles_comma_bounds_and_adjacent_frames():
         "specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())"
     )
     assert find_quadratic_frames(mixed) == ["currentrow$()"]
+
+
+def test_plan_guard_sees_past_tostring_truncation(spark):
+    """Round-10 ADVICE (medium): toString elides expression lists past
+    spark.sql.debug.maxToStringFields (default 25) as '... N more
+    fields' — a bad frame positioned past the 25th expression of a wide
+    node used to vanish from the rendered text and the guard read the
+    plan as clean. The guard must now render untruncated (and fail
+    loudly if the marker survives)."""
+    df = spark.createDataFrame([(1, 2), (1, 3)], "k int, t int")
+    wide = df.select(
+        "k", "t", *[F.lit(i).alias(f"pad{i}") for i in range(40)]
+    )
+    bad = wide.withColumn(
+        "x",
+        F.sum("t").over(
+            Window.partitionBy("k")
+            .orderBy("t")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)  # frame-guard: allow
+        ),
+    )
+    # pre-fix sanity: the default render really does truncate this plan
+    default_text = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert "more fields" in default_text, (
+        "fixture no longer truncates at default maxToStringFields; "
+        "widen the pad column count"
+    )
+    with pytest.raises(AssertionError, match="unboundedFollowing"):
+        assert_no_quadratic_frames(bad, context="wide-seeded")
+    # conf restored after the guard ran
+    assert (
+        spark.conf.get("spark.sql.debug.maxToStringFields") != "100000"
+    )

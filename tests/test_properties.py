@@ -1163,12 +1163,16 @@ def test_splittable_json_matches_json_loads(
         _os.unlink(path)
 
 
-# Latin-1-representable text WITHOUT native mojibake lead chars (U+00C2
-# 'Â' / U+00C3 'Ã') — the repair contract's stated domain: for any such
-# string, corrupting through the exact UTF-8-bytes-read-as-Latin-1
-# transform and repairing must round-trip to the original.
+# Latin-1-representable text WITHOUT native mojibake lead chars (the
+# _MARKER_CHARS set: 'Â'/'Ã' 2-byte leads, 'â' 3-byte lead, 'ð' 4-byte
+# lead) — the repair contract's stated domain: for any such string,
+# corrupting through the exact UTF-8-bytes-read-as-Latin-1 transform and
+# repairing must round-trip to the original. Native lead chars are
+# excluded because repair there is inherently ambiguous (a real 'â'
+# followed by two continuation-range chars IS byte-identical to
+# mojibake — ftfy has the same ambiguity and resolves it by heuristic).
 _MOJI_ALPHABET = st.characters(
-    codec="latin-1", exclude_characters="ÂÃ"
+    codec="latin-1", exclude_characters="ÂÃâð"
 )
 
 
@@ -1180,6 +1184,50 @@ def test_mojibake_repair_round_trips(spark, texts):
     )
 
     corrupted = [t.encode("utf-8").decode("iso-8859-1") for t in texts]
+    df = spark.createDataFrame(
+        list(enumerate(corrupted)), "id bigint, t string"
+    )
+    got = {r.id: r.f for r in df.select("id", repair_mojibake("t").alias("f")).collect()}
+    assert got == dict(enumerate(texts))
+
+
+def _corrupt_cp1252(t: str) -> str:
+    """UTF-8 bytes read by a LENIENT cp1252 decoder (undefined bytes
+    0x81/0x8D/0x8F/0x90/0x9D fall back to the C1 control, as real-world
+    decoders do)."""
+    out = []
+    for b in t.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+_MOJI_PROFILES = {
+    "latin1": lambda t: t.encode("utf-8").decode("iso-8859-1"),
+    "cp1252": _corrupt_cp1252,
+    "latin1x2": lambda t: _MOJI_PROFILES["latin1"](_MOJI_PROFILES["latin1"](t)),
+    "cp1252x2": lambda t: _corrupt_cp1252(_corrupt_cp1252(t)),
+    "cross": lambda t: _MOJI_PROFILES["latin1"](_corrupt_cp1252(t)),
+}
+
+
+@SETTINGS
+@given(
+    texts=st.lists(st.text(_MOJI_ALPHABET, max_size=40), min_size=1, max_size=6),
+    profile=st.sampled_from(sorted(_MOJI_PROFILES)),
+)
+def test_mojibake_repair_round_trips_deep(spark, texts, profile):
+    """Round-11: the repair covers the cp1252 profile ('’' -> 'â€™')
+    and DOUBLE-encoded text ('é' -> 'ÃƒÂ©') via ≤2-pass fixed point —
+    every profile must round-trip over the same contract domain."""
+    from amazon_sales_data_engineering_spark.functions.text import (
+        repair_mojibake,
+    )
+
+    corrupt = _MOJI_PROFILES[profile]
+    corrupted = [corrupt(t) for t in texts]
     df = spark.createDataFrame(
         list(enumerate(corrupted)), "id bigint, t string"
     )
