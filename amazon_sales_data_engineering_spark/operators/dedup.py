@@ -55,6 +55,69 @@ def rank_dedup(
     )
 
 
+def rank_dedup_maxjoin(
+    df: DataFrame,
+    partition_by: list[str],
+    order_col: str,
+    desc: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Window-free SCALE profile of ``rank_dedup(keep_ties=True)`` for a
+    single order column (SURVEY §7.3.6's one genuine skew hazard: the
+    faithful W1 partitions its window by ``order_dt`` — few FAT
+    partitions at 100× data, and AQE cannot split a window partition,
+    so one hot date serializes onto one task).
+
+    ``rank() == 1`` with ties over ``ORDER BY x DESC`` keeps exactly the
+    rows whose ``x`` equals the per-partition MAX — computable as a
+    map-side-combinable ``groupBy().agg(max)`` plus a broadcast
+    equi-join back: identical result multiset (ties kept, null ordering
+    matched row-for-row — see below), but the fact side NEVER shuffles
+    and a hot partition parallelizes across all its input splits.
+
+    Null parity with the window form (property-pinned in
+    tests/test_properties.py):
+
+    - ``desc`` (Spark default NULLS LAST): rank-1 rows are the non-null
+      max rows when one exists, else the all-null partition ties.
+      ``max()`` ignores nulls, so a null-safe ``x <=> max(x)`` matches
+      both cases.
+    - ``asc`` (Spark default NULLS FIRST): rank-1 rows are the NULL rows
+      whenever the partition has any, else the min rows — so the keep
+      condition switches on a per-partition ``has_null`` flag.
+
+    ``broadcast=False`` drops the hint for high-cardinality partition
+    keys (where the window form's shuffle is fine anyway — this
+    operator targets the few-fat-partitions shape)."""
+    has_null = F.max(F.col(order_col).isNull()).alias("__has_null")
+    tgt = (F.max if desc else F.min)(order_col).alias("__tgt")
+    keys = [f"__p{i}" for i in range(len(partition_by))]
+    stats = (
+        df.groupBy(*partition_by)
+        .agg(tgt, has_null)
+        .select(
+            *[F.col(p).alias(k) for p, k in zip(partition_by, keys)],
+            "__tgt",
+            "__has_null",
+        )
+    )
+    if broadcast:
+        stats = F.broadcast(stats)
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[p].eqNullSafe(F.col(k)) for p, k in zip(partition_by, keys)],
+    )
+    if desc:
+        keep = F.col(order_col).eqNullSafe(F.col("__tgt"))
+    else:
+        keep = F.when(
+            F.col("__has_null"), F.col(order_col).isNull()
+        ).otherwise(F.col(order_col) == F.col("__tgt"))
+    return df.join(stats, cond, "inner").filter(keep).drop(
+        *keys, "__tgt", "__has_null"
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint: one row per distinct
     content with the minimum id as the canonical keeper and the group size.

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import rank_dedup
+from ..operators.dedup import rank_dedup, rank_dedup_maxjoin
 from ..sources.sinks import save_table_if_nonempty
 from .config import PROFILES, CountryProfile, curated_table, source_table
 
@@ -75,12 +75,24 @@ def curate_sales(
 
 
 def curated_frame(
-    src: DataFrame, forex: DataFrame, p: CountryProfile, faithful: bool = True
+    src: DataFrame,
+    forex: DataFrame,
+    p: CountryProfile,
+    faithful: bool = True,
+    scale_dedup: bool = False,
 ) -> DataFrame:
     """Pure source→curated transform on explicit inputs — the same plan
     ``curate_sales`` builds, usable without catalog tables (e.g. the
     driver-gated ``pipeline_*`` queries compose it straight off raw files).
-    """
+
+    ``scale_dedup=True`` swaps the faithful W1 window for
+    ``operators.dedup.rank_dedup_maxjoin`` — the window-free,
+    skew-immune formulation with IDENTICAL tie semantics (rows whose
+    ``_metadata_last_modified`` equals the per-``order_dt`` max; see
+    the operator docstring for the null-parity argument). The window
+    form stays the faithful oracle; the maxjoin form is the plan you
+    want at 100× data, where one hot load date would otherwise
+    serialize onto a single window task (SURVEY §7.3.6)."""
     filtered = (
         src.filter(F.col("payment_status") == "Paid")
         .filter(F.col("shipping_status") == "Delivered")
@@ -92,12 +104,20 @@ def curated_frame(
         joined = filtered.join(
             forex, filtered["order_dt"] == forex["date"], "outer"
         )
-        deduped = rank_dedup(
-            joined,
-            partition_by=["order_dt"],
-            order_by=[F.col("_metadata_last_modified").desc()],
-            keep_ties=True,
-        ).filter(F.col("sales_order_key").isNotNull())  # ≡ J2/J3 inner self-join
+        if scale_dedup:
+            deduped = rank_dedup_maxjoin(
+                joined,
+                partition_by=["order_dt"],
+                order_col="_metadata_last_modified",
+                desc=True,
+            ).filter(F.col("sales_order_key").isNotNull())
+        else:
+            deduped = rank_dedup(
+                joined,
+                partition_by=["order_dt"],
+                order_by=[F.col("_metadata_last_modified").desc()],
+                keep_ties=True,
+            ).filter(F.col("sales_order_key").isNotNull())  # ≡ J2/J3 inner self-join
     else:
         joined = filtered.join(
             F.broadcast(forex), filtered["order_dt"] == forex["date"], "left"

@@ -17,7 +17,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from .registry import register
-from .util import LSH_DYN_PAIR_CTES, parquet_num_rows, t_cpu
+from .util import LSH_DYN_PAIR_CTES, parquet_num_rows, t, t_cpu
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -1197,6 +1197,65 @@ def dedup_exact_salted_zipf(spark: SparkSession, sf_dir: str):
         .alias("text"),
     )
     return salted_exact_dedup(z, "text", "doc_id", salt=16)
+
+
+@register(
+    "dedup_rank_maxjoin_skew",
+    oracle="""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 2 = 0 THEN DATE '1995-06-17'
+              ELSE CAST(l_shipdate AS DATE) END AS ship_dt
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, ship_dt,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM (
+  SELECT *, rank() OVER (PARTITION BY ship_dt
+                         ORDER BY l_quantity DESC) AS rk
+  FROM z
+) WHERE rk = 1
+""",
+    doc="SKEW-PROOF W1 rank-dedup (round-10 verdict #1 — the last "
+    "documented 100×-scale hazard): rank()==1 with ties over ORDER BY "
+    "ts DESC is exactly 'rows whose ts equals the per-partition MAX', "
+    "so operators.dedup.rank_dedup_maxjoin computes it as a map-side-"
+    "combinable groupBy().agg(max) + BROADCAST equi-join back — "
+    "identical tie semantics (null parity argued in the operator "
+    "docstring, property-pinned vs the window form in "
+    "tests/test_properties.py), ZERO fact-side shuffles, and a hot "
+    "partition parallelizes across its input splits where AQE cannot "
+    "split a fat window partition. The corpus is DELIBERATELY skewed "
+    "the dedup_exact_salted_zipf way: half of lineitem (l_orderkey "
+    "even) is collapsed onto one ship date, the shape that serializes "
+    "the faithful window form onto a single task at 100×. The oracle "
+    "is the WINDOW formulation verbatim — the two must land row-"
+    "identical. Plan pinned window-free + broadcast in "
+    "tests/test_skew_bucketing.py.",
+    tags=("window", "dedup", "skew"),
+    bench=True,
+)
+def dedup_rank_maxjoin_skew(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import rank_dedup_maxjoin
+
+    z = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 2 == 0,
+            F.lit("1995-06-17").cast("date"),
+        )
+        .otherwise(F.col("l_shipdate").cast("date"))
+        .alias("ship_dt"),
+    )
+    out = rank_dedup_maxjoin(z, ["ship_dt"], "l_quantity", desc=True)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "ship_dt",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
 
 
 @register(

@@ -202,6 +202,61 @@ def pipeline_curated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curated_agg_scale",
+    oracle=f"""
+WITH u AS (
+  SELECT "Payment Status" AS ps, "Shipping Status" AS ss,
+         CAST("Quantity" AS DECIMAL(38,0)) AS qty,
+         CAST("Order Date" AS DATE) AS dt, 'IN' AS country, 'APAC' AS region
+  FROM {_RAW_IN}
+  UNION ALL
+  SELECT "Payment Status", "Shipping Status", CAST("Quantity" AS DECIMAL(38,0)),
+         CAST("Order Date" AS DATE), 'US', 'AMER'
+  FROM {_RAW_US}
+  UNION ALL
+  SELECT "Payment Status", "Shipping Status", CAST("Quantity" AS DECIMAL(38,0)),
+         CAST("Order Date" AS DATE), 'FR', 'EU'
+  FROM {_RAW_FR}
+)
+SELECT country, region, COUNT(*) AS n_orders, SUM(qty) AS sum_qty,
+       COUNT(DISTINCT dt) AS n_days, MIN(dt) AS first_dt, MAX(dt) AS last_dt
+FROM u
+WHERE ps = 'Paid' AND ss = 'Delivered'
+GROUP BY country, region
+""",
+    doc="pipeline_curated_agg with the SKEW-PROOF W1 dedup "
+    "(curated_frame(scale_dedup=True) → operators.dedup."
+    "rank_dedup_maxjoin): the full faithful source→curated pipeline — "
+    "filter, full-outer forex join, load-batch dedup, deduplicating "
+    "union — must land IDENTICAL numbers when the order_dt window is "
+    "replaced by the groupBy-max + broadcast-join formulation "
+    "(round-10 verdict #1). Same independently-derived oracle as "
+    "pipeline_curated_agg.",
+    tags=("pipeline", "curated", "skew"),
+)
+def pipeline_curated_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    forex = forex_table(spark, f"{DATA}/exchange-rate-data.csv", faithful=True)
+    frames = [
+        curated_frame(
+            _source_frame(spark, cc), forex, p, faithful=True,
+            scale_dedup=True,
+        )
+        for cc, p in PROFILES.items()
+    ]
+    return (
+        union_distinct(*frames)
+        .groupBy("country", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("order_quantity").alias("sum_qty"),
+            F.countDistinct("order_dt").alias("n_days"),
+            F.min("order_dt").alias("first_dt"),
+            F.max("order_dt").alias("last_dt"),
+        )
+    )
+
+
+@register(
     "pipeline_star_counts",
     oracle=f"""
 WITH cur AS (

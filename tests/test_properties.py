@@ -1233,3 +1233,44 @@ def test_mojibake_repair_round_trips_deep(spark, texts, profile):
     )
     got = {r.id: r.f for r in df.select("id", repair_mojibake("t").alias("f")).collect()}
     assert got == dict(enumerate(texts))
+
+
+# rank_dedup_maxjoin identity domain: few fat partition keys (the shape
+# the operator targets), small order values (heavy TIES), both nullable.
+_maxjoin_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),    # partition key
+        st.one_of(st.none(), st.integers(0, 3)),    # order value
+        st.integers(0, 10**6),                       # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(rows=_maxjoin_rows_st, desc=st.booleans())
+def test_rank_dedup_maxjoin_row_identity(spark, rows, desc):
+    """Round-10 verdict #1: the window-free groupBy-max + broadcast-join
+    formulation must be ROW-IDENTICAL (multiset) to
+    rank_dedup(keep_ties=True) for both sort directions, including the
+    null-ordering edges (desc = NULLS LAST: all-null partitions tie at
+    rank 1; asc = NULLS FIRST: any null row outranks every value)."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        rank_dedup,
+        rank_dedup_maxjoin,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v int, payload bigint")
+    order = [F.col("v").desc()] if desc else [F.col("v").asc()]
+    want = rank_dedup(df, ["k"], order, keep_ties=True)
+    got = rank_dedup_maxjoin(df, ["k"], "v", desc=desc)
+
+    def key(r):
+        return (
+            r["k"] is None, r["k"] or 0,
+            r["v"] is None, r["v"] or 0,
+            r["payload"],
+        )
+
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))

@@ -284,3 +284,37 @@ def test_partitioned_appends_prune_before_compaction(spark, tmp_path):
         str(tmp_path / "ivf_p" / "assignments" / "batch_00000" /
             "centroid_id=*")
     )
+
+
+def test_rank_maxjoin_plan_is_window_free_broadcast(spark):
+    """Plan-shape guard (round-10 verdict #1): the skew-proof W1 dedup
+    must contain NO Window node (a fat partition would serialize onto
+    one task — AQE cannot split a window partition) and must join the
+    per-partition maxima back via BROADCAST, so the fact side never
+    shuffles on the skewed key. Also re-proves row identity vs the
+    faithful window form on real data."""
+    from amazon_sales_data_engineering_spark.operators.dedup import (
+        rank_dedup,
+        rank_dedup_maxjoin,
+    )
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+    df = REGISTRY["dedup_rank_maxjoin_skew"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the fact scan reaches the join without a hash-partition exchange
+    # (the only exchanges allowed feed the tiny aggregate + broadcast)
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("1995-06-17").cast("date"))
+        .otherwise(F.col("l_shipdate").cast("date"))
+        .alias("ship_dt"),
+    )
+    want = rank_dedup(
+        li, ["ship_dt"], [F.col("l_quantity").desc()], keep_ties=True
+    )
+    got = rank_dedup_maxjoin(li, ["ship_dt"], "l_quantity", desc=True)
+    assert _multiset(got.select(*want.columns)) == _multiset(want)
