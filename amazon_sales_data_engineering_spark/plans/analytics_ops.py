@@ -1023,7 +1023,10 @@ def graph_edge_similarity(spark: SparkSession, sf_dir: str):
 @register(
     "graph_label_propagation",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- materialized: the lineitem self-join is referenced by r1, r2, deg,
+  -- tot AND intra — inlined, DuckDB runs it five times (round-10
+  -- verdict #6 sf1 oracle-cost rule)
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -1033,7 +1036,8 @@ WITH e AS (
            row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
     FROM (SELECT e.u, e.v AS label, COUNT(*) AS c FROM e GROUP BY 1, 2)
   ) WHERE rn = 1
-), r2 AS (
+), r2 AS MATERIALIZED (
+  -- materialized: referenced by intra (twice) and comm
   SELECT u AS node, label FROM (
     SELECT u, label, c,
            row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
@@ -1078,7 +1082,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
 @register(
     "graph_community_modularity",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- materialized: the lineitem self-join is referenced by r1, r2, deg,
+  -- tot AND intra — inlined, DuckDB runs it five times (round-10
+  -- verdict #6 sf1 oracle-cost rule)
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -1088,7 +1095,8 @@ WITH e AS (
            row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
     FROM (SELECT e.u, e.v AS label, COUNT(*) AS c FROM e GROUP BY 1, 2)
   ) WHERE rn = 1
-), r2 AS (
+), r2 AS MATERIALIZED (
+  -- materialized: referenced by intra (twice) and comm
   SELECT u AS node, label FROM (
     SELECT u, label, c,
            row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn

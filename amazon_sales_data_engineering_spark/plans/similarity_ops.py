@@ -1234,40 +1234,56 @@ def embedding_rank_normalize(spark: SparkSession, sf_dir: str):
 
 @register(
     "ann_recall_eval",
-    oracle=f"""
-WITH v AS ({_V}),
-p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 20 = 0),
-ex AS (
+    oracle="""
+-- Norms hoisted + hot CTEs materialized (round-10 verdict #6, sf1
+-- oracle-cost discipline): the per-pair cosine used to recompute BOTH
+-- operand norms inside every pair (3 list scans instead of 1), and
+-- cscored is referenced twice (assigned + probe_lists) so un-
+-- materialized it ran the corpus x centroids scoring twice. The
+-- arithmetic is bit-identical to the original formulation: same dot
+-- accumulation, the same two sqrt values (computed once per vector),
+-- same multiply/divide order — so every ordering, and therefore the
+-- gate output, is unchanged.
+WITH v AS MATERIALIZED (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM v WHERE vec_id % 20 = 0),
+ex AS MATERIALIZED (
+  -- materialized: referenced by hit AND the pr probe spine
   SELECT probe_id, neighbor_id FROM (
     SELECT probe_id, v.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY probe_id
-                              ORDER BY {_COS} DESC, v.vec_id ASC) AS rn
+                              ORDER BY
+             list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * e[i]))
+             / (pn * v.nrm) DESC, v.vec_id ASC) AS rn
     FROM p, v WHERE v.vec_id <> probe_id
   ) WHERE rn <= 5
 ),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-cscored AS (
-  SELECT v.vec_id, v.e, centroid_id,
+cent AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM v WHERE vec_id % 50 = 0),
+cscored AS MATERIALIZED (
+  SELECT v.vec_id, v.e, v.nrm, centroid_id,
          row_number() OVER (
            PARTITION BY v.vec_id
            ORDER BY list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ce[i]))
-                    / (sqrt(list_sum(list_transform(e, x -> x * x)))
-                       * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                    / (v.nrm * cn) DESC,
                     centroid_id ASC) AS crank
   FROM v CROSS JOIN cent
 ),
 assigned AS (
-  SELECT vec_id AS neighbor_id, e, centroid_id FROM cscored WHERE crank <= 1
+  SELECT vec_id AS neighbor_id, e, nrm, centroid_id
+  FROM cscored WHERE crank <= 1
 ),
 probe_lists AS (
-  SELECT vec_id AS probe_id, e AS pe, centroid_id
+  SELECT vec_id AS probe_id, e AS pe, nrm AS pn, centroid_id
   FROM cscored WHERE vec_id % 20 = 0 AND crank <= 2
 ),
 iscored AS (
   SELECT p.probe_id, a.neighbor_id,
          list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * a.e[i]))
-         / (sqrt(list_sum(list_transform(pe, x -> x * x)))
-            * sqrt(list_sum(list_transform(a.e, x -> x * x)))) AS cos
+         / (p.pn * a.nrm) AS cos
   FROM probe_lists p
   JOIN assigned a USING (centroid_id)
   WHERE a.neighbor_id <> p.probe_id
@@ -1440,30 +1456,41 @@ vs AS MATERIALIZED (
          list_transform(range(1, 9), i -> e[sub * 8 + i]) AS sv
   FROM v, subs
 ),
-cs AS (
+cs AS MATERIALIZED (
+  -- materialized: referenced by codes AND lut
   SELECT vec_id AS centroid_id, sub, sv AS cv
   FROM vs WHERE vec_id % 50 = 0
 ),
-codes AS (
-  SELECT vec_id, sub, centroid_id AS code FROM (
-    SELECT vs.vec_id, vs.sub, cs.centroid_id,
-           row_number() OVER (
-             PARTITION BY vs.vec_id, vs.sub
-             ORDER BY list_sum(list_transform(range(1, 9),
-                      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC,
-                      cs.centroid_id ASC) AS rn
+codes AS MATERIALIZED (
+  -- Materialized: behind a GROUP BY subquery the optimizer loses the
+  -- cardinality estimate and the downstream (sub, code) join order
+  -- degrades 8x (measured 69s -> 570s+ un-materialized at sf1).
+  -- Argmin as a hash-aggregated struct-MIN instead of a row_number
+  -- window (round-10 verdict #6): the corpus x codebook join is the
+  -- oracle's biggest intermediate and a window must SORT it, while
+  -- min() over (d, centroid_id) structs streams through a hash
+  -- aggregate — the lexicographic struct order is exactly the
+  -- window's (d ASC, centroid_id ASC) total order, so the selected
+  -- code is identical.
+  SELECT vec_id, sub, struct_extract(b, 'c') AS code FROM (
+    SELECT vs.vec_id, vs.sub,
+           min(struct_pack(
+             d := list_sum(list_transform(range(1, 9),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+             c := cs.centroid_id)) AS b
     FROM vs JOIN cs ON cs.sub = vs.sub
-  ) WHERE rn = 1
+    GROUP BY vs.vec_id, vs.sub
+  )
 ),
 probes AS (SELECT vec_id AS probe_id, sub, sv AS pv FROM vs WHERE vec_id % 20 = 0),
-lut AS (
+lut AS MATERIALIZED (
   SELECT p.probe_id, p.sub, c.centroid_id,
          CAST(floor(list_sum(list_transform(range(1, 9),
               i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))) * 1000000000.0)
               AS BIGINT) AS d_fix
   FROM probes p JOIN cs c ON c.sub = p.sub
 ),
-adc AS (
+adc AS MATERIALIZED (
   SELECT probe_id, neighbor_id FROM (
     SELECT l.probe_id, k.vec_id AS neighbor_id,
            row_number() OVER (
@@ -1475,7 +1502,8 @@ adc AS (
     GROUP BY l.probe_id, k.vec_id
   ) WHERE rn <= 5
 ),
-exact AS (
+exact AS MATERIALIZED (
+  -- materialized: referenced by hit AND the pr probe spine
   SELECT probe_id, neighbor_id FROM (
     SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
            row_number() OVER (
@@ -2323,28 +2351,40 @@ def _jl_signs(k: int = 8, d: int = 64) -> list[list[float]]:
 _JL = _jl_signs()
 
 
-def _jl_sql_projection() -> str:
-    """The 8 projected components as DuckDB expressions p0..p7."""
-    parts = []
+def _jl_matrix_cte() -> str:
+    """One-row CTE carrying the 8 projection rows as array columns
+    m0..m7 — hoisted so the 64-element literal is built ONCE, not per
+    element access (the inline ``(lit::DOUBLE[])[i]`` form rebuilt the
+    array inside every lambda step: 20k rows x 8 rows x 64 dims = 10M
+    constructions, 128s at sf1 for a 20k-row result)."""
+    cols = []
     for j, row in enumerate(_JL):
         lit = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
-        parts.append(
-            f"list_reduce(list_transform(range(1, 65), "
-            f"i -> e[i] * ({lit}::DOUBLE[])[i]), (a, b) -> a + b) AS p{j}"
-        )
-    return ",\n         ".join(parts)
+        cols.append(f"{lit}::DOUBLE[] AS m{j}")
+    return "SELECT " + ",\n         ".join(cols)
+
+
+def _jl_sql_projection() -> str:
+    """The 8 projected components as DuckDB expressions p0..p7 (reads
+    the matrix columns of ``_jl_matrix_cte``)."""
+    return ",\n         ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> e[i] * m{j}[i]), (a, b) -> a + b) AS p{j}"
+        for j in range(len(_JL))
+    )
 
 
 @register(
     "embedding_jl_projection",
     oracle=f"""
 WITH v AS ({_V}),
+m AS ({_jl_matrix_cte()}),
 p AS (
   SELECT vec_id,
          list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)
            AS orig_sq,
          {_jl_sql_projection()}
-  FROM v
+  FROM v CROSS JOIN m
 )
 SELECT vec_id,
        CAST(floor(((p0*p0 + p1*p1 + p2*p2 + p3*p3 + p4*p4 + p5*p5

@@ -130,6 +130,36 @@ def _write_replay(
     return flat
 
 
+#: Per-phase wall timings of the most recent run of each lifecycle
+#: composition gate, keyed query name → {phase: sec} (round-10 verdict
+#: #3: ann_index_lifecycle_e2e is the largest absolute sf1 seat — a
+#: 109-stage composite whose regressions couldn't localize). The gate
+#: functions reset their entry on invocation and record each EAGER
+#: phase (replay landing, stream drain, compaction, append); the final
+#: probe is lazy, so ``bench.py --sf1`` reports it as the residual of
+#: the measured wall and copies the whole dict into the BENCH_SF1
+#: sidecar next to the plan metrics.
+LAST_PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
+
+class _phase:
+    """Context manager recording one eager phase's wall into
+    ``LAST_PHASE_TIMINGS[query]`` (additive on repeated phases)."""
+
+    def __init__(self, query: str, phase: str):
+        self.query, self.phase = query, phase
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        d = LAST_PHASE_TIMINGS.setdefault(self.query, {})
+        d[self.phase] = round(
+            d.get(self.phase, 0.0) + time.perf_counter() - self.t0, 4
+        )
+        return False
+
+
 def _await_drained(q, timeout_sec: int = 180) -> None:
     """Await an AvailableNow replay and ASSERT it actually drained
     before the caller reads the result (round-10 ADVICE: on a loaded
@@ -1336,8 +1366,10 @@ def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"), "doc_id",
         F.lit(None).cast("string").alias("text"),
     )
-    for i, df in enumerate((ins(0), ins(1), ins(2), dels)):
-        _land_replay_file(df, replay, i)
+    LAST_PHASE_TIMINGS["dedup_index_lifecycle_e2e"] = {}
+    with _phase("dedup_index_lifecycle_e2e", "land_replay"):
+        for i, df in enumerate((ins(0), ins(1), ins(2), dels)):
+            _land_replay_file(df, replay, i)
 
     idx = MinHashDedupIndex(root)
     apply = cdc_index_sink(
@@ -1351,10 +1383,12 @@ def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, replay, "op string, doc_id bigint, text string",
         fmt="parquet", max_files_per_trigger=1,
     )
-    q = incremental_append(src, apply, ckpt)
-    _await_drained(q)
+    with _phase("dedup_index_lifecycle_e2e", "replay_drain"):
+        q = incremental_append(src, apply, ckpt)
+        _await_drained(q)
 
-    compacted = idx.compact_to(spark, croot)
+    with _phase("dedup_index_lifecycle_e2e", "compact"):
+        compacted = idx.compact_to(spark, croot)
     assert not compacted._tomb_dirs(), (
         "lifecycle e2e: compaction must apply tombstones physically"
     )
@@ -1424,13 +1458,16 @@ def ann_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_op(clones, "I"),
         as_op(clones, "D"),
     )
-    for i, df in enumerate(files):
-        _land_replay_file(df, replay, i)
+    LAST_PHASE_TIMINGS["ann_index_lifecycle_e2e"] = {}
+    with _phase("ann_index_lifecycle_e2e", "land_replay"):
+        for i, df in enumerate(files):
+            _land_replay_file(df, replay, i)
 
     m = _ivf_centroid_modulus(sf_dir)
-    idx = IVFIndex(root).create(
-        v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
-    )
+    with _phase("ann_index_lifecycle_e2e", "create_index"):
+        idx = IVFIndex(root).create(
+            v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
+        )
     apply = cdc_index_sink(
         idx,
         lambda d, seq: idx.apply_batch(
@@ -1442,17 +1479,20 @@ def ann_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, replay, "op string, vec_id bigint, embedding array<float>",
         fmt="parquet", max_files_per_trigger=1,
     )
-    q = incremental_append(src, apply, ckpt)
-    _await_drained(q)
+    with _phase("ann_index_lifecycle_e2e", "replay_drain"):
+        q = incremental_append(src, apply, ckpt)
+        _await_drained(q)
 
-    compacted = idx.compact_to(spark, croot)
+    with _phase("ann_index_lifecycle_e2e", "compact"):
+        compacted = idx.compact_to(spark, croot)
     assert compacted.tombstones(spark) is None, (
         "lifecycle e2e: compaction must drop tombstones physically"
     )
-    compacted.apply_batch(
-        spark, v.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding",
-        partitioned=True,
-    )
+    with _phase("ann_index_lifecycle_e2e", "append_partitioned"):
+        compacted.apply_batch(
+            spark, v.filter(F.col("vec_id") % 2 == 1), "vec_id",
+            "embedding", partitioned=True,
+        )
     return compacted.topk(
         spark, v.filter(F.col("vec_id") % 100 == 0),
         "vec_id", "embedding", k=5, nprobe=2,

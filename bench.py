@@ -132,7 +132,7 @@ def headline_line(payload: dict) -> str:
     plan metrics. Shared with tests/test_bench_emit.py."""
     slim = {k: v for k, v in payload.items()
             if k not in ("plan_metrics", "plan_totals",
-                         "queries_full_precision")}
+                         "queries_full_precision", "phase_timings")}
     return json.dumps(slim, separators=(",", ":"))
 
 
@@ -211,6 +211,7 @@ def _run() -> int:
     timings: dict[str, float] = {}
     timings_full: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
+    phase_timings: dict[str, dict] = {}
     for name, q in sorted(bench_set.items()):
         def run_once() -> float:
             t0 = time.perf_counter()
@@ -242,6 +243,19 @@ def _run() -> int:
         if pm is not None:
             plan_metrics[name] = pm
         if args.sf1:
+            # per-phase decomposition for the composite lifecycle gates
+            # (round-10 verdict #3): the gate functions record their
+            # EAGER phases; the lazy final probe is the wall residual.
+            from amazon_sales_data_engineering_spark.plans.streaming_ops import (  # noqa: PLC0415
+                LAST_PHASE_TIMINGS,
+            )
+
+            ph = LAST_PHASE_TIMINGS.get(name)
+            if ph:
+                phase_timings[name] = dict(
+                    ph,
+                    probe_residual=round(max(best - sum(ph.values()), 0.0), 4),
+                )
             print(f"  sf1 {name}: {best:.1f}s", flush=True)
 
     canary_last = canary()
@@ -270,6 +284,8 @@ def _run() -> int:
         else {},
         "queries_full_precision": timings_full,
     }
+    if phase_timings:
+        payload["phase_timings"] = phase_timings
     spark.stop()
 
     rc = 0

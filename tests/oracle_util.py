@@ -108,18 +108,101 @@ def check_types(spark_df, duck_con, oracle_sql: str) -> None:
         )
 
 
+#: Column types eligible for the vectorized fast path. Restricted to
+#: types whose DuckDB equality is bit-exactly the same relation as
+#: canon_cell equality WITHIN one column (check_types has already pinned
+#: the two sides to the same logical type, so canon_cell's cross-type
+#: equivalences — int vs whole float — can never apply):
+#: integrals/strings/dates/booleans/decimals compare exactly; floats are
+#: normalized with ``+ 0.0`` (collapses -0.0 to 0.0, exactly canon's
+#: ("num", 0)) and DuckDB's total order already treats every NaN as
+#: equal (canon's "NaN" sentinel). Timestamps (tz plumbing), binary,
+#: and nested types stay on the exact Python path.
+_FAST_EXACT = {"tinyint", "smallint", "int", "bigint", "string", "date",
+               "boolean"}
+def _fast_select(spark_df) -> str | None:
+    """The canonicalizing SELECT list for the fast path (columns sorted
+    by name, floats normalized), or None when any column type is outside
+    the provably-equivalent set."""
+    dtypes = dict(spark_df.dtypes)
+    exprs = []
+    for c in sorted(spark_df.columns):
+        t = dtypes[c]
+        if t in _FAST_EXACT or t.startswith("decimal"):
+            exprs.append(f'"{c}"')
+        elif t in ("float", "double"):
+            exprs.append(f'("{c}" + 0.0) AS "{c}"')
+        else:
+            return None
+    return ", ".join(exprs)
+
+
+def _fast_multiset_equal(duck_con, s_tbl, d_tbl, sel: str) -> bool:
+    """Vectorized order-insensitive multiset compare of two Arrow tables
+    via symmetric EXCEPT ALL inside DuckDB (C++ hash tables instead of
+    per-cell Python)."""
+    duck_con.register("__cmp_spark", s_tbl)
+    duck_con.register("__cmp_duck", d_tbl)
+    try:
+        n = duck_con.sql(
+            f"SELECT count(*) FROM ("
+            f"  (SELECT {sel} FROM __cmp_spark"
+            f"   EXCEPT ALL SELECT {sel} FROM __cmp_duck)"
+            f"  UNION ALL"
+            f"  (SELECT {sel} FROM __cmp_duck"
+            f"   EXCEPT ALL SELECT {sel} FROM __cmp_spark))"
+        ).fetchone()[0]
+    finally:
+        duck_con.unregister("__cmp_spark")
+        duck_con.unregister("__cmp_duck")
+    return n == 0
+
+
+def _rows_from_arrow(tbl, cols: list[str]) -> list[tuple]:
+    data = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    return list(zip(*[data[c] for c in cols]))
+
+
 def compare(spark_df, duck_con, oracle_sql: str) -> None:
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-
-    cur = duck_con.execute(oracle_sql)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
+    d_rel = duck_con.sql(oracle_sql)
+    d_cols = list(d_rel.columns)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
     check_types(spark_df, duck_con, oracle_sql)
+
+    # Simple-typed results go through the vectorized path: ONE Spark
+    # execution (Arrow transfer), ONE oracle execution (Arrow), multiset
+    # equality inside DuckDB. The exact Python path canonicalizes per
+    # cell and dominated the sf1 sweep's wall for 6M-row projections
+    # (~150s where the oracle itself costs ~12s). A fast-path mismatch
+    # falls through to the authoritative exact comparison — built from
+    # the SAME Arrow tables, no re-execution — for diagnostics.
+    sel = _fast_select(spark_df)
+    if sel is not None:
+        try:
+            s_tbl = spark_df.toArrow()
+        except Exception:
+            s_tbl = None
+        if s_tbl is not None:
+            d_tbl = d_rel.arrow()
+            assert s_tbl.num_rows == d_tbl.num_rows, (
+                f"row count mismatch: spark={s_tbl.num_rows} "
+                f"duckdb={d_tbl.num_rows}"
+            )
+            if _fast_multiset_equal(duck_con, s_tbl, d_tbl, sel):
+                return
+            s_rows = _rows_from_arrow(s_tbl, s_cols)
+            d_rows = _rows_from_arrow(d_tbl, d_cols)
+        else:
+            s_rows = [tuple(r) for r in spark_df.collect()]
+            d_rows = duck_con.execute(oracle_sql).fetchall()
+    else:
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        d_rows = duck_con.execute(oracle_sql).fetchall()
+
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     )

@@ -467,3 +467,30 @@ def test_dedup_lifecycle_compacted_generation_is_clean(spark):
     df = REGISTRY["dedup_index_lifecycle_e2e"].spark_fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_lifecycle_gates_record_phase_timings(spark):
+    """Round-10 verdict #3: the two composite lifecycle gates must
+    decompose their wall into named eager phases (replay landing,
+    stream drain, compaction, [append]) so a regression inside the
+    109/50-stage composites localizes. bench.py --sf1 copies these
+    into the BENCH_SF1 sidecar; the lazy probe is the wall residual."""
+    from amazon_sales_data_engineering_spark.plans import REGISTRY
+    from amazon_sales_data_engineering_spark.plans.streaming_ops import (
+        LAST_PHASE_TIMINGS,
+    )
+
+    REGISTRY["ann_index_lifecycle_e2e"].spark_fn(spark, SF_DIR)
+    ann = LAST_PHASE_TIMINGS["ann_index_lifecycle_e2e"]
+    assert set(ann) == {
+        "land_replay", "create_index", "replay_drain", "compact",
+        "append_partitioned",
+    }
+    REGISTRY["dedup_index_lifecycle_e2e"].spark_fn(spark, SF_DIR)
+    ddp = LAST_PHASE_TIMINGS["dedup_index_lifecycle_e2e"]
+    assert set(ddp) == {"land_replay", "replay_drain", "compact"}
+    for d in (ann, ddp):
+        assert all(v >= 0 for v in d.values())
+        # the drain is never instantaneous — a zero here means the
+        # phase clock wrapped the wrong block
+        assert d["replay_drain"] > 0.1
