@@ -59,14 +59,30 @@ def _source_select(df: DataFrame, profile: CountryProfile) -> DataFrame:
     )
 
 
-def ingest_sales(spark: SparkSession, data_root: str, cc: str) -> int:
-    """Load one country's new files into its source table. Returns the
-    number of files loaded (0 when everything is already in the ledger —
-    the COPY-idempotency contract)."""
+def plan_ingest(
+    spark: SparkSession, data_root: str, cc: str
+) -> tuple[DataFrame, int]:
+    """Phase 1 of a load — the writer's READ-CHECK: (fresh rows, key
+    high-water start) as observed NOW. Split from ``commit_ingest`` to
+    make the concurrency window explicit: two writers whose plans both
+    ran before either commit observe the same files as fresh and the
+    same start — the at-least-once race ``sources.ledger`` documents
+    (pinned in tests/test_ledger_concurrency.py;
+    ``ledger.reconcile_exactly_once`` is the standing repair)."""
     profile = PROFILES[cc]
     target = source_table(cc)
     raw = read_sales_raw(spark, data_root, profile.fmt)
     fresh = filter_new_files(spark, raw, target)
+    return fresh, next_start(spark, target, "sales_order_key")
+
+
+def commit_ingest(
+    spark: SparkSession, fresh: DataFrame, start: int, cc: str
+) -> int:
+    """Phase 2 of a load — shape, key from ``start``, append, record in
+    the ledger. Returns the number of files loaded."""
+    profile = PROFILES[cc]
+    target = source_table(cc)
     if fresh.isEmpty():
         return 0
     shaped = _source_select(fresh, profile)
@@ -78,13 +94,21 @@ def ingest_sales(spark: SparkSession, data_root: str, cc: str) -> int:
         shaped,
         key_col="sales_order_key",
         order_by=[F.col("_metadata_file_name"), F.col("_metadata_row_numer")],
-        start=next_start(spark, target, "sales_order_key"),
+        start=start,
     ).withColumn("sales_order_key", F.col("sales_order_key").cast("decimal(38,0)"))
     out = keyed.select("sales_order_key", *shaped.columns)
     save_table_if_nonempty(out, target)
     n_files = fresh.select("_metadata_file_name").distinct().count()
     record_loaded_files(spark, fresh, target)
     return n_files
+
+
+def ingest_sales(spark: SparkSession, data_root: str, cc: str) -> int:
+    """Load one country's new files into its source table. Returns the
+    number of files loaded (0 when everything is already in the ledger —
+    the COPY-idempotency contract)."""
+    fresh, start = plan_ingest(spark, data_root, cc)
+    return commit_ingest(spark, fresh, start, cc)
 
 
 def ingest_all(spark: SparkSession, data_root: str) -> dict[str, int]:

@@ -89,6 +89,22 @@ def diff_plan_metrics(old: dict, new: dict,
                     f"{name}: {key} {o} -> {n} "
                     f"(+{(n - o) / max(o, 1):.0%})"
                 )
+    # sf1 mini-bench records additionally gate the WALL per seat: the
+    # set exists to catch the hang class (an O(partition²) frame is a
+    # 15x blow-up, not a 15% one). Band calibrated round 11 over four
+    # idle sittings (BASELINE.md): max per-seat spread 21%, so 2x the
+    # anchor wall (with a 5s absolute floor for the sub-5s seats) is
+    # far outside noise and far inside the failure mode.
+    if (old.get("metric") == new.get("metric") == "sf1_mini_bench_total_sec"):
+        ow = old.get("queries_full_precision") or old.get("queries") or {}
+        nw = new.get("queries_full_precision") or new.get("queries") or {}
+        for name in sorted(nw):
+            o, n = ow.get(name), nw[name]
+            if o is not None and n > 2 * o and n - o > 5:
+                flags.append(
+                    f"{name}: sf1 wall {o:.1f}s -> {n:.1f}s "
+                    f"(x{n / o:.1f}, hang-class gate at 2x)"
+                )
     gone = sorted(set(om) - set(nm))
     if fresh:
         print(f"new queries (not gated): {fresh}")

@@ -101,7 +101,11 @@ def main() -> None:
                          "standing sf1 mini-bench into BENCH_SF1.json")
     ap.add_argument("--sf1-gate", metavar="PREV_SF1",
                     help="previous BENCH_SF1 record to gate the sf1 "
-                         "mini-bench plan metrics against")
+                         "mini-bench plan metrics against. Defaults to "
+                         "git:HEAD:BENCH_SF1.json when --sf1 is given "
+                         "(round-10 verdict #2: the gate runs by default "
+                         "against the committed anchor); pass "
+                         "--sf1-gate '' to disable")
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-pytest", action="store_true")
     ap.add_argument("--skip-bench", action="store_true")
@@ -114,8 +118,22 @@ def main() -> None:
     # the sf1 gate's bare git:REF must extract the SF1 record — the sf0.1
     # sidecar shares query names with 10x-smaller plan metrics, which
     # would flag every healthy sf1 seat as a regression
+    if args.sf1 and args.sf1_gate is None:
+        # default anchor: the committed record at HEAD (every source
+        # commit precedes the ritual, so HEAD's BENCH_SF1.json is the
+        # previous close's). Soft default: a repo without one yet just
+        # skips the gate instead of aborting.
+        probe = subprocess.run(
+            ["git", "show", "HEAD:BENCH_SF1.json"], cwd=REPO,
+            capture_output=True,
+        )
+        if probe.returncode == 0:
+            args.sf1_gate = "git:HEAD:BENCH_SF1.json"
+        else:
+            print("no committed BENCH_SF1.json at HEAD — sf1 gate skipped",
+                  flush=True)
     args.sf1_gate = _resolve_anchor(
-        args.sf1_gate, "--sf1-gate", default_path="BENCH_SF1.json"
+        args.sf1_gate or None, "--sf1-gate", default_path="BENCH_SF1.json"
     )
 
     if not args.skip_sweep:
