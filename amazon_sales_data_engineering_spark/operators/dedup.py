@@ -150,17 +150,26 @@ def winnow_fingerprints(
     replays. Docs shorter than k words produce no fingerprints; with
     fewer than w hashes the single short window selects its min.
     Output: (id, pos, h), pos = 1-based k-gram position."""
-    nrm = normalized_text(F.col(text_col))
-    ws = F.split(nrm, " ")
+    # Tokenization materialized behind projection boundaries: `ws`
+    # appears INSIDE the k-gram lambda body, where an inline
+    # split(normalize(text)) re-evaluates per gram (no CSE in
+    # interpreted HOF lambdas — the O(doc_len²) class the round-11
+    # sf10 probe caught in passage_windows).
+    pre = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__nrm")
+    ).select(
+        F.col(id_col), F.col("__nrm"), F.split("__nrm", " ").alias("__ws")
+    )
+    ws = F.col("__ws")
     m = F.size(ws) - (k - 1)
     hs = F.when(
-        (F.length(nrm) > 0) & (m >= 1),
+        (F.length("__nrm") > 0) & (m >= 1),
         F.transform(
             F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
             lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = df.select(F.col(id_col), hs.alias("hl"))
+    d = pre.select(F.col(id_col), hs.alias("hl"))
     mh = F.size("hl")
 
     def win(s):
@@ -294,8 +303,18 @@ def salted_exact_dedup(
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Explode distinct k-word shingles of the normalized text.
-    Output: (id_col, shingle). Shingling is a narrow transform (no shuffle)."""
-    toks = F.split(normalized_text(text_col), " ")
+    Output: (id_col, shingle). Shingling is a narrow transform (no shuffle).
+
+    Tokenization is materialized behind a projection boundary before the
+    window lambda — an expensive expression INSIDE a higher-order
+    function's lambda body is re-evaluated interpreted per element (no
+    CSE), which made the inline form O(doc_len²) (round-11 sf10 probe
+    catch; see passage_windows for the full post-mortem)."""
+    base = df.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # sequence(1, x) with x < 1 would produce a *descending* array in Spark,
     # so documents shorter than k tokens get an explicitly empty index list.
@@ -309,7 +328,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        base.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -875,8 +894,23 @@ def passage_windows(
 ) -> DataFrame:
     """ALL overlapping k-token windows of the normalized text — unlike
     ``shingles`` these are NOT deduplicated, because passage mining counts
-    occurrences. Narrow transform (no shuffle). Output: (id_col, passage)."""
-    toks = F.split(normalized_text(text_col), " ")
+    occurrences. Narrow transform (no shuffle). Output: (id_col, passage).
+
+    The tokenization is materialized behind a PROJECTION BOUNDARY before
+    the window lambda (round-11 sf10 probe catch): a higher-order
+    function's lambda is evaluated INTERPRETED with no common-
+    subexpression elimination, so an inline ``split(normalize(text))``
+    re-ran the full-document regex pipeline once per element_at — per
+    window, per token — turning the op O(doc_len²) (invisible at sf0.1,
+    a 25-minute wall at the 100× corpus; thread dumps showed every core
+    inside Lower/RegExpReplace.nullSafeEval). CollapseProject keeps the
+    boundary because the alias is non-trivial and referenced more than
+    once; measured 4.2× on 600-token docs and asymptotically linear."""
+    base = df.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -887,7 +921,7 @@ def passage_windows(
             " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
         ),
     )
-    return df.select(F.col(id_col), F.explode(win).alias("passage"))
+    return base.select(F.col(id_col), F.explode(win).alias("passage"))
 
 
 def repeated_passages(
@@ -1034,7 +1068,14 @@ def suffix_window_hashes(
     front end of the exact-substring dedup pair (suffix_dup_spans /
     suffix_apply_dedup — Lee et al. 2022 arXiv:2107.06499). Docs
     shorter than ``k`` tokens produce no windows. Narrow map-only."""
-    ws = F.split(normalized_text(F.col(text_col)), " ")
+    # tokens behind a projection boundary — `ws` sits INSIDE the window
+    # lambda body, where an inline split(normalize) re-evaluates per
+    # window (round-11 probe catch; see passage_windows)
+    base = df.select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__ws"),
+    )
+    ws = F.col("__ws")
     win = F.when(
         F.size(ws) < k,
         F.array().cast("array<struct<pos:bigint,h:string>>"),
@@ -1048,7 +1089,7 @@ def suffix_window_hashes(
         )
     )
     return (
-        df.select(F.col(id_col), F.explode(win).alias("w"))
+        base.select(F.col(id_col), F.explode(win).alias("w"))
         .select(id_col, "w.pos", "w.h")
     )
 
@@ -1113,7 +1154,14 @@ def suffix_char_window_hashes(
     chars (O(len·k) per doc) — at petabyte scale the same shape runs as
     a rolling/gear hash, which changes only this function's hash
     expression, not the span/apply machinery downstream."""
-    nrm = normalized_text(F.col(text_col))
+    # normalized text behind a projection boundary — `nrm` sits INSIDE
+    # the per-character lambda body, where the inline regex pipeline
+    # re-evaluates once per character position: O(len²) per doc
+    # (round-11 probe catch; see passage_windows)
+    base = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__nrm")
+    )
+    nrm = F.col("__nrm")
     win = F.when(
         F.length(nrm) < k,
         F.array().cast("array<struct<pos:bigint,h:string>>"),
@@ -1127,7 +1175,7 @@ def suffix_char_window_hashes(
         )
     )
     return (
-        df.select(F.col(id_col), F.explode(win).alias("w"))
+        base.select(F.col(id_col), F.explode(win).alias("w"))
         .select(id_col, "w.pos", "w.h")
     )
 

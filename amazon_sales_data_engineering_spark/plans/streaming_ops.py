@@ -160,14 +160,18 @@ class _phase:
         return False
 
 
-def _await_drained(q, timeout_sec: int = 180) -> None:
+def _await_drained(q, timeout_sec: int | None = None) -> None:
     """Await an AvailableNow replay and ASSERT it actually drained
     before the caller reads the result (round-10 ADVICE: on a loaded
     host an undrained replay silently yields a partially built
     index/table — the sweep's oracle would surface it only as a
     confusing value mismatch, and ``bench.py --sf1`` (no oracle) would
     record a green wall number over wrong state). Always stops the
-    query."""
+    query. Default 180s covers sf1 with 4x headroom (measured 45s
+    drain); bigger probe corpora override via
+    $ASDE_STREAM_DRAIN_TIMEOUT — drain work is data-proportional."""
+    if timeout_sec is None:
+        timeout_sec = int(os.environ.get("ASDE_STREAM_DRAIN_TIMEOUT", "180"))
     try:
         drained = q.awaitTermination(timeout_sec)
         assert drained, (

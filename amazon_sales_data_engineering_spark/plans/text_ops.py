@@ -231,8 +231,13 @@ WHERE tc.n_tri >= 3
 def ngram_lm_counts(spark: SparkSession, sf_dir: str):
     from ..functions.text import normalized_text
 
-    d = t_cpu(spark, sf_dir, "documents")
-    toks = F.split(normalized_text("text"), " ")
+    # tokens behind a projection boundary — `toks` sits INSIDE the
+    # trigram lambda body, where an inline split(normalize) re-runs per
+    # trigram (round-11 probe catch; see operators.dedup.passage_windows)
+    d = t_cpu(spark, sf_dir, "documents").select(
+        F.split(normalized_text("text"), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))).otherwise(
         F.array().cast("array<int>")

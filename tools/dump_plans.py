@@ -89,6 +89,10 @@ SHOWCASE = [
     "dedup_suffix_spans_chars",
     "dedup_suffix_apply_chars",
     "text_mojibake_repair",
+    # round-11 additions
+    "dedup_rank_maxjoin_skew",
+    "pipeline_curated_agg_scale",
+    "text_mojibake_repair_deep",
 ]
 
 

@@ -112,6 +112,11 @@ def build_sf1(spark) -> None:
         if tb in SHARED:
             df.write.mode("overwrite").parquet(out)
             continue
+        # spread the SOURCE before the copy explode: small tables arrive
+        # as 1-3 input splits, and the crossJoin's generate work runs at
+        # source parallelism — at PROBE_COPIES=100 a single straggler
+        # task otherwise builds 100x one split's rows alone
+        df = df.repartition(32)
         base = spark.range(COPIES).select(F.col("id").alias("__copy"))
         wide = df.crossJoin(F.broadcast(base))
         if tb == "documents":
@@ -182,7 +187,8 @@ def main() -> int:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory",
+                os.environ.get("PROBE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
