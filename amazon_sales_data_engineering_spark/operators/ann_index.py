@@ -169,9 +169,24 @@ class IVFIndex:
         self, df: DataFrame, cent: DataFrame, out_id: str, n: int,
         id_col: str, vec_col: str,
     ) -> DataFrame:
-        scored = (
+        # Repartition the RAW delta by the output id BEFORE the k-way
+        # scoring (round-11 sf10 probe catch): a streaming micro-batch
+        # arrives as one file = one partition, so the |delta| x k cosine
+        # pass ran on a single core at 100x (40+ min straggler), and the
+        # ranking window's exchange then shipped the k-times-larger
+        # SCORED rows. Keyed on the same column the window partitions
+        # by, this shuffle REPLACES that exchange (HashPartitioning
+        # satisfies the window's ClusteredDistribution) — strictly less
+        # shuffle volume at any scale, full-width scoring.
+        src = (
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
-            .crossJoin(F.broadcast(cent))
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism,
+                F.col(out_id),
+            )
+        )
+        scored = (
+            src.crossJoin(F.broadcast(cent))
             .select(
                 out_id, "v", "centroid_id",
                 cosine(F.col("v"), F.col("centroid_vec")).alias("ccos"),
