@@ -175,6 +175,10 @@ CEILINGS: dict[str, float] = {
     # per-char posexplode + anti-join reassembly: linear work dominates
     # once the corpus outgrows the scheduling floor; 7.31 measured idle
     "dedup_suffix_apply_chars": 11.0,
+    # round-11 additions
+    "dedup_rank_maxjoin_skew": 2.0,  # 1.14 measured idle (window-free W1)
+    "text_mojibake_repair_deep": 2.0,  # 1.15 measured idle (pure map)
+    "pipeline_curated_agg_scale": 2.0,  # 0.68 measured (fixed raw-file input)
 }
 
 
