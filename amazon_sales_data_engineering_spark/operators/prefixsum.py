@@ -96,3 +96,71 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
         .drop("__bucket", "__local_cum", "__offset")
     )
+
+
+def distributed_cummax(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tiebreak: list[str],
+    n_buckets: int = 16,
+    out_col: str = "cummax",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: running MAX of ``value_col`` over the global
+    ascending (order_col, *tiebreak) order, via the same two-phase bucket
+    scan as :func:`distributed_cumsum` (max is associative, so the
+    bucket-offset composition is exact for any fence placement).
+
+    ``inclusive=False`` gives the STRICT prefix (rows strictly earlier in
+    the total order) — the skyline/dominance primitive. The first row of
+    the global order gets NULL (empty prefix); callers needing
+    "strictly smaller order_col" semantics must pass unique order keys
+    (pre-aggregate first), since equal keys are prefix-visible to each
+    other through the tiebreak order.
+    """
+    q = [p / n_buckets for p in range(1, n_buckets)]
+    fences = df.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP "
+                    f"(ORDER BY {order_col})"
+                )
+                for p in q
+            ]
+        ).alias("__fences")
+    )
+    with_b = df.crossJoin(F.broadcast(fences))
+    bucket = F.size(
+        F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
+    ).cast("int")
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(order_col), *tiebreak)
+        .rowsBetween(
+            Window.unboundedPreceding,
+            Window.currentRow if inclusive else -1,
+        )
+    )
+    bucketed = with_b.withColumn("__bucket", bucket).drop("__fences")
+    local = bucketed.withColumn(
+        "__local_max", F.max(F.col(value_col)).over(w_local)
+    )
+    totals = bucketed.groupBy("__bucket").agg(
+        F.max(F.col(value_col)).alias("__btot")
+    )
+    # Offset = max over STRICTLY earlier buckets (n_buckets rows — the
+    # global window here is over the bucket table, not the data), so the
+    # exclusive local frame composes to the exclusive global prefix.
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket", F.max("__btot").over(w_off).alias("__offset")
+    )
+    # greatest() skips NULLs unless all args are NULL — exactly the
+    # empty-prefix semantics both halves need.
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.greatest(F.col("__local_max"), F.col("__offset")))
+        .drop("__bucket", "__local_max", "__offset")
+    )

@@ -3494,3 +3494,158 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str):
             .alias("exact_inter"),
         )
     )
+
+
+@register(
+    "parts_skyline_2d",
+    oracle="""
+WITH sky AS (
+  SELECT p_retailprice AS price, p_size AS size
+  FROM part p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+)
+SELECT price, size, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM sky GROUP BY 1, 2
+""",
+    doc="2-D SKYLINE (Pareto frontier) over parts: cheaper price AND "
+    "larger size are both better; a part survives iff no other part "
+    "weakly dominates it (<= price, >= size, strict somewhere). The "
+    "naive plan is the O(n^2) NOT-EXISTS self-join the oracle runs; "
+    "the engine's plan is the classic sort-scan: collapse to one row "
+    "per distinct price (max size — same-price smaller sizes are "
+    "dominated in-group), then a STRICT prefix-max of size over the "
+    "ascending price order — a price survives iff its best size "
+    "strictly exceeds every cheaper price's best. The prefix-max runs "
+    "on operators.prefixsum.distributed_cummax (percentile-fenced "
+    "buckets + per-bucket window + bucket-offset composition), so "
+    "there is no single-partition window and no pair blowup at any "
+    "row count: cost is one groupBy shuffle on price + one bounded "
+    "window pass — the 100 TB shape, vs the oracle's quadratic one. "
+    "Output is the frontier (price, best size, part count at that "
+    "exact point), small by construction.",
+    tags=("analytics", "skyline", "prefixsum", "window"),
+)
+def parts_skyline_2d(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cummax
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    # One row per price: same-price, smaller-size parts are dominated by
+    # the in-group max (strictly larger size at equal price); count how
+    # many parts sit exactly ON the candidate point.
+    per_price = p.groupBy("price").agg(
+        F.max("size").alias("size"),
+        F.sum(F.when(F.col("size") == F.lit(0), 0).otherwise(0)).alias("__z"),
+    ).drop("__z")
+    at_point = p.groupBy("price", "size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    ranked = distributed_cummax(
+        per_price, order_col="price", value_col="size", tiebreak=[],
+        out_col="prev_best", inclusive=False,
+    )
+    frontier = ranked.filter(
+        F.col("size") > F.coalesce(F.col("prev_best"), F.lit(-1))
+    ).drop("prev_best")
+    return frontier.join(at_point, ["price", "size"]).select(
+        "price", "size", "n_parts"
+    )
+
+
+@register(
+    "regression_theilsen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.priority,
+         CAST(b.rev_cents - a.rev_cents AS HUGEINT) AS dy,
+         CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dx
+  FROM daily a JOIN daily b
+    ON b.priority = a.priority AND b.d > a.d
+),
+slopes AS (
+  SELECT priority,
+         CAST(CASE WHEN dy < 0 THEN -(((-dy) * 1000000) // dx)
+              ELSE (dy * 1000000) // dx END AS BIGINT) AS slope_micro
+  FROM pairs
+)
+SELECT s.priority,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
+        WHERE d.priority = s.priority) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY slope_micro)
+            AS BIGINT) AS theilsen_slope_micro
+FROM slopes s GROUP BY 1
+""",
+    doc="THEIL-SEN robust trend: per order priority, the median of all "
+    "pairwise day-to-day slopes of the daily-revenue series — the "
+    "estimator that shrugs off the outlier days OLS (see "
+    "regression_trend_by_priority) gets dragged by, with a 29.3% "
+    "breakdown point. Exactness end-to-end: revenue in integer cents "
+    "(decimal-exact money sum), slopes as SIGN-SPLIT truncated "
+    "integer micro-units (dy*1e6 div dx routed through "
+    "DECIMAL(38,0)/HUGEINT — truncation-vs-floor never disagrees on "
+    "non-negative operands, the cross-engine '//' trap), and the "
+    "median as PERCENTILE_DISC element selection — no float ever "
+    "crosses an aggregation. Scale shape: the O(n^2) pair stage runs "
+    "over the per-(priority, day) AGGREGATE, whose cardinality is "
+    "bounded by the DATE DOMAIN (~2.4k days) regardless of fact-table "
+    "row count — at 100 TB the quadratic blowup lands on ~3M bounded "
+    "pairs per priority while the unbounded fact table only ever "
+    "passes through one map-side-combinable groupBy.",
+    tags=("analytics", "stats", "regression", "robust"),
+)
+def regression_theilsen_slope(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("priority", "d")
+        .agg(F.sum(F.col("cents").cast("decimal(25,0)")).cast("bigint")
+             .alias("rev_cents"))
+    )
+    a = daily.select(
+        "priority", F.col("d").alias("d_a"), F.col("rev_cents").alias("rev_a")
+    )
+    b = daily.select(
+        "priority", F.col("d").alias("d_b"), F.col("rev_cents").alias("rev_b")
+    )
+    pairs = a.join(b, "priority").filter(F.col("d_b") > F.col("d_a")).select(
+        "priority",
+        (F.col("rev_b") - F.col("rev_a")).cast("decimal(38,0)").alias("dy"),
+        F.datediff(F.col("d_b"), F.col("d_a")).cast("bigint").alias("dx"),
+    )
+    slopes = pairs.select(
+        "priority",
+        F.expr(
+            "CAST(CASE WHEN dy < 0 THEN -(((-dy) * 1000000) DIV dx)"
+            " ELSE (dy * 1000000) DIV dx END AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    n_days = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    med = slopes.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)")
+        .cast("bigint")
+        .alias("theilsen_slope_micro"),
+    )
+    return med.join(F.broadcast(n_days), "priority").select(
+        "priority", "n_days", "n_pairs", "theilsen_slope_micro"
+    )

@@ -640,3 +640,126 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str):
         F.greatest(F.col("n") + z, F.lit(0)).cast("bigint").alias("noisy_n"),
         F.lit(1000).cast("bigint").alias("epsilon_milli"),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS mktsegment,
+         o.o_orderpriority AS sensitive
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT nationkey, mktsegment, sensitive,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM joined GROUP BY 1, 2, 3
+),
+gdist AS (
+  SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS gcnt FROM joined GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM joined),
+sizes AS (
+  SELECT nationkey, mktsegment, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+),
+present AS (
+  SELECT ce.nationkey, ce.mktsegment,
+         SUM(abs(CAST(ce.cnt AS HUGEINT) * t.n_total
+                 - CAST(g.gcnt AS HUGEINT) * s.n)) AS num_present,
+         CAST(SUM(g.gcnt) AS BIGINT) AS gsum_present
+  FROM cells ce
+  JOIN gdist g ON g.sensitive = ce.sensitive
+  JOIN sizes s ON s.nationkey = ce.nationkey AND s.mktsegment = ce.mktsegment
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+)
+SELECT p.nationkey, p.mktsegment, s.n,
+       CAST((p.num_present
+             + CAST(t.n_total - p.gsum_present AS HUGEINT) * s.n) * 1000000
+            // (2 * CAST(s.n AS HUGEINT) * t.n_total) AS BIGINT) AS tvd_ppm,
+       CAST((p.num_present
+             + CAST(t.n_total - p.gsum_present AS HUGEINT) * s.n) * 1000000
+            // (2 * CAST(s.n AS HUGEINT) * t.n_total) AS BIGINT)
+         > 60000 AS violates_t
+FROM present p
+JOIN sizes s ON s.nationkey = p.nationkey AND s.mktsegment = p.mktsegment
+CROSS JOIN tot t
+""",
+    doc="t-closeness audit (Li et al. 2007) — the third leg of the "
+    "privacy-release triad beside privacy_k_anonymity (class size) and "
+    "privacy_l_diversity (distinct sensitive values): a class can be "
+    "large AND diverse yet still leak if its sensitive-value "
+    "DISTRIBUTION deviates from the global one (skewness attack — 95% "
+    "'1-URGENT' in one zip code is a disclosure even with all 5 values "
+    "present). Per quasi-identifier class (nationkey, mktsegment) over "
+    "the joined customer-orders release, the distance between the "
+    "class and global order-priority distributions is the exact total "
+    "variation distance, computed entirely in integer cross-"
+    "multiplication: TVD = sum_v |cnt_v*N - gcnt_v*n| / (2*n*N), with "
+    "sensitive values ABSENT from a class contributing gcnt_v*n via "
+    "the (N - sum present gcnt_v)*n closed form — no dense domain "
+    "join, no floats until never (the result is truncated ppm of "
+    "non-negative integers, so floor==trunc cross-engine). Scale "
+    "shape: two map-side-combinable fact aggregates (QI x v cells, "
+    "global v counts) + broadcast-joined bounded summaries; the "
+    "products route through DECIMAL(38,0)/HUGEINT so row counts to "
+    "~1e15 never overflow. Threshold t = 0.06 (60000 ppm) populates "
+    "both verdict classes at gate scale.",
+    tags=("quality", "privacy", "compliance", "agg"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str):
+    joined = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    cells = joined.groupBy("nationkey", "mktsegment", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    glob = joined.groupBy("sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    tot = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    sizes = cells.groupBy("nationkey", "mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    present = (
+        cells.join(F.broadcast(glob), "sensitive")
+        .join(F.broadcast(sizes), ["nationkey", "mktsegment"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.sum(
+                F.abs(dec("cnt") * dec("n_total") - dec("gcnt") * dec("n"))
+            ).alias("num_present"),
+            F.sum("gcnt").cast("bigint").alias("gsum_present"),
+        )
+    )
+    numer = (
+        F.col("num_present")
+        + (dec("n_total") - dec("gsum_present")) * dec("n")
+    )
+    tvd_ppm = F.expr(
+        "CAST((num_present + (CAST(n_total AS DECIMAL(38,0)) - gsum_present)"
+        " * n) * 1000000"
+        " DIV (2 * CAST(n AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+    )
+    _ = numer
+    return (
+        present.join(F.broadcast(sizes), ["nationkey", "mktsegment"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nationkey", "mktsegment", "n",
+            tvd_ppm.alias("tvd_ppm"),
+            (tvd_ppm > F.lit(60000)).alias("violates_t"),
+        )
+    )
