@@ -39,32 +39,40 @@ def distributed_cumsum(
     orders high-to-low (the Pareto direction)."""
     q = [p / n_buckets for p in range(1, n_buckets)]
     dirn = "DESC" if descending else "ASC"
-    fences = df.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_disc({p}) WITHIN GROUP "
-                    f"(ORDER BY {order_col})"
-                )
-                for p in q
-            ]
-        ).alias("__fences")
-    )
-    cmp: Column
-    with_b = df.crossJoin(F.broadcast(fences))
-    if descending:
-        # bucket 0 = highest values: the count of (ascending) fences >= v
-        # is 0 for the largest v and len(q) for the smallest. Ties with a
-        # fence value compare identically for every duplicate, so equal
-        # keys never split across buckets.
-        cmp = F.size(
-            F.filter(F.col("__fences"), lambda x: x >= F.col(order_col))
-        )
-        bucket = cmp.cast("int")
+    if not q:
+        # n_buckets <= 1: no fences to compute — an agg with ZERO
+        # aggregate children (array() of nothing) produces a plan
+        # Catalyst miscompiles (ATTRIBUTE_NOT_FOUND at execution).
+        # Degenerate single bucket = the plain single-window scan.
+        with_b = df.withColumn("__fences", F.lit(None))
+        bucket = F.lit(0).cast("int")
     else:
-        bucket = F.size(
-            F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
-        ).cast("int")
+        fences = df.agg(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({p}) WITHIN GROUP "
+                        f"(ORDER BY {order_col})"
+                    )
+                    for p in q
+                ]
+            ).alias("__fences")
+        )
+        cmp: Column
+        with_b = df.crossJoin(F.broadcast(fences))
+        if descending:
+            # bucket 0 = highest values: the count of (ascending) fences
+            # >= v is 0 for the largest v and len(q) for the smallest.
+            # Ties with a fence value compare identically for every
+            # duplicate, so equal keys never split across buckets.
+            cmp = F.size(
+                F.filter(F.col("__fences"), lambda x: x >= F.col(order_col))
+            )
+            bucket = cmp.cast("int")
+        else:
+            bucket = F.size(
+                F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
+            ).cast("int")
     dec = F.col(value_col).cast("decimal(28,6)")
     w_local = (
         Window.partitionBy("__bucket")
@@ -120,21 +128,27 @@ def distributed_cummax(
     other through the tiebreak order.
     """
     q = [p / n_buckets for p in range(1, n_buckets)]
-    fences = df.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_disc({p}) WITHIN GROUP "
-                    f"(ORDER BY {order_col})"
-                )
-                for p in q
-            ]
-        ).alias("__fences")
-    )
-    with_b = df.crossJoin(F.broadcast(fences))
-    bucket = F.size(
-        F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
-    ).cast("int")
+    if not q:
+        # Same zero-children-agg trap as distributed_cumsum: degenerate
+        # to one bucket without the fence crossJoin.
+        with_b = df.withColumn("__fences", F.lit(None))
+        bucket = F.lit(0).cast("int")
+    else:
+        fences = df.agg(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({p}) WITHIN GROUP "
+                        f"(ORDER BY {order_col})"
+                    )
+                    for p in q
+                ]
+            ).alias("__fences")
+        )
+        with_b = df.crossJoin(F.broadcast(fences))
+        bucket = F.size(
+            F.filter(F.col("__fences"), lambda x: x < F.col(order_col))
+        ).cast("int")
     w_local = (
         Window.partitionBy("__bucket")
         .orderBy(F.col(order_col), *tiebreak)
