@@ -3560,7 +3560,7 @@ def parts_skyline_2d(spark: SparkSession, sf_dir: str):
 @register(
     "regression_theilsen_slope",
     oracle="""
-WITH daily AS (
+WITH daily AS MATERIALIZED (
   SELECT o_orderpriority AS priority, o_orderdate AS d,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
               AS BIGINT) AS rev_cents

@@ -1547,3 +1547,127 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str):
             "n_matched",
         )
     )
+
+
+@register(
+    "search_sparse_cosine_join",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+                ELSE [] END
+         )) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+),
+tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_docs FROM sh),
+idf AS (
+  SELECT shingle,
+         LEAST(((2 * (tot.d_docs - COUNT(*)) + 1) * 1000)
+               // (2 * COUNT(*) + 1), 300000) AS w
+  FROM sh, tot GROUP BY shingle, tot.d_docs
+  HAVING COUNT(*) <= 50
+),
+posting AS (
+  SELECT sh.doc_id, sh.shingle, idf.w FROM sh JOIN idf USING (shingle)
+),
+norms AS (
+  SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2 FROM posting GROUP BY 1
+),
+num AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(CAST(a.w AS HUGEINT) * a.w) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM posting a
+  JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT n.id_a, n.id_b, n.n_shared,
+       CAST(n.dot AS DECIMAL(38,0)) AS dot,
+       CAST((n.dot * n.dot * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+         AS cos2_ppm
+FROM num n
+JOIN norms na ON na.doc_id = n.id_a
+JOIN norms nb ON nb.doc_id = n.id_b
+ORDER BY cos2_ppm DESC, id_a ASC, id_b ASC
+LIMIT 50
+""",
+    doc="SPARSE-VECTOR cosine similarity join — the lexical complement "
+    "of the dense ANN family: documents as binary idf-weighted "
+    "3-shingle vectors, top-50 most-cosine-similar pairs via "
+    "inverted-index self-join. Exactness: weights are the Robertson "
+    "rational idf in milli (the search_bm25_rational log-free trick), "
+    "CAPPED at 300000 so the score arithmetic is CORPUS-SIZE-"
+    "INDEPENDENT — dot <= doc_len * w_cap^2 ~ 1.3e13 and the ranking "
+    "value (dot^2 * 1e6) div (n2_a * n2_b) stays inside "
+    "DECIMAL(38,0)/HUGEINT at any corpus size (uncapped df=1 idf "
+    "grows with D and overflows the square at ~5e7 docs). Binary tf "
+    "(distinct shingles) keeps w_a = w_b per matched feature, so the "
+    "dot product is a sum of idf^2 — one self-join + one aggregate. "
+    "Scale shape: the feature space is PRUNED to shingles with "
+    "df <= 50 (stop-shingle removal, consistently applied to norms "
+    "AND dots, so the score is exactly cosine in the pruned space) — "
+    "per-shingle join fan-out is bounded by 50*49/2 pairs, making "
+    "candidate volume linear in corpus size; ranking ties at equal "
+    "truncated ppm break on (id_a, id_b); top-50 plans as "
+    "TakeOrderedAndProject, never a global sort.",
+    tags=("text", "search", "similarity", "join", "topk"),
+)
+def search_sparse_cosine_join(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import shingles
+
+    d = t_cpu(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", k=3)
+    tot = sh.agg(F.countDistinct("doc_id").cast("bigint").alias("d_docs"))
+    idf = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            F.expr(
+                "LEAST(((2 * (d_docs - df) + 1) * 1000) DIV (2 * df + 1),"
+                " 300000)"
+            ).alias("w"),
+        )
+    )
+    posting = sh.join(idf.hint("shuffle_hash"), "shingle")
+    norms = posting.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(19,0)") * F.col("w"))
+        .cast("decimal(38,0)")
+        .alias("n2")
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("w").alias("w_a")
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("w").alias("w_b")
+    )
+    num = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("w_a").cast("decimal(19,0)") * F.col("w_b"))
+            .cast("decimal(38,0)")
+            .alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    scored = (
+        num.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.col("dot").cast("decimal(38,0)").alias("dot"),
+            F.expr("CAST((dot * dot * 1000000) DIV (n2_a * n2_b) AS BIGINT)")
+            .alias("cos2_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cos2_ppm").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(50)
