@@ -2438,3 +2438,166 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("distortion_milli"),
     )
+
+
+@register(
+    "embedding_covariance_pairs",
+    oracle="""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+sums AS (
+  SELECT dim, SUM(CAST(v AS HUGEINT)) AS s,
+         SUM(CAST(v AS HUGEINT) * v) AS s2
+  FROM ex GROUP BY 1
+),
+pair_s AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         SUM(CAST(a.v AS HUGEINT) * b.v) AS sij
+  FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.dim > a.dim
+  GROUP BY 1, 2
+),
+scaled AS (
+  SELECT p.dim_i, p.dim_j,
+         n.n * p.sij - si.s * sj.s AS cov_scaled,
+         n.n * si.s2 - si.s * si.s AS var_scaled_i,
+         n.n * sj.s2 - sj.s * sj.s AS var_scaled_j
+  FROM pair_s p
+  JOIN sums si ON si.dim = p.dim_i
+  JOIN sums sj ON sj.dim = p.dim_j
+  CROSS JOIN n
+),
+fp AS (
+  SELECT dim_i, dim_j,
+         CAST(CASE WHEN cov_scaled < 0
+              THEN -((-cov_scaled) // (n.n * n.n))
+              ELSE cov_scaled // (n.n * n.n) END AS BIGINT) AS cov_fp,
+         CAST(var_scaled_i // (n.n * n.n) AS BIGINT) AS var_fp_i,
+         CAST(var_scaled_j // (n.n * n.n) AS BIGINT) AS var_fp_j
+  FROM scaled CROSS JOIN n
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       cov_fp,
+       CAST((CAST(abs(cov_fp) AS HUGEINT) * abs(cov_fp) * 1000000)
+            // NULLIF(CAST(var_fp_i AS HUGEINT) * var_fp_j, 0) AS BIGINT)
+         AS corr2_ppm
+FROM fp
+ORDER BY abs(cov_fp) DESC, dim_i ASC, dim_j ASC
+LIMIT 20
+""",
+    doc="PAIRWISE feature covariance — the one-pass sufficient-"
+    "statistics pattern behind PCA/whitening/feature-selection at "
+    "100 TB (embedding_power_iteration deliberately never materializes "
+    "the Gram matrix; this op materializes exactly the d(d-1)/2 "
+    "BOUNDED cells, top-20 by |cov|): uncentered sums S_i, S_ii and "
+    "pairwise S_ij accumulate map-side into a fixed 64+2016-cell "
+    "output regardless of row count, then cov_scaled = n*S_ij - "
+    "S_i*S_j exactly in DECIMAL(38,0)/HUGEINT. The per-row pair "
+    "products are generated IN-ROW by a nested higher-order transform "
+    "over the (projection-boundary-materialized — the round-11 sf10 "
+    "CSE lesson) quantized vector, so there is NO self-join on the "
+    "Spark side; the oracle uses the equivalent per-vec_id join. "
+    "Determinism: fixed-point quantization floor(x*1e6), sign-split "
+    "floor division by n^2 back to 1e-12-unit covariance (BIGINT, "
+    "scale-independent), and corr^2 in ppm from already-normalized "
+    "fixed-point pieces so no intermediate ever exceeds 1e30 at any "
+    "corpus size. Ties rank deterministically on (|cov| desc, i, j).",
+    tags=("similarity", "embedding", "stats", "agg"),
+)
+def embedding_covariance_pairs(spark: SparkSession, sf_dir: str):
+    e = t_cpu(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("q")
+    )
+    n = e.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    d = F.size(F.col("q"))
+    # Per-dim sums/squares: one posexplode pass, fixed 64-row output.
+    ex = base.select(F.posexplode("q").alias("dim", "v"))
+    sums = ex.groupBy("dim").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).cast(
+            "decimal(38,0)"
+        ).alias("s2"),
+    )
+    # In-row upper-triangle products (no self-join): 2016 structs per
+    # row, exploded straight into a map-side-combinable aggregate.
+    pairs = base.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), d - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, d),
+                        lambda j: F.struct(
+                            (i - 1).cast("int").alias("dim_i"),
+                            (j - 1).cast("int").alias("dim_j"),
+                            (
+                                F.element_at(F.col("q"), i).cast("decimal(19,0)")
+                                * F.element_at(F.col("q"), j)
+                            ).alias("prod"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.prod")
+    pair_s = pairs.groupBy("dim_i", "dim_j").agg(
+        F.sum("prod").cast("decimal(38,0)").alias("sij")
+    )
+    si = sums.select(
+        F.col("dim").alias("dim_i"), F.col("s").alias("s_i"),
+        F.col("s2").alias("s2_i"),
+    )
+    sj = sums.select(
+        F.col("dim").alias("dim_j"), F.col("s").alias("s_j"),
+        F.col("s2").alias("s2_j"),
+    )
+    scaled = (
+        pair_s.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim_i", "dim_j",
+            (F.col("n") * F.col("sij") - F.col("s_i") * F.col("s_j"))
+            .alias("cov_scaled"),
+            (F.col("n") * F.col("s2_i") - F.col("s_i") * F.col("s_i"))
+            .alias("var_scaled_i"),
+            (F.col("n") * F.col("s2_j") - F.col("s_j") * F.col("s_j"))
+            .alias("var_scaled_j"),
+            "n",
+        )
+    )
+    fp = scaled.select(
+        "dim_i", "dim_j",
+        F.expr(
+            "CAST(CASE WHEN cov_scaled < 0"
+            " THEN -((-cov_scaled) DIV (n * n))"
+            " ELSE cov_scaled DIV (n * n) END AS BIGINT)"
+        ).alias("cov_fp"),
+        F.expr("CAST(var_scaled_i DIV (n * n) AS BIGINT)").alias("var_fp_i"),
+        F.expr("CAST(var_scaled_j DIV (n * n) AS BIGINT)").alias("var_fp_j"),
+    )
+    out = fp.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        "cov_fp",
+        F.expr(
+            "CAST((CAST(abs(cov_fp) AS DECIMAL(19,0)) * abs(cov_fp)"
+            " * 1000000)"
+            " DIV NULLIF(CAST(var_fp_i AS DECIMAL(19,0)) * var_fp_j, 0)"
+            " AS BIGINT)"
+        ).alias("corr2_ppm"),
+    )
+    return out.orderBy(
+        F.abs(F.col("cov_fp")).desc(), F.col("dim_i"), F.col("dim_j")
+    ).limit(20)
