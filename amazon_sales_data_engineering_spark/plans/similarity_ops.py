@@ -2601,3 +2601,126 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str):
     return out.orderBy(
         F.abs(F.col("cov_fp")).desc(), F.col("dim_i"), F.col("dim_j")
     ).limit(20)
+
+
+@register(
+    "dbscan_grid_clusters",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 20.0) AS BIGINT) AS cx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 20.0) AS BIGINT) AS cy
+  FROM embeddings
+),
+cells AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+core AS (
+  SELECT cx, cy, n, (cx + 100) * 201 + (cy + 100) AS cell
+  FROM cells WHERE n >= 5
+),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach AS (
+  WITH RECURSIVE r AS (
+    SELECT cell AS src, cell AS dst FROM core
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON e.src = r.dst
+  )
+  SELECT src, MIN(dst) AS label FROM r GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.n) AS BIGINT) AS n_points
+FROM reach JOIN core c ON c.cell = reach.src
+GROUP BY 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n) AS BIGINT)
+FROM cells WHERE n < 5 HAVING COUNT(*) > 0
+""",
+    doc="Grid-cell DBSCAN — density clustering done Spark-first (the "
+    "density complement of kmeans_two_rounds): embeddings projected to "
+    "dims (0,1), quantized to a fixed grid (floor(x*20), one multiply "
+    "+ floor, bit-identical cross-engine), CORE cells = count >= "
+    "minPts(5), clusters = connected components of the 8-neighborhood "
+    "core-cell graph, everything else = noise (cluster -1). This is "
+    "the cell-based GriDBSCAN decomposition: the unbounded point set "
+    "only ever passes one map-side-combinable groupBy (points -> cell "
+    "counts); all graph work happens on the BOUNDED cell table (the "
+    "grid domain caps it at ~40k cells regardless of row count). "
+    "Adjacency is an EQUI-join — each core cell explodes its 9 "
+    "neighbor keys and hash-joins back on the encoded cell id — not "
+    "the O(cells^2) inequality join the oracle can afford on the tiny "
+    "domain; components via operators.graph.connected_components "
+    "(pointer-doubling min-label, the dedup CC machinery), whose "
+    "min-reachable-id label exactly matches the oracle's reachability "
+    "closure MIN. Cluster rows: (min cell id, n_cells, n_points).",
+    tags=("similarity", "embedding", "clustering", "graph", "iterative"),
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components
+
+    e = t_cpu(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * F.lit(20.0))
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") * F.lit(20.0))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cell_id = (F.col("cx") + 100) * 201 + (F.col("cy") + 100)
+    core = cells.filter(F.col("n") >= 5).withColumn("cell", cell_id)
+    # 9 neighbor keys per core cell (incl. self), equi-joined back
+    # against the core set: edges exist only between core cells.
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = core.select(
+        F.col("cell").alias("src"), "cx", "cy",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "src",
+        ((F.col("cx") + F.col("o.dx") + 100) * 201
+         + (F.col("cy") + F.col("o.dy") + 100)).alias("dst"),
+    )
+    targets = core.select(F.col("cell").alias("dst"))
+    edges = probes.join(targets.hint("shuffle_hash"), "dst").select(
+        "src", "dst"
+    )
+    comp = connected_components(edges, src="src", dst="dst")
+    clusters = (
+        core.join(
+            comp.withColumnRenamed("node", "cell"), "cell"
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("cluster_id"),
+            "n_cells", "n_points",
+        )
+    )
+    noise = (
+        cells.filter(F.col("n") < 5)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .filter(F.col("n_cells") > 0)
+        .select(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            "n_cells", "n_points",
+        )
+    )
+    return clusters.unionByName(noise)
