@@ -23,6 +23,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     rules_ops,
     scalar_ops,
     similarity_ops,
+    stats_ops,
     streaming_ops,
     subquery_ops,
     temporal_ops,

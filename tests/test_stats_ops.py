@@ -1,0 +1,123 @@
+"""Differential tests for plans.stats_ops: brute-force Python
+recomputation of each statistic from the raw sf0.001 parquet, compared
+against the registered distributed query — independent of the DuckDB
+oracle (which the sweep covers), so a shared SQL-formulation mistake
+cannot pass both gates.
+"""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from amazon_sales_data_engineering_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders_pd():
+    return pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+
+
+def _two_sample(orders_pd):
+    a = sorted(
+        float(p)
+        for p in orders_pd.loc[
+            orders_pd.o_orderpriority == "1-URGENT", "o_totalprice"
+        ]
+    )
+    b = sorted(
+        float(p)
+        for p in orders_pd.loc[
+            orders_pd.o_orderpriority == "5-LOW", "o_totalprice"
+        ]
+    )
+    return a, b
+
+
+def test_ks_matches_bruteforce(spark, orders_pd):
+    a, b = _two_sample(orders_pd)
+    n_a, n_b = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    ca = cb = ia = ib = 0
+    d_num = 0
+    for v in values:
+        while ia < n_a and a[ia] <= v:
+            ia += 1
+        while ib < n_b and b[ib] <= v:
+            ib += 1
+        d_num = max(d_num, abs(ia * n_b - ib * n_a))
+        ca, cb = ia, ib
+    row = REGISTRY["stats_ks_two_sample"].spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (n_a, n_b, d_num)
+    assert r["ks_d"] == d_num / (n_a * n_b)
+
+
+def test_mwu_matches_bruteforce_and_identity(spark, orders_pd):
+    a, b = _two_sample(orders_pd)
+    n_a, n_b = len(a), len(b)
+    cnt_b = collections.Counter(b)
+    # U2_a = sum over a-values of (2 * #b strictly less + #b tied)
+    b_sorted = sorted(cnt_b)
+    u2_a = 0
+    for x in a:
+        less = sum(c for v, c in cnt_b.items() if v < x)
+        u2_a += 2 * less + cnt_b.get(x, 0)
+    row = REGISTRY["stats_mannwhitney_u"].spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["u2_a"] == u2_a
+    assert r["u2_a"] + r["u2_b"] == 2 * n_a * n_b
+    del b_sorted
+
+
+def test_kaplan_meier_matches_bruteforce(spark, orders_pd):
+    df = orders_pd[["o_custkey", "o_orderdate"]].copy()
+    df["d"] = df["o_orderdate"].astype("datetime64[ns]").dt.date
+    maxd = df["d"].max()
+    durs = []
+    for _cust, g in df.groupby("o_custkey"):
+        ds = sorted(g["d"])
+        fd = ds[0]
+        nxt = next((x for x in ds if x > fd), None)
+        if nxt is None:
+            durs.append(((maxd - fd).days, 0))
+        else:
+            durs.append(((nxt - fd).days, 1))
+    n = len(durs)
+    km = collections.defaultdict(lambda: [0, 0])
+    for dur, ev in durs:
+        km[dur][0] += ev
+        km[dur][1] += 1 - ev
+    expected = {}
+    at_risk = n
+    surv = 1.0
+    for t in sorted(km):
+        d_ev, c_cen = km[t]
+        surv = surv * ((at_risk - d_ev) / at_risk)
+        expected[t] = (at_risk, d_ev, c_cen, surv)
+        at_risk -= d_ev + c_cen
+    rows = REGISTRY["survival_kaplan_meier"].spark_fn(spark, SF_DIR).collect()
+    got = {
+        r["dur"]: (r["n_risk"], r["d_events"], r["c_censored"], r["survival"])
+        for r in rows
+    }
+    assert set(got) == set(expected)
+    for t, (nr, d_ev, c_cen, s) in expected.items():
+        gnr, gd, gc, gs = got[t]
+        assert (gnr, gd, gc) == (nr, d_ev, c_cen), t
+        # same left-fold association order -> bit-identical product
+        assert gs == pytest.approx(s, abs=0, rel=1e-12), t
+        assert 0.0 <= gs <= 1.0
+    # survival is non-increasing over time
+    times = sorted(got)
+    for t0, t1 in zip(times, times[1:]):
+        assert got[t1][3] <= got[t0][3] + 1e-15
+    assert not math.isnan(rows[0]["survival"])
