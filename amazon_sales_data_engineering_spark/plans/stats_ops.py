@@ -342,3 +342,198 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str):
             surv.alias("survival"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^32: floor(CDF(k) * 2^32)
+# for k = 0..8 (weight 9 beyond — P(X > 8) < 1.2e-6). Identical integer
+# literals on both sides, so the replicate weights are EXACT integer
+# comparisons, never a float draw.
+_POISSON_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+_N_REPS = 64
+
+_U32_SQL = (
+    "(((((o_orderkey % 2147483648) + rep * 1315423911) % 2147483648)"
+    " * 2654435761) % 4294967296)"
+)
+_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_U32_SQL} < {t} THEN {k}" for k, t in enumerate(_POISSON_T)
+    )
+    + " ELSE 9 END"
+)
+
+
+@register(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (
+  SELECT CAST(unnest(range(1, {_N_REPS + 1})) AS BIGINT) AS rep
+), base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+  FROM orders
+), weighted AS (
+  SELECT rep, cents, CAST({_W_SQL} AS BIGINT) AS w
+  FROM base CROSS JOIN reps
+)
+SELECT rep,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * cents) AS BIGINT) AS wsum_cents,
+       CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS est_cents
+FROM weighted
+GROUP BY rep
+""",
+    doc="Poisson bootstrap of the mean order value: the one-pass, "
+    "shuffle-light bootstrap for data too large to resample by index — "
+    "each row receives an independent Poisson(1) replicate weight, so "
+    "a replicate is a weighted aggregate instead of a materialized "
+    "resample (the standard approach for web-scale CIs). Weights are "
+    "DETERMINISTIC: a two-round Knuth multiplicative hash of "
+    "(o_orderkey, rep) inverted through the exact integer Poisson-CDF "
+    "ladder (_POISSON_T) — no rand(), so task retries, speculation, "
+    "and both engines draw the identical weights. Output: one row per "
+    "replicate with the exact integer weighted sums and the estimate "
+    "(a single division — deterministic); CI = quantiles of est_cents "
+    "downstream. Shape: a 64-way row explosion feeding ONE "
+    "map-side-combinable groupBy(rep) — partial aggregation collapses "
+    "each partition to 64 rows before the shuffle, so the network cost "
+    "is replicas x partitions regardless of fact rows; CPU scales with "
+    "the replicate count, the knob you set. Integer headroom: "
+    "SUM(w*cents) <= 9 * 1e7 * rows — widen to DECIMAL past ~1e10 "
+    "rows per replicate.",
+    tags=("stats", "inference", "sampling"),
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    weighted = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(_N_REPS).cast("bigint"))
+        ).alias("rep"),
+    ).withColumn("w", F.expr(_W_SQL).cast("bigint"))
+    return (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents"))
+            .cast("bigint")
+            .alias("wsum_cents"),
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+            ).alias("est_cents"),
+        )
+        .select("rep", "n_eff", "wsum_cents", "est_cents")
+    )
+
+
+# Shared exact-moment fragment for the 2-feature OLS: y = extendedprice
+# cents, x1 = quantity (integral 1..50), x2 = discount in percent points
+# (integral 0..10). Every moment is an exact BIGINT sum; each leaves the
+# integer domain once through the (correctly-rounded-in-both-engines)
+# bigint -> double cast, then Cramer's rule runs as ONE fixed
+# parenthesization of IEEE ops written identically on both sides.
+_OLS_DETA = (
+    "(n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)"
+    " + sx2 * (sx1 * sx12 - sx11 * sx2))"
+)
+_OLS_DET0 = (
+    "(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y)"
+    " + sx2 * (sx1y * sx12 - sx11 * sx2y))"
+)
+_OLS_DET1 = (
+    "(n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)"
+    " + sx2 * (sx1 * sx2y - sx1y * sx2))"
+)
+_OLS_DET2 = (
+    "(n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2)"
+    " + sy * (sx1 * sx12 - sx11 * sx2))"
+)
+
+
+@register(
+    "regression_ols_normal_eq",
+    oracle=f"""
+WITH pts AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,6)) * 100 AS BIGINT) AS x2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1,
+         CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS sx2y,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM pts GROUP BY 1
+)
+SELECT returnflag, n_rows,
+       {_OLS_DET0} / {_OLS_DETA} AS intercept_cents,
+       {_OLS_DET1} / {_OLS_DETA} AS beta_qty_cents,
+       {_OLS_DET2} / {_OLS_DETA} AS beta_disc_cents
+FROM m
+""",
+    doc="Multiple linear regression (2 features + intercept) fitted in "
+    "closed form from the normal equations, per return flag: "
+    "extendedprice_cents ~ quantity + discount_pct. The distributed "
+    "part is ONE map-side-combinable aggregate collecting the 9 exact "
+    "integer moments (the X'X / X'y sufficient statistics — the "
+    "pattern every data-parallel linear model reduces to); the 3x3 "
+    "Cramer solve is a fixed IEEE expression tree over the "
+    "bigint->double casts of those exact sums, written identically in "
+    "both engines (the regression_trend_by_priority discipline "
+    "extended to multivariate — built-in regr_* aggregates are "
+    "partition-order-dependent and not gate-comparable). Integer "
+    "headroom at sf1: sx1y <= 50 * 1e7 * 6e7 = 3e16 < 2^63; a 100 TB "
+    "deployment widens the moment sums to DECIMAL(38,0) (same string "
+    "route as the trend op). Scale shape: zero joins, zero windows, "
+    "one shuffle of 9 numbers per group.",
+    tags=("stats", "ml", "agg"),
+)
+def regression_ols_normal_eq(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = li.groupBy("returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return m.select(
+        "returnflag",
+        "n_rows",
+        F.expr(f"{_OLS_DET0} / {_OLS_DETA}").alias("intercept_cents"),
+        F.expr(f"{_OLS_DET1} / {_OLS_DETA}").alias("beta_qty_cents"),
+        F.expr(f"{_OLS_DET2} / {_OLS_DETA}").alias("beta_disc_cents"),
+    )

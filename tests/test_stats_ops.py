@@ -121,3 +121,70 @@ def test_kaplan_meier_matches_bruteforce(spark, orders_pd):
     for t0, t1 in zip(times, times[1:]):
         assert got[t1][3] <= got[t0][3] + 1e-15
     assert not math.isnan(rows[0]["survival"])
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount",
+                 "l_extendedprice"],
+    ).to_pandas()
+    rows = REGISTRY["regression_ols_normal_eq"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    assert {r["returnflag"] for r in rows} == set(li.l_returnflag.unique())
+    for r in rows:
+        g = li[li.l_returnflag == r["returnflag"]]
+        x1 = g.l_quantity.round().astype("int64").to_numpy()
+        x2 = (g.l_discount * 100).round().astype("int64").to_numpy()
+        y = (g.l_extendedprice * 100).round().astype("int64").to_numpy()
+        X = np.column_stack([np.ones_like(x1), x1, x2]).astype(float)
+        beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+        assert r["n_rows"] == len(g)
+        assert r["intercept_cents"] == pytest.approx(beta[0], rel=1e-6)
+        assert r["beta_qty_cents"] == pytest.approx(beta[1], rel=1e-6)
+        assert r["beta_disc_cents"] == pytest.approx(beta[2], rel=1e-6)
+
+
+def test_poisson_bootstrap_weights_reproducible(spark, orders_pd):
+    from amazon_sales_data_engineering_spark.plans.stats_ops import (
+        _N_REPS,
+        _POISSON_T,
+    )
+
+    keys = orders_pd.o_orderkey.astype("int64").tolist()
+    cents = (
+        (orders_pd.o_totalprice * 100).round().astype("int64").tolist()
+    )
+
+    def weight(okey: int, rep: int) -> int:
+        u = ((((okey % 2147483648) + rep * 1315423911) % 2147483648)
+             * 2654435761) % 4294967296
+        for k, thr in enumerate(_POISSON_T):
+            if u < thr:
+                return k
+        return 9
+
+    expected = {}
+    for rep in (1, 7, _N_REPS):
+        ws = [weight(k, rep) for k in keys]
+        n_eff = sum(ws)
+        wsum = sum(w * c for w, c in zip(ws, cents))
+        expected[rep] = (n_eff, wsum, wsum / n_eff)
+
+    rows = REGISTRY["stats_poisson_bootstrap"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == _N_REPS
+    got = {r["rep"]: (r["n_eff"], r["wsum_cents"], r["est_cents"])
+           for r in rows}
+    for rep, (n_eff, wsum, est) in expected.items():
+        assert got[rep][0] == n_eff, rep
+        assert got[rep][1] == wsum, rep
+        assert got[rep][2] == est, rep
+    # replicate means bracket the plain mean (sanity, not a tight CI)
+    plain = sum(cents) / len(cents)
+    ests = sorted(v[2] for v in got.values())
+    assert ests[0] < plain < ests[-1]
