@@ -537,3 +537,349 @@ def regression_ols_normal_eq(spark: SparkSession, sf_dir: str):
         F.expr(f"{_OLS_DET1} / {_OLS_DETA}").alias("beta_qty_cents"),
         F.expr(f"{_OLS_DET2} / {_OLS_DETA}").alias("beta_disc_cents"),
     )
+
+
+def _u32_sql(key_sql: str, rep_sql: str, addend: int, mult: int) -> str:
+    """Portable 32-bit uniform hash of (key, rep): two-round Knuth
+    multiplicative mix in pure int64 arithmetic (every intermediate
+    < 2^63, so Spark and DuckDB — which ERRORS on int64 overflow rather
+    than wrapping — evaluate it identically)."""
+    return (
+        f"((((({key_sql} % 2147483648) + {rep_sql} * {addend})"
+        f" % 2147483648) * {mult}) % 4294967296)"
+    )
+
+
+_PERM_REPS = 128
+# Distinct mixing constants from the bootstrap ladder so the two
+# resampling ops draw independent streams.
+_PERM_U32 = _u32_sql("o_orderkey", "rep", 2654435761, 2246822519)
+
+_PERM_CORE = f"""
+base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '{_GRP_A}' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')
+), obs AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b,
+         CAST(SUM(ia * cents) AS BIGINT) AS s_a,
+         CAST(SUM((1 - ia) * cents) AS BIGINT) AS s_b
+  FROM base
+), reps AS (
+  SELECT CAST(unnest(range(1, {_PERM_REPS + 1})) AS BIGINT) AS rep
+), flips AS (
+  SELECT rep,
+         CASE WHEN {_PERM_U32} < (o.n_a * 4294967296) // (o.n_a + o.n_b)
+              THEN 1 ELSE 0 END AS pa,
+         cents
+  FROM base CROSS JOIN reps CROSS JOIN obs o
+), perm AS (
+  SELECT rep,
+         CAST(SUM(pa) AS BIGINT) AS na_p,
+         CAST(COUNT(*) - SUM(pa) AS BIGINT) AS nb_p,
+         CAST(SUM(pa * cents) AS BIGINT) AS sa_p,
+         CAST(SUM((1 - pa) * cents) AS BIGINT) AS sb_p
+  FROM flips GROUP BY rep
+)
+"""
+
+_T_OBS = "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+_T_PERM = "(CAST(sa_p AS DOUBLE) / na_p - CAST(sb_p AS DOUBLE) / nb_p)"
+
+
+@register(
+    "stats_permutation_test",
+    oracle=f"""
+WITH {_PERM_CORE}
+SELECT n_a, n_b,
+       {_T_OBS} AS t_obs,
+       CAST({_PERM_REPS} AS BIGINT) AS n_reps,
+       CAST(SUM(CASE WHEN ABS({_T_PERM}) >= ABS({_T_OBS})
+                THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
+       CAST(SUM(CASE WHEN ABS({_T_PERM}) >= ABS({_T_OBS})
+                THEN 1 ELSE 0 END) AS DOUBLE) / {_PERM_REPS} AS p_value
+FROM perm CROSS JOIN obs
+GROUP BY n_a, n_b, s_a, s_b
+""",
+    doc="Monte-Carlo randomization test for the URGENT-vs-LOW difference "
+    "in mean order value: 128 label reassignments, each row "
+    "re-labelled group-a with probability n_a/(n_a+n_b) by a "
+    "DETERMINISTIC Knuth hash of (o_orderkey, rep) against the exact "
+    "integer threshold (n_a * 2^32) DIV (n_a + n_b) — the "
+    "Bernoulli-randomization variant of the permutation test (exact "
+    "fixed-margin permutation needs a global shuffle per replicate; "
+    "the Bernoulli form is the one-pass, scale-friendly standard and "
+    "is asymptotically equivalent). Every per-replicate statistic is "
+    "a fixed tree of two divisions over exact integer sums, so the "
+    "|T_perm| >= |T_obs| comparisons are bit-deterministic in both "
+    "engines. Shape: one 128-way explosion into ONE "
+    "map-side-combinable groupBy(rep) (4 numbers per replicate cross "
+    "the shuffle), then a 128-row final fold.",
+    tags=("stats", "inference", "sampling"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_GRP_A, _GRP_B)
+    )
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderpriority") == _GRP_A, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ia"),
+    )
+    obs = F.broadcast(
+        base.agg(
+            F.sum("ia").cast("bigint").alias("n_a"),
+            (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("n_b"),
+            F.sum(F.col("ia") * F.col("cents"))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum((F.lit(1) - F.col("ia")) * F.col("cents"))
+            .cast("bigint")
+            .alias("s_b"),
+        )
+    )
+    flips = (
+        base.select(
+            "o_orderkey",
+            "cents",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.lit(_PERM_REPS).cast("bigint")
+                )
+            ).alias("rep"),
+        )
+        .crossJoin(obs)
+        .withColumn(
+            "pa",
+            F.expr(
+                f"CASE WHEN {_PERM_U32} <"
+                " (n_a * 4294967296) DIV (n_a + n_b)"
+                " THEN 1 ELSE 0 END"
+            ).cast("bigint"),
+        )
+    )
+    perm = flips.groupBy("rep", "n_a", "n_b", "s_a", "s_b").agg(
+        F.sum("pa").cast("bigint").alias("na_p"),
+        (F.count(F.lit(1)) - F.sum("pa")).cast("bigint").alias("nb_p"),
+        F.sum(F.col("pa") * F.col("cents")).cast("bigint").alias("sa_p"),
+        F.sum((F.lit(1) - F.col("pa")) * F.col("cents"))
+        .cast("bigint")
+        .alias("sb_p"),
+    )
+    extreme = F.expr(
+        f"CASE WHEN ABS({_T_PERM}) >= ABS({_T_OBS}) THEN 1 ELSE 0 END"
+    )
+    return perm.groupBy("n_a", "n_b", "s_a", "s_b").agg(
+        F.sum(extreme).cast("bigint").alias("p_num"),
+        (F.sum(extreme).cast("double") / F.lit(_PERM_REPS)).alias("p_value"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.expr(_T_OBS).alias("t_obs"),
+        F.lit(_PERM_REPS).cast("bigint").alias("n_reps"),
+        "p_num",
+        "p_value",
+    )
+
+
+@register(
+    "events_stl_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), ma AS (
+  SELECT d, c,
+         CAST(SUM(c) OVER w AS BIGINT) AS t7,
+         CAST(COUNT(*) OVER w AS BIGINT) AS nw
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), full7 AS (
+  SELECT d, c, t7, CAST(isodow(d) AS BIGINT) AS wd,
+         7 * c - t7 AS detr7
+  FROM ma WHERE nw = 7
+), seas AS (
+  SELECT wd,
+         CAST(SUM(detr7) AS BIGINT) AS s_num,
+         CAST(7 * COUNT(*) AS BIGINT) AS s_den
+  FROM full7 GROUP BY 1
+)
+SELECT f.d, f.c,
+       CAST(f.t7 AS DOUBLE) / 7 AS trend,
+       CAST(s.s_num AS DOUBLE) / s.s_den AS seasonal,
+       CAST(f.c AS DOUBLE) - CAST(f.t7 AS DOUBLE) / 7
+         - CAST(s.s_num AS DOUBLE) / s.s_den AS residual
+FROM full7 f JOIN seas s ON s.wd = f.wd
+""",
+    doc="Additive seasonal-trend decomposition of the daily event count "
+    "(STL-lite): trend = centered 7-day moving average (full windows "
+    "only), weekly seasonal = per-ISO-weekday mean of the detrended "
+    "series, residual = observed - trend - seasonal. Determinism: the "
+    "detrended values are kept INTEGRAL by scaling through the window "
+    "width (detr7 = 7*c - sum7), so the per-weekday seasonal mean is "
+    "an exact-bigint ratio and trend/seasonal/residual each leave the "
+    "integer domain through one fixed IEEE expression mirrored "
+    "verbatim (no double ever crosses an aggregation). Scale shape: "
+    "the fact table collapses through one map-side-combinable "
+    "groupBy(date) to a DATE-DOMAIN-bounded daily series (~2.5k rows "
+    "at any corpus size), where the sliding window and the 7-row "
+    "seasonal join are O(domain), not O(rows). Weekday via "
+    "Spark weekday()+1 == DuckDB isodow (Mon=1) — dayofweek() "
+    "disagrees between the engines.",
+    tags=("stats", "timeseries", "events"),
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # Centered 7-day frame over the bounded daily series (~2.5k rows at
+    # any corpus size — see docstring); sliding ROWS frame, O(domain).
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("t7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nw"),
+    )
+    full7 = ma.filter(F.col("nw") == 7).select(
+        "d",
+        "c",
+        "t7",
+        (F.weekday("d") + 1).cast("bigint").alias("wd"),
+        (F.lit(7) * F.col("c") - F.col("t7")).alias("detr7"),
+    )
+    seas = full7.groupBy("wd").agg(
+        F.sum("detr7").cast("bigint").alias("s_num"),
+        (F.lit(7) * F.count(F.lit(1))).cast("bigint").alias("s_den"),
+    )
+    trend = F.col("t7").cast("double") / F.lit(7)
+    seasonal = F.col("s_num").cast("double") / F.col("s_den")
+    return full7.join(F.broadcast(seas), "wd").select(
+        "d",
+        "c",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("c").cast("double") - trend - seasonal).alias("residual"),
+    )
+
+
+_CAL_U32 = _u32_sql("o_orderkey", "1", 1103515245, 2654435761)
+
+
+@register(
+    "conformal_split_coverage",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+         CASE WHEN {_CAL_U32} % 2 = 0 THEN 1 ELSE 0 END AS is_cal
+  FROM orders
+), mu AS (
+  SELECT priority,
+         CAST(SUM(cents) AS BIGINT) AS s_cal,
+         CAST(COUNT(*) AS BIGINT) AS n_calib
+  FROM base WHERE is_cal = 1 GROUP BY 1
+), resid AS (
+  SELECT b.priority, b.is_cal,
+         ABS(CAST(b.cents AS DOUBLE)
+             - CAST(m.s_cal AS DOUBLE) / m.n_calib) AS r
+  FROM base b JOIN mu m ON m.priority = b.priority
+), q AS (
+  SELECT priority,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY r) AS q_hat
+  FROM resid WHERE is_cal = 1 GROUP BY 1
+)
+SELECT r.priority, m.n_calib,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       q.q_hat,
+       CAST(SUM(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered,
+       CAST(SUM(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS coverage
+FROM resid r
+JOIN q ON q.priority = r.priority
+JOIN mu m ON m.priority = r.priority
+WHERE r.is_cal = 0
+GROUP BY r.priority, m.n_calib, q.q_hat
+""",
+    doc="Split-conformal calibration audit: a deterministic Knuth-hash "
+    "split of orders into calibration/test halves, a per-priority mean "
+    "model fitted on calibration, the 90th-percentile nonconformity "
+    "score (|y - mu|, percentile_disc = an ORDER STATISTIC — selection "
+    "of an existing value, no interpolation arithmetic) as the "
+    "interval half-width, and the achieved coverage on the held-out "
+    "half — the distribution-free validity check a prediction service "
+    "runs over its scoring logs. Determinism: mu and each residual are "
+    "fixed expression trees over exact integer sums; the quantile "
+    "selects an existing double; coverage is exact counts + one "
+    "division. Shape: two map-side-combinable aggregates and one "
+    "broadcast-sized join on the 5-row priority dimension — no "
+    "windows, no explosion; the residual scan streams.",
+    tags=("stats", "inference", "ml"),
+)
+def conformal_split_coverage(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.expr(f"CASE WHEN {_CAL_U32} % 2 = 0 THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("is_cal"),
+    )
+    mu = (
+        o.filter(F.col("is_cal") == 1)
+        .groupBy("priority")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+        )
+    )
+    resid = o.join(F.broadcast(mu), "priority").select(
+        "priority",
+        "is_cal",
+        "n_calib",
+        F.abs(
+            F.col("cents").cast("double")
+            - F.col("s_cal").cast("double") / F.col("n_calib")
+        ).alias("r"),
+    )
+    q = (
+        resid.filter(F.col("is_cal") == 1)
+        .groupBy("priority")
+        .agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY r)")
+            .alias("q_hat")
+        )
+    )
+    test = resid.filter(F.col("is_cal") == 0)
+    return (
+        test.join(F.broadcast(q), "priority")
+        .groupBy("priority", "n_calib", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+        )
+        .select(
+            "priority",
+            "n_calib",
+            "n_test",
+            "q_hat",
+            "covered",
+            (F.col("covered").cast("double") / F.col("n_test"))
+            .alias("coverage"),
+        )
+    )

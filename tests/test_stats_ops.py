@@ -188,3 +188,87 @@ def test_poisson_bootstrap_weights_reproducible(spark, orders_pd):
     plain = sum(cents) / len(cents)
     ests = sorted(v[2] for v in got.values())
     assert ests[0] < plain < ests[-1]
+
+
+def test_permutation_test_reproducible(spark, orders_pd):
+    from amazon_sales_data_engineering_spark.plans.stats_ops import (
+        _GRP_A,
+        _GRP_B,
+        _PERM_REPS,
+    )
+
+    sub = orders_pd[orders_pd.o_orderpriority.isin([_GRP_A, _GRP_B])]
+    keys = sub.o_orderkey.astype("int64").tolist()
+    cents = (sub.o_totalprice * 100).round().astype("int64").tolist()
+    is_a = (sub.o_orderpriority == _GRP_A).tolist()
+    n_a = sum(is_a)
+    n_b = len(is_a) - n_a
+    s_a = sum(c for c, a in zip(cents, is_a) if a)
+    s_b = sum(c for c, a in zip(cents, is_a) if not a)
+    t_obs = s_a / n_a - s_b / n_b
+    thr = (n_a * 4294967296) // (n_a + n_b)
+
+    def u32(okey: int, rep: int) -> int:
+        return ((((okey % 2147483648) + rep * 2654435761) % 2147483648)
+                * 2246822519) % 4294967296
+
+    p_num = 0
+    for rep in range(1, _PERM_REPS + 1):
+        sa_p = sb_p = na_p = nb_p = 0
+        for k, c in zip(keys, cents):
+            if u32(k, rep) < thr:
+                na_p += 1
+                sa_p += c
+            else:
+                nb_p += 1
+                sb_p += c
+        t_p = sa_p / na_p - sb_p / nb_p
+        if abs(t_p) >= abs(t_obs):
+            p_num += 1
+
+    rows = REGISTRY["stats_permutation_test"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"], r["n_b"], r["n_reps"]) == (n_a, n_b, _PERM_REPS)
+    assert r["t_obs"] == t_obs
+    assert r["p_num"] == p_num
+    assert r["p_value"] == p_num / _PERM_REPS
+    # the null is true by construction only under exchangeability of the
+    # two priority groups; either way the p-value is a valid fraction
+    assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_stl_identity_and_weekday_means(spark):
+    rows = REGISTRY["events_stl_decompose"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # decomposition identity: c == trend + seasonal + residual
+        assert r["c"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["residual"], rel=1e-12
+        )
+    # per-weekday seasonal is constant
+    by_wd = collections.defaultdict(set)
+    for r in rows:
+        by_wd[r["d"].isoweekday()].add(r["seasonal"])
+    for wd, vals in by_wd.items():
+        assert len(vals) == 1, wd
+    # seasonal components of a full-week mean sum to ~0 (weighted by
+    # per-weekday counts they sum to exactly 0; unweighted is close)
+    total = sum(v for s in by_wd.values() for v in s)
+    assert abs(total) < max(abs(r["c"]) for r in rows)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    rows = REGISTRY["conformal_split_coverage"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        assert r["n_calib"] > 0 and r["n_test"] > 0
+        assert r["covered"] <= r["n_test"]
+        assert r["coverage"] == r["covered"] / r["n_test"]
+        # split-conformal guarantee: coverage ~ 0.9 (finite-sample slack
+        # at sf0.001's ~300 rows/priority is generous)
+        assert 0.80 <= r["coverage"] <= 0.98, r
