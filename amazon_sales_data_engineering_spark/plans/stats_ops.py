@@ -774,6 +774,201 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str):
     )
 
 
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "events_acf_lags",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+), u AS (
+  SELECT d, CAST(n_days * c - s AS DECIMAL(18,0)) AS u
+  FROM daily CROSS JOIN tot
+), den AS (
+  SELECT CAST(SUM(u * u) AS DECIMAL(38,0)) AS den FROM u
+), lags AS (
+  SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag
+), num AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.u * b.u) AS DECIMAL(38,0)) AS num
+  FROM lags l
+  JOIN u a ON TRUE
+  JOIN u b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+FROM num CROSS JOIN den
+""",
+    doc="Calendar-lag autocorrelation of the daily event count at lags "
+    "1..14 — the seasonality detector (weekly structure shows as a "
+    "spike at lag 7). Standard biased estimator r_k = sum_t (c_t - m)"
+    "(c_{t+k} - m) / sum_t (c_t - m)^2, kept EXACT by scaling through "
+    "the day count: u_t = N*c_t - S is integral, the cross-products "
+    "accumulate as DECIMAL(38,0) (u fits 18 digits, products 36), and "
+    "each sum leaves the decimal domain once via the string route "
+    "(exactly the registry rule) before ONE division. Pairs align on "
+    "CALENDAR dates (d+k), so gaps in the series drop pairs rather "
+    "than silently shifting alignment. Scale shape: the fact table "
+    "collapses through one map-side-combinable groupBy(date); the lag "
+    "self-join and the 14-way explosion run on the date-domain-bounded "
+    "daily table (~2.5k rows at ANY corpus size).",
+    tags=("stats", "timeseries", "events"),
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+    )
+    u = daily.crossJoin(tot).select(
+        "d",
+        (F.col("n_days") * F.col("c") - F.col("s"))
+        .cast("decimal(18,0)")
+        .alias("u"),
+    )
+    den = F.broadcast(
+        u.agg(
+            F.sum(F.col("u") * F.col("u"))
+            .cast("decimal(38,0)")
+            .alias("den")
+        )
+    )
+    a = u.select(
+        F.col("d").alias("d_a"),
+        F.col("u").alias("u_a"),
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"), F.lit(_ACF_MAX_LAG).cast("bigint")
+            )
+        ).alias("lag"),
+    )
+    b = u.select(F.col("d").alias("d_b"), F.col("u").alias("u_b"))
+    num = (
+        a.join(
+            b,
+            F.col("d_b")
+            == F.date_add(F.col("d_a"), F.col("lag").cast("int")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("u_a") * F.col("u_b"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    return num.crossJoin(den).select(
+        "lag",
+        "n_pairs",
+        (
+            F.col("num").cast("string").cast("double")
+            / F.col("den").cast("string").cast("double")
+        ).alias("acf"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM orders
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS BIGINT) AS s_g,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS ss_g
+  FROM pts GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ss_g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ssq,
+         list_reduce(
+           list(CAST(s_g AS DOUBLE) * s_g / n_g ORDER BY g),
+           (a, b) -> a + b) AS sum_sg2n
+  FROM grp
+)
+SELECT k, n,
+       sum_sg2n - (CAST(s AS DOUBLE) * s / n) AS ssb,
+       CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - sum_sg2n AS ssw,
+       ((sum_sg2n - (CAST(s AS DOUBLE) * s / n)) / (k - 1))
+         / ((CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - sum_sg2n) / (n - k))
+         AS f_stat
+FROM tot
+""",
+    doc="One-way ANOVA F-statistic for order value across the five order "
+    "priorities: SSB/(k-1) over SSW/(N-k) from the per-group sufficient "
+    "statistics (n_g, sum, sum-of-squares — exact bigint/decimal). The "
+    "one order-sensitive reduction — summing the five per-group "
+    "s_g^2/n_g doubles — is an ORDERED FOLD over the group list sorted "
+    "by key (Spark F.aggregate over sort_array, DuckDB list_reduce "
+    "over list(ORDER BY g)), the registry's prescription for doubles "
+    "that must cross an aggregation; everything after is a fixed IEEE "
+    "tree mirrored verbatim. Shape: one map-side-combinable aggregate "
+    "over the fact table to k rows, then driver-trivial math — the "
+    "canonical data-parallel ANOVA at any scale.",
+    tags=("stats", "inference", "agg"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    grp = o.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("s_g"),
+        F.sum(
+            F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss_g"),
+    )
+    term = (
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    ).alias("term")
+    tot = grp.select("g", "n_g", "s_g", "ss_g", term).agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ssq"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("sum_sg2n"),
+    )
+    ssb = F.col("sum_sg2n") - (
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    ssw = F.col("ssq").cast("string").cast("double") - F.col("sum_sg2n")
+    return tot.select(
+        "k",
+        "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))))
+        .alias("f_stat"),
+    )
+
+
 _CAL_U32 = _u32_sql("o_orderkey", "1", 1103515245, 2654435761)
 
 

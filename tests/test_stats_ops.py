@@ -272,3 +272,58 @@ def test_conformal_coverage_near_nominal(spark):
         # split-conformal guarantee: coverage ~ 0.9 (finite-sample slack
         # at sf0.001's ~300 rows/priority is generous)
         assert 0.80 <= r["coverage"] <= 0.98, r
+
+
+def test_acf_matches_bruteforce(spark):
+    ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pandas()
+    daily = collections.Counter(ev.ts.dt.date)
+    dates = sorted(daily)
+    n = len(dates)
+    s = sum(daily.values())
+    u = {d: n * daily[d] - s for d in dates}
+    den = sum(v * v for v in u.values())
+    import datetime
+
+    expected = {}
+    for lag in range(1, 15):
+        num = 0
+        pairs = 0
+        for d in dates:
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in u:
+                num += u[d] * u[d2]
+                pairs += 1
+        expected[lag] = (pairs, num / den)
+    rows = REGISTRY["events_acf_lags"].spark_fn(spark, SF_DIR).collect()
+    got = {r["lag"]: (r["n_pairs"], r["acf"]) for r in rows}
+    assert set(got) == set(expected)
+    for lag, (pairs, acf) in expected.items():
+        assert got[lag][0] == pairs, lag
+        assert got[lag][1] == pytest.approx(acf, rel=1e-12), lag
+        assert -1.0 <= got[lag][1] <= 1.0
+
+
+def test_anova_matches_bruteforce(spark, orders_pd):
+    cents = (orders_pd.o_totalprice * 100).round().astype("int64")
+    groups = {
+        g: cents[orders_pd.o_orderpriority == g].tolist()
+        for g in orders_pd.o_orderpriority.unique()
+    }
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    ssq = sum(y * y for v in groups.values() for y in v)
+    sum_sg2n = sum(
+        sum(v) ** 2 / len(v) for _g, v in sorted(groups.items())
+    )
+    ssb = sum_sg2n - s * s / n
+    ssw = ssq - sum_sg2n
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    rows = REGISTRY["stats_anova_oneway"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["n"]) == (k, n)
+    assert r["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert r["ssw"] == pytest.approx(ssw, rel=1e-9)
+    assert r["f_stat"] == pytest.approx(f_stat, rel=1e-9)
+    assert r["f_stat"] >= 0.0
