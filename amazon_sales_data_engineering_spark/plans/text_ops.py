@@ -1671,3 +1671,101 @@ def search_sparse_cosine_join(spark: SparkSession, sf_dir: str):
     return scored.orderBy(
         F.col("cos2_ppm").desc(), F.col("id_a"), F.col("id_b")
     ).limit(50)
+
+
+@register(
+    "keyphrase_textrank",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS ws
+  FROM documents WHERE length({_NORM}) > 0
+), bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, unnest(CASE WHEN len(ws) >= 2 THEN range(1, len(ws))
+                         ELSE [] END) AS t(i)
+  WHERE ws[i] <> ws[i+1]
+), e AS MATERIALIZED (
+  SELECT w1 AS src, w2 AS dst FROM bi
+  UNION
+  SELECT w2, w1 FROM bi
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_nodes FROM nodes
+), pr0 AS MATERIALIZED (
+  SELECT node, CAST(1000000000000000 AS BIGINT) // n.n_nodes AS pf
+  FROM nodes, n
+), c1 AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr1 AS MATERIALIZED (
+  SELECT nodes.node,
+         (15 * CAST(1000000000000000 AS BIGINT)) // (100 * n.n_nodes)
+         + (85 * COALESCE(c1.s, 0)) // 100 AS pf
+  FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node
+), c2 AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.pf // d.outdeg) AS s
+  FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), pr2 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000000000 AS BIGINT)) // (100 * n.n_nodes)
+         + (85 * COALESCE(c2.s, 0)) // 100 AS pf
+  FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node
+)
+SELECT node AS word, CAST(pf AS BIGINT) AS pr_fixed,
+       CAST(pf AS DOUBLE) / CAST(1000000000000000 AS DOUBLE) AS pr
+FROM pr2
+ORDER BY pr_fixed DESC, word
+LIMIT 50
+""",
+    doc="TextRank keyword extraction: PageRank over the corpus word "
+    "co-occurrence graph (window = 2 — DISTINCT symmetric adjacent-token "
+    "pairs from the normalized text), two synchronous rounds, top-50 "
+    "words by rank. Third keyphrase surface next to RAKE (degree/freq "
+    "heuristic) and c-TF-IDF (needs labels) — TextRank is the "
+    "graph-centrality one. Reuses operators.graph.pagerank_rounds "
+    "verbatim: ranks are FIXED-POINT integers in 1e-15 units, every "
+    "step 64-bit multiply/divide/sum, bit-identical across engines "
+    "with zero float-order exposure, aggregates map-side combinable. "
+    "(pr_fixed, word) totally orders the top-50. Scale shape: the "
+    "token explosion is a narrow map over documents; the edge list is "
+    "bounded by DISTINCT adjacent vocabulary pairs (vocab-squared "
+    "worst case, Zipf-sparse in practice — it grows sub-linearly in "
+    "corpus size, unlike the document count); per round one src-keyed "
+    "shuffle-hash join + one dst-keyed integer aggregate, the "
+    "billion-edge-safe step pagerank_copurchase already proved.",
+    tags=("text", "keyphrase", "graph", "iterative", "topk"),
+)
+def keyphrase_textrank(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import pagerank_rounds
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = d.filter(F.length(norm) > 0).select(F.split(norm, " ").alias("ws"))
+    n = F.size("ws")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = (
+        toks.select(F.explode(idx).alias("i"), "ws")
+        .select(
+            F.element_at("ws", F.col("i")).alias("w1"),
+            F.element_at("ws", F.col("i") + 1).alias("w2"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank_rounds(edges, n_rounds=2, damping_pct=85)
+    return (
+        pr.select(F.col("node").alias("word"), "pr_fixed", "pr")
+        .orderBy(F.col("pr_fixed").desc(), "word")
+        .limit(50)
+    )
