@@ -1078,3 +1078,204 @@ def conformal_split_coverage(spark: SparkSession, sf_dir: str):
             .alias("coverage"),
         )
     )
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mk,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2, 3
+), naive AS (
+  SELECT CAST(SUM(ABS(a.rev - b.rev)) AS BIGINT) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS n_diff
+  FROM monthly a JOIN monthly b ON b.mk = a.mk - 1
+), eval AS (
+  SELECT a.yr, a.mo, a.rev AS actual_cents, b.rev AS forecast_cents,
+         ABS(a.rev - b.rev) AS abs_err_cents
+  FROM monthly a JOIN monthly b ON b.mk = a.mk - 12
+), tot AS (
+  SELECT CAST(SUM(abs_err_cents) AS BIGINT) AS sae,
+         CAST(COUNT(*) AS BIGINT) AS n_eval
+  FROM eval
+)
+SELECT e.yr, e.mo, e.actual_cents, e.forecast_cents,
+       CAST(e.abs_err_cents AS BIGINT) AS abs_err_cents,
+       (CAST(t.sae AS DOUBLE) / t.n_eval)
+         / (CAST(n.sd AS DOUBLE) / n.n_diff) AS mase
+FROM eval e CROSS JOIN tot t CROSS JOIN naive n
+""",
+    doc="Seasonal-naive forecast backtest with MASE: forecast each "
+    "month's revenue as the same month one year earlier, score per "
+    "month, and scale the mean absolute error by the in-sample "
+    "one-step naive MAE (Hyndman's MASE — the scale-free forecast "
+    "metric that is defined even when actuals hit zero, unlike MAPE). "
+    "Month alignment is pure integer key arithmetic (yr*12 + mo - 1), "
+    "so no engine date-arithmetic divergence; every error is an exact "
+    "integer in cents and MASE leaves the integer domain through one "
+    "fixed two-division tree. Scale shape: the fact table collapses "
+    "through one map-side-combinable groupBy(month) to a "
+    "calendar-bounded series (~80 rows at any corpus size); both lag "
+    "joins and the summary folds run on that.",
+    tags=("stats", "timeseries", "forecast"),
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("mk"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("mk", "yr", "mo")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    prev1 = monthly.select(
+        (F.col("mk") + 1).alias("mk"), F.col("rev").alias("prev_rev")
+    )
+    naive = F.broadcast(
+        monthly.join(prev1, "mk")
+        .agg(
+            F.sum(F.abs(F.col("rev") - F.col("prev_rev")))
+            .cast("bigint")
+            .alias("sd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_diff"),
+        )
+    )
+    prev12 = monthly.select(
+        (F.col("mk") + 12).alias("mk"), F.col("rev").alias("forecast_cents")
+    )
+    ev = monthly.join(prev12, "mk").select(
+        "yr",
+        "mo",
+        F.col("rev").alias("actual_cents"),
+        "forecast_cents",
+        F.abs(F.col("rev") - F.col("forecast_cents")).alias("abs_err_cents"),
+    )
+    tot = F.broadcast(
+        ev.agg(
+            F.sum("abs_err_cents").cast("bigint").alias("sae"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        )
+    )
+    return (
+        ev.crossJoin(tot)
+        .crossJoin(naive)
+        .select(
+            "yr",
+            "mo",
+            "actual_cents",
+            "forecast_cents",
+            F.col("abs_err_cents").cast("bigint").alias("abs_err_cents"),
+            (
+                (F.col("sae").cast("double") / F.col("n_eval"))
+                / (F.col("sd").cast("double") / F.col("n_diff"))
+            ).alias("mase"),
+        )
+    )
+
+
+@register(
+    "causal_stratified_ate",
+    oracle="""
+WITH base AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS tr,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), grp AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(tr) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(tr) AS BIGINT) AS n_c,
+         CAST(SUM(tr * y) AS BIGINT) AS y1_t,
+         CAST(SUM((1 - tr) * y) AS BIGINT) AS y1_c
+  FROM base GROUP BY 1
+), ok AS (
+  SELECT *,
+         CAST(y1_t AS DOUBLE) / n_t - CAST(y1_c AS DOUBLE) / n_c AS effect
+  FROM grp WHERE n_t > 0 AND n_c > 0
+), tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ok
+), ate AS (
+  SELECT list_reduce(
+           list((CAST(o.n_s AS DOUBLE) / t.n) * o.effect ORDER BY o.brand),
+           (a, b) -> a + b) AS ate
+  FROM ok o CROSS JOIN tot t
+)
+SELECT o.brand, o.n_s, o.n_t, o.n_c, o.y1_t, o.y1_c, o.effect, a.ate
+FROM ok o CROSS JOIN ate a
+""",
+    doc="Stratified average-treatment-effect estimate: treatment = deep "
+    "discount (l_discount >= 0.05), outcome = item returned, strata = "
+    "part brand — the observational-causal adjustment (equivalently "
+    "IPW with propensity estimated per stratum) that answers 'do "
+    "discounts cause returns, adjusting for brand mix?'. Per-stratum "
+    "effects are fixed two-division trees over exact integer counts; "
+    "the overall ATE — the one cross-stratum double reduction — is an "
+    "ORDERED FOLD over the brand-sorted stratum list on both engines "
+    "(registry rule for doubles crossing an aggregation). Strata "
+    "missing either arm are excluded (documented positivity "
+    "violation), and weights renormalize over the included strata. "
+    "Scale shape: one broadcast join to the part dimension, one "
+    "map-side-combinable groupBy to the 25-row brand table, then "
+    "bounded-domain math.",
+    tags=("stats", "inference", "causal"),
+)
+def causal_stratified_ate(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_discount",
+                                             "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("tr"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    grp = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("tr").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("tr")).cast("bigint").alias("n_c"),
+        F.sum(F.col("tr") * F.col("y")).cast("bigint").alias("y1_t"),
+        F.sum((F.lit(1) - F.col("tr")) * F.col("y"))
+        .cast("bigint")
+        .alias("y1_c"),
+    )
+    ok = grp.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).withColumn(
+        "effect",
+        F.col("y1_t").cast("double") / F.col("n_t")
+        - F.col("y1_c").cast("double") / F.col("n_c"),
+    )
+    tot = F.broadcast(ok.agg(F.sum("n_s").cast("bigint").alias("n")))
+    term = (
+        (F.col("n_s").cast("double") / F.col("n")) * F.col("effect")
+    ).alias("wterm")
+    ate = F.broadcast(
+        ok.crossJoin(tot)
+        .select("brand", term)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("brand", "wterm"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["wterm"],
+            ).alias("ate")
+        )
+    )
+    return ok.crossJoin(ate).select(
+        "brand", "n_s", "n_t", "n_c", "y1_t", "y1_c", "effect", "ate"
+    )

@@ -327,3 +327,67 @@ def test_anova_matches_bruteforce(spark, orders_pd):
     assert r["ssw"] == pytest.approx(ssw, rel=1e-9)
     assert r["f_stat"] == pytest.approx(f_stat, rel=1e-9)
     assert r["f_stat"] >= 0.0
+
+
+def test_mase_matches_bruteforce(spark, orders_pd):
+    cents = (orders_pd.o_totalprice * 100).round().astype("int64")
+    dt = orders_pd.o_orderdate.astype("datetime64[ns]")
+    mk = dt.dt.year * 12 + dt.dt.month - 1
+    monthly = (
+        cents.groupby(mk).sum().sort_index()
+    )
+    diffs = [
+        abs(monthly[k] - monthly[k - 1])
+        for k in monthly.index
+        if k - 1 in monthly.index
+    ]
+    evals = {
+        k: (monthly[k], monthly[k - 12], abs(monthly[k] - monthly[k - 12]))
+        for k in monthly.index
+        if k - 12 in monthly.index
+    }
+    sae = sum(v[2] for v in evals.values())
+    mase = (sae / len(evals)) / (sum(diffs) / len(diffs))
+    rows = REGISTRY["forecast_backtest_mase"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == len(evals)
+    for r in rows:
+        k = r["yr"] * 12 + r["mo"] - 1
+        act, fc, err = evals[k]
+        assert (r["actual_cents"], r["forecast_cents"],
+                r["abs_err_cents"]) == (act, fc, err)
+        assert r["mase"] == mase
+
+
+def test_stratified_ate_matches_bruteforce(spark):
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_discount", "l_returnflag"],
+    ).to_pandas()
+    part = pq.read_table(
+        f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m["tr"] = (m.l_discount >= 0.05).astype(int)
+    m["y"] = (m.l_returnflag == "R").astype(int)
+    strata = {}
+    for brand, g in m.groupby("p_brand"):
+        n_t = int(g.tr.sum())
+        n_c = len(g) - n_t
+        if n_t == 0 or n_c == 0:
+            continue
+        y1_t = int((g.tr * g.y).sum())
+        y1_c = int(((1 - g.tr) * g.y).sum())
+        strata[brand] = (len(g), n_t, n_c, y1_t, y1_c,
+                         y1_t / n_t - y1_c / n_c)
+    n_tot = sum(v[0] for v in strata.values())
+    ate = 0.0
+    for brand in sorted(strata):
+        v = strata[brand]
+        ate = ate + (v[0] / n_tot) * v[5]
+    rows = REGISTRY["causal_stratified_ate"].spark_fn(spark, SF_DIR).collect()
+    assert {r["brand"] for r in rows} == set(strata)
+    for r in rows:
+        v = strata[r["brand"]]
+        assert (r["n_s"], r["n_t"], r["n_c"], r["y1_t"], r["y1_c"]) == v[:5]
+        assert r["effect"] == v[5]
+        assert r["ate"] == ate
