@@ -1279,3 +1279,162 @@ def causal_stratified_ate(spark: SparkSession, sf_dir: str):
     return ok.crossJoin(ate).select(
         "brand", "n_s", "n_t", "n_c", "y1_t", "y1_c", "effect", "ate"
     )
+
+
+@register(
+    "stats_cuped_adjustment",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) < 1997
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN year(o_orderdate) >= 1997
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS VARCHAR) AS DOUBLE) AS syy
+  FROM per_cust
+)
+SELECT n,
+       (n * sxy - CAST(sx AS DOUBLE) * sy)
+         / (n * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+       ((n * sxy - CAST(sx AS DOUBLE) * sy)
+          * (n * sxy - CAST(sx AS DOUBLE) * sy))
+         / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+            * (n * syy - CAST(sy AS DOUBLE) * sy)) AS var_reduction
+FROM m
+""",
+    doc="CUPED covariate adjustment audit (Deng et al. 2013 — the "
+    "experimentation-platform variance-reduction standard): per "
+    "customer, pre-period spend (orders before 1997) is the covariate "
+    "X, post-period spend the metric Y; theta = Cov(X,Y)/Var(X) is the "
+    "adjustment coefficient and the achieved variance reduction is "
+    "exactly corr(X,Y)^2 = Cov^2/(VarX*VarY). Every moment is an exact "
+    "bigint/decimal sum (squared cents route through DECIMAL(38,0) + "
+    "the string cast); theta and the reduction are fixed IEEE trees "
+    "mirrored verbatim — the regression_trend discipline applied to "
+    "the A/B-testing primitive. Shape: one map-side-combinable "
+    "groupBy(customer) + one global moment aggregate; no joins, no "
+    "windows, at any corpus size.",
+    tags=("stats", "inference", "experimentation"),
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+        "bigint"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.year("o_orderdate") < 1997, cents).otherwise(F.lit(0))
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(F.year("o_orderdate") >= 1997, cents).otherwise(F.lit(0))
+        ).cast("bigint").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("string").cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("string").cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col(
+        "sx"
+    )
+    vary_n = F.col("n") * F.col("syy") - F.col("sy").cast("double") * F.col(
+        "sy"
+    )
+    return m.select(
+        "n",
+        (cov_n / varx_n).alias("theta"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("var_reduction"),
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle="""
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+           AS r2
+  FROM documents
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+         CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+         CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+         CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+  FROM rated
+)
+SELECT n, n11, n10, n01, n00,
+       (CAST(n * (n11 + n00) AS DOUBLE)
+          - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+             + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)))
+         / (CAST(n AS DOUBLE) * n
+            - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+               + CAST((n01 + n00) AS DOUBLE) * (n10 + n00))) AS kappa
+FROM cells
+""",
+    doc="Cohen's kappa between two document quality raters (char-length "
+    "rule vs token-count rule) — the inter-annotator agreement audit a "
+    "labeling pipeline runs before trusting heuristic labels: kappa "
+    "corrects raw agreement for the agreement expected by chance from "
+    "the raters' marginals. Computed from the four exact contingency "
+    "counts with the n-scaled identity kappa = (n*(n11+n00) - E) / "
+    "(n^2 - E), E = row*col marginal products — ONE fixed IEEE tree "
+    "over exact integers, no intermediate proportions. Shape: a "
+    "single map-side-combinable aggregate over documents; the token "
+    "count is split-length (no explosion).",
+    tags=("stats", "inference", "quality"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") >= 200, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 40, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("n11"),
+        F.sum(F.col("r1") * (F.lit(1) - F.col("r2")))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum((F.lit(1) - F.col("r1")) * F.col("r2"))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum((F.lit(1) - F.col("r1")) * (F.lit(1) - F.col("r2")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    e = (
+        F.col("n11").cast("double") + F.col("n10")
+    ) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01").cast("double") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        (F.col("n") * (F.col("n11") + F.col("n00"))).cast("double") - e
+    ) / (F.col("n").cast("double") * F.col("n") - e)
+    return cells.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa"))

@@ -391,3 +391,58 @@ def test_stratified_ate_matches_bruteforce(spark):
         assert (r["n_s"], r["n_t"], r["n_c"], r["y1_t"], r["y1_c"]) == v[:5]
         assert r["effect"] == v[5]
         assert r["ate"] == ate
+
+
+def test_cuped_matches_bruteforce(spark, orders_pd):
+    cents = (orders_pd.o_totalprice * 100).round().astype("int64")
+    yr = orders_pd.o_orderdate.astype("datetime64[ns]").dt.year
+    df = orders_pd.assign(cents=cents, yr=yr)
+    per = df.groupby("o_custkey").apply(
+        lambda g: (
+            int(g.loc[g.yr < 1997, "cents"].sum()),
+            int(g.loc[g.yr >= 1997, "cents"].sum()),
+        ),
+        include_groups=False,
+    )
+    xs = [v[0] for v in per]
+    ys = [v[1] for v in per]
+    n = len(per)
+    sx, sy = sum(xs), sum(ys)
+    sxx = float(sum(x * x for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    syy = float(sum(y * y for y in ys))
+    cov_n = n * sxy - float(sx) * sy
+    varx_n = n * sxx - float(sx) * sx
+    vary_n = n * syy - float(sy) * sy
+    rows = REGISTRY["stats_cuped_adjustment"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == n
+    assert r["theta"] == pytest.approx(cov_n / varx_n, rel=1e-12)
+    assert r["var_reduction"] == pytest.approx(
+        (cov_n * cov_n) / (varx_n * vary_n), rel=1e-12
+    )
+    assert 0.0 <= r["var_reduction"] <= 1.0  # it's a squared correlation
+
+
+def test_kappa_matches_bruteforce(spark):
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text", "n_chars"]
+    ).to_pandas()
+    r1 = (docs.n_chars >= 200).astype(int)
+    r2 = docs.text.str.split(" ").str.len().ge(40).astype(int)
+    n = len(docs)
+    n11 = int(((r1 == 1) & (r2 == 1)).sum())
+    n10 = int(((r1 == 1) & (r2 == 0)).sum())
+    n01 = int(((r1 == 0) & (r2 == 1)).sum())
+    n00 = int(((r1 == 0) & (r2 == 0)).sum())
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    rows = REGISTRY["stats_cohens_kappa"].spark_fn(spark, SF_DIR).collect()
+    r = rows[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+        n, n11, n10, n01, n00,
+    )
+    assert r["kappa"] == pytest.approx(kappa, rel=1e-12)
+    assert -1.0 <= r["kappa"] <= 1.0
