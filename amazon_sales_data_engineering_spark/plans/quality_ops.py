@@ -763,3 +763,120 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str):
             (tvd_ppm > F.lit(60000)).alias("violates_t"),
         )
     )
+
+
+_DP_CLIP_CENTS = 100_000_000  # per-user contribution cap: $1M in cents
+
+
+@register(
+    "privacy_dp_clipped_mean",
+    oracle=f"""
+WITH per_user AS (
+  SELECT c.c_mktsegment AS mktsegment,
+         least(CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100
+                             AS BIGINT)) AS BIGINT),
+               {_DP_CLIP_CENTS}) AS clipped
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+), cells AS (
+  SELECT mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(clipped) AS BIGINT) AS clipped_sum
+  FROM per_user GROUP BY 1
+), hs AS (
+  SELECT *, md5(mktsegment || '|sum') AS __h FROM cells
+), zs AS (
+  SELECT mktsegment, n_users, clipped_sum,
+         ({" + ".join(f"(CASE WHEN {_DP_U32_SQL} >= {t} THEN 1 ELSE 0 END)" for t in _DP_THRESHOLDS)})
+           - 8 AS z_sum
+  FROM hs
+), hc AS (
+  SELECT *, md5(mktsegment || '|cnt') AS __h FROM zs
+), zc AS (
+  SELECT mktsegment, n_users, clipped_sum, z_sum,
+         ({" + ".join(f"(CASE WHEN {_DP_U32_SQL} >= {t} THEN 1 ELSE 0 END)" for t in _DP_THRESHOLDS)})
+           - 8 AS z_cnt
+  FROM hc
+)
+SELECT mktsegment, n_users, clipped_sum,
+       CAST(z_sum AS BIGINT) AS z_sum, CAST(z_cnt AS BIGINT) AS z_cnt,
+       CAST(greatest(clipped_sum + z_sum * {_DP_CLIP_CENTS}, 0) AS BIGINT)
+         AS noisy_sum_cents,
+       CAST(greatest(n_users + z_cnt, 1) AS BIGINT) AS noisy_n,
+       CAST(greatest(clipped_sum + z_sum * {_DP_CLIP_CENTS}, 0) AS DOUBLE)
+         / greatest(n_users + z_cnt, 1) AS dp_mean_cents,
+       CAST(2000 AS BIGINT) AS epsilon_milli,
+       CAST({_DP_CLIP_CENTS} AS BIGINT) AS clip_cents
+FROM zc
+""",
+    doc="Differentially-private MEAN release with per-user contribution "
+    "clipping — the second standard DP mechanism next to the noisy "
+    "count (privacy_dp_noisy_counts): per customer, total spend is "
+    "CLIPPED at C cents (bounding any one user's influence, the step "
+    "that makes the sum's sensitivity C instead of unbounded), then "
+    "per market segment the release is (sum + C*z1) / (count + z2) "
+    "with two independent discrete-Laplace draws from the embedded "
+    "epsilon=1 inverse-CDF threshold table — total budget epsilon = 2 "
+    "(basic composition), recorded in the epsilon_milli accounting "
+    "column. Noise draws are keyed-hash DETERMINISTIC STAND-INS for "
+    "the gate, same convention and swap-point as the count release. "
+    "Arithmetic: exact integers end to end; the mean leaves through "
+    "ONE division. Shape: two map-side-combinable aggregates "
+    "(user-level clip, then segment rollup) + a pure map — no scan "
+    "beyond the raw GROUP BY at any size.",
+    tags=("quality", "privacy", "compliance", "agg"),
+)
+def privacy_dp_clipped_mean(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_user = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.least(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+                    .cast("bigint")
+                ).cast("bigint"),
+                F.lit(_DP_CLIP_CENTS).cast("bigint"),
+            ).alias("clipped")
+        )
+    )
+    cells = per_user.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("clipped").cast("bigint").alias("clipped_sum"),
+    )
+
+    def draw(tag: str):
+        h = F.md5(F.concat(F.col("mktsegment"), F.lit(f"|{tag}")))
+        u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        return (
+            sum(
+                (F.when(u32 >= thr, 1).otherwise(0) for thr in _DP_THRESHOLDS),
+                start=F.lit(0),
+            )
+            - 8
+        ).cast("bigint")
+
+    noisy = cells.withColumn("z_sum", draw("sum")).withColumn(
+        "z_cnt", draw("cnt")
+    )
+    noisy_sum = F.greatest(
+        F.col("clipped_sum") + F.col("z_sum") * F.lit(_DP_CLIP_CENTS),
+        F.lit(0),
+    ).cast("bigint")
+    noisy_n = F.greatest(F.col("n_users") + F.col("z_cnt"), F.lit(1)).cast(
+        "bigint"
+    )
+    return noisy.select(
+        "mktsegment",
+        "n_users",
+        "clipped_sum",
+        "z_sum",
+        "z_cnt",
+        noisy_sum.alias("noisy_sum_cents"),
+        noisy_n.alias("noisy_n"),
+        (noisy_sum.cast("double") / noisy_n).alias("dp_mean_cents"),
+        F.lit(2000).cast("bigint").alias("epsilon_milli"),
+        F.lit(_DP_CLIP_CENTS).cast("bigint").alias("clip_cents"),
+    )

@@ -1769,3 +1769,127 @@ def keyphrase_textrank(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("pr_fixed").desc(), "word")
         .limit(50)
     )
+
+
+@register(
+    "search_query_likelihood",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_tokens FROM toks
+), cf AS (
+  SELECT
+    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cf_hash,
+    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cf_merge,
+    CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+      AS cf_window
+  FROM toks
+), tfp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+      AS tf_hash,
+    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+      AS tf_merge,
+    CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+      AS tf_window
+  FROM toks
+  WHERE term IN ('hash', 'merge', 'window')
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST((CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_terms_hit,
+  (CAST(tf_hash * t_tokens + 2000 * cf_hash AS DOUBLE)
+     / CAST(t_tokens * (dl + 2000) AS DOUBLE))
+  * (CAST(tf_merge * t_tokens + 2000 * cf_merge AS DOUBLE)
+     / CAST(t_tokens * (dl + 2000) AS DOUBLE))
+  * (CAST(tf_window * t_tokens + 2000 * cf_window AS DOUBLE)
+     / CAST(t_tokens * (dl + 2000) AS DOUBLE)) AS ql_score
+FROM tfp t
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN tot CROSS JOIN cf
+ORDER BY ql_score DESC, t.doc_id ASC
+LIMIT 20
+""",
+    doc="Query-likelihood retrieval with Dirichlet smoothing (mu = 2000, "
+    "Zhai & Lafferty) for the fixed query {{hash, merge, window}}: "
+    "score(d) = prod_t (tf + mu*cf_t/T)/(dl + mu), the LM-based "
+    "ranking function next to BM25 (search_bm25_rational) — smoothing "
+    "lets a doc missing one term still rank, which pure-tf scorers "
+    "cannot. Fraction-cleared per term to (tf*T + mu*cf_t)/(T*(dl+"
+    "mu)): numerator and denominator are exact 64-bit integers, each "
+    "factor is ONE division, and the 3-factor product is a fixed "
+    "multiplication order written identically on both sides — no logs "
+    "(libm is not gate-comparable; the product form is rank-identical "
+    "for a fixed-length query). Candidates = docs hitting >= 1 query "
+    "term, ranked with smoothed factors for their misses; "
+    "(score, doc_id) totally orders the top-20. Shape: tf/cf/dl are "
+    "map-side-combinable aggregates; candidate pivot is a 3-column "
+    "conditional aggregate (no per-term join fan-out); global top-k "
+    "is TakeOrderedAndProject. Integer headroom: tf*T <= 1e3 * 1e12 "
+    "at 100 TB corpus scale.",
+    tags=("text", "search", "topk"),
+)
+def search_query_likelihood(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("term"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tot = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("bigint").alias("t_tokens"))
+    )
+    cf = F.broadcast(
+        toks.agg(
+            *[
+                F.sum(F.when(F.col("term") == q, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"cf_{q}")
+                for q in ("hash", "merge", "window")
+            ]
+        )
+    )
+    tfp = (
+        toks.filter(F.col("term").isin("hash", "merge", "window"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == q, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf_{q}")
+                for q in ("hash", "merge", "window")
+            ]
+        )
+    )
+    hits = sum(
+        F.when(F.col(f"tf_{q}") > 0, 1).otherwise(0)
+        for q in ("hash", "merge", "window")
+    ).cast("bigint")
+    den = (F.col("t_tokens") * (F.col("dl") + 2000)).cast("double")
+    factor = lambda q: (  # noqa: E731
+        F.col(f"tf_{q}") * F.col("t_tokens") + 2000 * F.col(f"cf_{q}")
+    ).cast("double") / den
+    score = factor("hash") * factor("merge") * factor("window")
+    return (
+        tfp.join(dl, "doc_id")
+        .crossJoin(tot)
+        .crossJoin(cf)
+        .select(
+            "doc_id",
+            hits.alias("n_terms_hit"),
+            score.alias("ql_score"),
+        )
+        .orderBy(F.col("ql_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
