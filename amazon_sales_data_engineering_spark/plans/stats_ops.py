@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.prefixsum import distributed_cumsum
+from ..operators.prefixsum import distributed_cumsum, distributed_lead
 from .registry import register
 from .util import t
 
@@ -46,7 +46,9 @@ _GRP_B = "5-LOW"
 _RADIX = 4_294_967_296
 
 
-def _two_sample_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _two_sample_ecdf(
+    spark: SparkSession, sf_dir: str, cents: bool = False
+) -> DataFrame:
     """Per distinct o_totalprice of the pooled two-group sample: the
     group counts at that value (ca, cb) and the inclusive running counts
     (cca, ccb) over ascending price, plus the group totals (n_a, n_b).
@@ -54,12 +56,23 @@ def _two_sample_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one map-side-combinable groupBy on the value, ONE fused
     distributed prefix-sum (radix-packed — see _RADIX), and a broadcast
     of the 1-row totals. Nothing here is a single-partition window.
+
+    ``cents=True`` keys the value domain on integer cents (the house
+    money idiom) instead of the raw double — the rank statistics (KS,
+    MWU) are invariant to that monotone bijection, but the Wasserstein
+    integral needs EXACT integer step widths (double subtraction of
+    neighbors would sum order-dependently).
     """
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin(_GRP_A, _GRP_B)
     )
+    price = (
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("bigint")
+        if cents
+        else F.col("o_totalprice")
+    )
     s = o.select(
-        F.col("o_totalprice").alias("price"),
+        price.alias("price"),
         F.when(F.col("o_orderpriority") == _GRP_A, F.lit(1))
         .otherwise(F.lit(0))
         .cast("bigint")
@@ -1438,3 +1451,314 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str):
         (F.col("n") * (F.col("n11") + F.col("n00"))).cast("double") - e
     ) / (F.col("n").cast("double") * F.col("n") - e)
     return cells.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa"))
+
+
+_ECDF_CENTS_SQL = f"""
+s AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS price,
+         CASE WHEN o_orderpriority = '{_GRP_A}' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '{_GRP_B}' THEN 1 ELSE 0 END AS ib
+  FROM orders
+  WHERE o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')
+), g AS (
+  SELECT price, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM s GROUP BY 1
+), c AS (
+  SELECT price, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cca,
+         CAST(SUM(cb) OVER (ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ccb,
+         lead(price) OVER (ORDER BY price) AS nxt
+  FROM g
+), n AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b
+  FROM s
+)
+"""
+
+
+@register(
+    "stats_wasserstein_drift",
+    oracle=f"""
+WITH {_ECDF_CENTS_SQL}
+SELECT n_a, n_b,
+       CAST(COUNT(*) AS BIGINT) AS d_levels,
+       CAST(CAST(SUM(ABS(cca::HUGEINT * n_b - ccb::HUGEINT * n_a)
+                     * (nxt - price)) AS VARCHAR) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * n_b) / 100.0 AS w1
+FROM c CROSS JOIN n
+WHERE nxt IS NOT NULL
+GROUP BY n_a, n_b
+""",
+    doc="Exact 1-Wasserstein (earth-mover) distance between the URGENT "
+    "and LOW order-priority price distributions — the drift metric "
+    "that, unlike KS (max gap) or TVD (categorical), weighs HOW FAR "
+    "probability mass moved, which is what a curation layer wants "
+    "when a source's price/level distribution shifts. W1 = "
+    "integral |ECDF_a - ECDF_b| dx over the pooled value domain in "
+    "integer cents: each step contributes |cca*n_b - ccb*n_a| * "
+    "(next_value - value) — EXACT decimal arithmetic end to end, one "
+    "final division (and /100 back to currency units) mirrored "
+    "verbatim. The neighbor gap comes from operators.prefixsum."
+    "distributed_lead (percentile-fenced buckets + boundary stitch), "
+    "the same no-single-partition-window discipline as the ECDF's "
+    "radix-packed distributed_cumsum — the value domain of a "
+    "near-continuous measure grows with the data, so a global lead() "
+    "window would be the O(n)-in-one-task cliff at 100 TB.",
+    tags=("stats", "inference", "drift", "prefixsum"),
+)
+def stats_wasserstein_drift(spark: SparkSession, sf_dir: str):
+    e = _two_sample_ecdf(spark, sf_dir, cents=True)
+    led = distributed_lead(e, "price", out_col="nxt").filter(
+        F.col("nxt").isNotNull()
+    )
+    term = (
+        F.abs(
+            F.col("cca").cast("decimal(19,0)") * F.col("n_b")
+            - F.col("ccb").cast("decimal(19,0)") * F.col("n_a")
+        )
+        * (F.col("nxt") - F.col("price")).cast("decimal(19,0)")
+    )
+    return led.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_levels"),
+        (
+            F.sum(term)
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+            / F.lit(100.0)
+        ).alias("w1"),
+    ).select("n_a", "n_b", "d_levels", "w1")
+
+
+def _doubled_rank_map(df: DataFrame, col: str) -> DataFrame:
+    """Value -> doubled mid-rank map for ``col``: 2 * (count below) +
+    (count at) + 1, an INTEGER for every tie pattern (the average rank
+    itself is a half-integer). One value-domain groupBy + one
+    distributed prefix-sum — the Spearman building block."""
+    g = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    cum = distributed_cumsum(
+        g, order_col=col, value_col="__c", tiebreak=[], out_col="__cum"
+    )
+    return cum.select(
+        col,
+        (
+            F.lit(2) * F.col("__cum").cast("bigint")
+            - F.col("__c")
+            + F.lit(1)
+        ).alias(f"__r_{col}"),
+    )
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), xg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), xr AS (
+  SELECT x,
+         2 * CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - c + 1 AS rx
+  FROM xg
+), yg AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), yr AS (
+  SELECT y,
+         2 * CAST(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - c + 1 AS ry
+  FROM yg
+), j AS (
+  SELECT rx, ry FROM pts JOIN xr USING (x) JOIN yr USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS srx,
+         CAST(SUM(ry) AS BIGINT) AS sry,
+         SUM(rx::HUGEINT * ry) AS sxy,
+         SUM(rx::HUGEINT * rx) AS sxx,
+         SUM(ry::HUGEINT * ry) AS syy
+  FROM j
+)
+SELECT n, srx, sry,
+       CAST(CAST(n::HUGEINT * sxy - srx::HUGEINT * sry AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n::HUGEINT * sxx - srx::HUGEINT * srx
+                           AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n::HUGEINT * syy - sry::HUGEINT * sry
+                             AS VARCHAR) AS DOUBLE))) AS rho
+FROM s
+""",
+    doc="Spearman rank correlation between lineitem quantity and "
+    "extended price — the robust (monotone, outlier-immune) "
+    "association measure a data-quality layer pairs with Pearson. "
+    "Tie-correct by construction: Pearson over DOUBLED mid-ranks "
+    "(2*count_below + count_at + 1 — an integer for every tie "
+    "pattern, and rho is scale-invariant so doubling cancels). Each "
+    "measure's rank map is one value-domain groupBy + one "
+    "distributed prefix-sum (no global rank() window — the price "
+    "domain grows with the data), joined back to the fact rows "
+    "(quantity map broadcasts at ~50 rows; the price map is a "
+    "shuffle hash join). Sufficient statistics are exact "
+    "bigint/decimal(38,0); rho leaves the integer domain through the "
+    "string-routed decimal->double casts in ONE fixed IEEE tree "
+    "(two correctly-rounded sqrts, one multiply, one divide) "
+    "mirrored verbatim in the oracle. decimal(38,0) headroom: "
+    "n*sum(r^2) < 1e38 holds to ~2e9 rows per stratum; past that "
+    "rescale ranks (divide the doubled ranks by a power of ten) "
+    "before squaring — rho is invariant.",
+    tags=("stats", "inference", "prefixsum"),
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str):
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    xr = _doubled_rank_map(pts, "x")
+    yr = _doubled_rank_map(pts, "y")
+    j = (
+        pts.join(F.broadcast(xr), "x")
+        .join(yr.hint("shuffle_hash"), "y")
+        .select(F.col("__r_x").alias("rx"), F.col("__r_y").alias("ry"))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("srx"),
+        F.sum("ry").cast("bigint").alias("sry"),
+        F.sum(d19("rx") * d19("ry")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d19("rx") * d19("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d19("ry") * d19("ry")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("srx").cast("decimal(38,0)") * F.col("sry")
+    )
+    dx = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("srx").cast("decimal(38,0)") * F.col("srx")
+    )
+    dy = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sry").cast("decimal(38,0)") * F.col("sry")
+    )
+    as_dbl = lambda c: c.cast("decimal(38,0)").cast("string").cast("double")  # noqa: E731
+    return s.select(
+        "n",
+        "srx",
+        "sry",
+        (
+            as_dbl(num) / (F.sqrt(as_dbl(dx)) * F.sqrt(as_dbl(dy)))
+        ).alias("rho"),
+    )
+
+
+@register(
+    "stats_levene_brownforsythe",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderstatus AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM orders
+), med AS (
+  SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS m
+  FROM pts GROUP BY 1
+), z AS (
+  SELECT pts.g, ABS(pts.y - med.m) AS z
+  FROM pts JOIN med ON med.g = pts.g
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s_g,
+         CAST(SUM(z::HUGEINT * z) AS DECIMAL(38,0)) AS ss_g
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ss_g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ssq,
+         list_reduce(
+           list(CAST(s_g AS DOUBLE) * s_g / n_g ORDER BY g),
+           (a, b) -> a + b) AS sum_sg2n
+  FROM grp
+)
+SELECT k, n,
+       sum_sg2n - (CAST(s AS DOUBLE) * s / n) AS ssb,
+       CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - sum_sg2n AS ssw,
+       ((sum_sg2n - (CAST(s AS DOUBLE) * s / n)) / (k - 1))
+         / ((CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - sum_sg2n) / (n - k))
+         AS w_stat
+FROM tot
+""",
+    doc="Brown-Forsythe robust variance-homogeneity test (Levene's test "
+    "with MEDIAN centers — Brown & Forsythe 1974, the recommended "
+    "variant for skewed data) across the three order statuses: are "
+    "the price SPREADS equal, not just the means? W is exactly the "
+    "one-way ANOVA F-statistic applied to z_ij = |y_ij - median_g| — "
+    "so this op reuses stats_anova_oneway's exact machinery verbatim: "
+    "per-group medians as percentile_disc ELEMENT SELECTION (an "
+    "actual data value in integer cents, bit-identical cross-engine), "
+    "exact bigint/decimal(38,0) sufficient statistics of z, the "
+    "ordered-fold (sort_array + F.aggregate <-> list(ORDER BY) + "
+    "list_reduce) for the k per-group s_g^2/n_g doubles, and a fixed "
+    "IEEE tree for W. Shape: one percentile aggregate + one "
+    "broadcast join of the 3-row median table + one map-side-"
+    "combinable aggregate to k rows — data-parallel at any scale.",
+    tags=("stats", "inference", "agg"),
+)
+def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str):
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    med = pts.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("m")
+    )
+    z = pts.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("y") - F.col("m")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(
+            F.col("z").cast("decimal(18,0)") * F.col("z").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss_g"),
+    )
+    term = (
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    ).alias("term")
+    tot = grp.select("g", "n_g", "s_g", "ss_g", term).agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ssq"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("sum_sg2n"),
+    )
+    ssb = F.col("sum_sg2n") - (
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    ssw = F.col("ssq").cast("string").cast("double") - F.col("sum_sg2n")
+    return tot.select(
+        "k",
+        "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))))
+        .alias("w_stat"),
+    )

@@ -90,3 +90,22 @@ def test_cumsum_matches_single_window(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_distributed_lead_matches_global(spark):
+    from amazon_sales_data_engineering_spark.operators.prefixsum import (
+        distributed_lead,
+    )
+
+    df = spark.range(200).selectExpr(
+        "cast(id * 13 % 211 as bigint) as v"
+    ).distinct()
+    vals = sorted(r.v for r in df.collect())
+    expected = {
+        v: (vals[i + 1] if i + 1 < len(vals) else None)
+        for i, v in enumerate(vals)
+    }
+    for nb in (1, 4, 16, 64):
+        out = distributed_lead(df, "v", n_buckets=nb, out_col="nxt").collect()
+        assert len(out) == len(vals)
+        assert all(expected[r.v] == r.nxt for r in out), nb

@@ -446,3 +446,86 @@ def test_kappa_matches_bruteforce(spark):
     )
     assert r["kappa"] == pytest.approx(kappa, rel=1e-12)
     assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_spearman_matches_bruteforce(spark):
+    import pandas as pd
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    ).to_pandas()
+    x = li.l_quantity.astype("int64")
+    y = (
+        (li.l_extendedprice.map(lambda v: __import__("decimal").Decimal(repr(v)))
+         * 100)
+        .map(int)
+        .astype("int64")
+    )
+    rx, ry = x.rank(method="average"), y.rank(method="average")
+    n = len(x)
+    sxy = float(((rx - rx.mean()) * (ry - ry.mean())).sum())
+    sxx = float(((rx - rx.mean()) ** 2).sum())
+    syy = float(((ry - ry.mean()) ** 2).sum())
+    expected = sxy / math.sqrt(sxx * syy)
+    r = REGISTRY["stats_spearman_rho"].spark_fn(spark, SF_DIR).collect()[0]
+    assert r["n"] == n
+    # doubled mid-ranks sum to n*(n+1) exactly — the rank-map identity
+    assert r["srx"] == n * (n + 1)
+    assert r["sry"] == n * (n + 1)
+    assert math.isclose(r["rho"], expected, rel_tol=1e-9)
+
+
+def test_wasserstein_matches_bruteforce(spark, orders_pd):
+    import decimal
+
+    cents = orders_pd.o_totalprice.map(
+        lambda v: int(decimal.Decimal(repr(v)) * 100)
+    )
+    a = sorted(cents[orders_pd.o_orderpriority == "1-URGENT"])
+    b = sorted(cents[orders_pd.o_orderpriority == "5-LOW"])
+    n_a, n_b = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    ia = ib = 0
+    num = 0
+    for v, nxt in zip(values, values[1:]):
+        while ia < n_a and a[ia] <= v:
+            ia += 1
+        while ib < n_b and b[ib] <= v:
+            ib += 1
+        num += abs(ia * n_b - ib * n_a) * (nxt - v)
+    expected = num / (n_a * n_b) / 100.0
+    r = REGISTRY["stats_wasserstein_drift"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_levels"]) == (n_a, n_b, len(values) - 1)
+    assert math.isclose(r["w1"], expected, rel_tol=1e-12)
+
+
+def test_levene_brownforsythe_matches_bruteforce(spark, orders_pd):
+    import decimal
+
+    df = orders_pd.assign(
+        y=orders_pd.o_totalprice.map(
+            lambda v: int(decimal.Decimal(repr(v)) * 100)
+        )
+    )
+    groups = {}
+    for g, sub in df.groupby("o_orderstatus"):
+        ys = sorted(sub.y)
+        med = ys[math.ceil(0.5 * len(ys)) - 1]  # percentile_disc element
+        groups[g] = [abs(v - med) for v in sub.y]
+    k = len(groups)
+    n = sum(len(z) for z in groups.values())
+    zbar = sum(sum(z) for z in groups.values()) / n
+    ssb = sum(
+        len(z) * (sum(z) / len(z) - zbar) ** 2 for z in groups.values()
+    )
+    ssw = sum(
+        sum((v - sum(z) / len(z)) ** 2 for v in z) for z in groups.values()
+    )
+    expected = (ssb / (k - 1)) / (ssw / (n - k))
+    r = (
+        REGISTRY["stats_levene_brownforsythe"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert (r["k"], r["n"]) == (k, n)
+    assert math.isclose(r["w_stat"], expected, rel_tol=1e-9)
