@@ -1251,3 +1251,138 @@ def sample_coreset_coverage_eval(spark: SparkSession, sf_dir: str):
     return coverage(min_dist(trace), "kcenter").unionByName(
         coverage(min_dist(r8), "hash8")
     )
+
+
+from .registry import REGISTRY as _REGISTRY  # noqa: E402
+
+#: The classifier chain reused by the calibration eval below — the
+#: registered oracle text, nested as a subquery so the two stay in
+#: lockstep by construction.
+_QC_ORACLE = _REGISTRY["quality_classifier_logodds"].oracle
+
+
+@register(
+    "quality_brier_reliability",
+    oracle=f"""
+WITH cls AS MATERIALIZED (
+  SELECT doc_id, source, score,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+              THEN 1 ELSE 0 END AS y
+  FROM ({_QC_ORACLE})
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM cls),
+sg AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM cls GROUP BY 1
+), sc AS (
+  SELECT score,
+         CAST(SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM sg
+), pp AS (
+  SELECT cls.doc_id, cls.y,
+         CAST(1000000 * sc.cum // nd.nd AS BIGINT) AS p_ppm
+  FROM cls JOIN sc ON sc.score = cls.score CROSS JOIN nd
+), binned AS (
+  SELECT LEAST(p_ppm // 100000, 9) AS bin, y, p_ppm FROM pp
+), agg AS (
+  SELECT CAST(bin AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+         SUM((p_ppm - y * 1000000)::HUGEINT
+             * (p_ppm - y * 1000000)) AS brier_e12
+  FROM binned GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin
+)
+SELECT s.bin,
+       CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(a.n_pos, 0) AS BIGINT) AS n_pos,
+       CAST(a.sum_p_ppm AS DOUBLE) / a.n_docs / 1000000.0 AS mean_p,
+       CAST(a.n_pos AS DOUBLE) / a.n_docs AS mean_y,
+       CAST(CAST(a.brier_e12 AS VARCHAR) AS DOUBLE) / a.n_docs / 1e12
+         AS brier
+FROM spine s LEFT JOIN agg a ON a.bin = s.bin
+""",
+    doc="Calibration / reliability diagram for the corpus quality "
+    "classifier (quality_classifier_logodds, composed verbatim — the "
+    "oracle nests the registered SQL so the chains cannot drift): "
+    "the classifier's additive score is rank-normalized to an exact "
+    "integer probability surrogate p_ppm = 1e6 * cume_count(score) "
+    "div n_docs (a value-domain groupBy + one distributed prefix-sum "
+    "— no global cume_dist window over a score domain that grows "
+    "with the corpus), bucketed into 10 reliability bins. Per bin: "
+    "document count, positive count (label = the classifier's own "
+    "trusted-source definition), mean predicted p, observed rate, "
+    "and the Brier contribution sum((p_ppm - y*1e6)^2) in EXACT "
+    "integer e12 units. A well-calibrated filter has mean_p ~ "
+    "mean_y per bin; the Brier column is the decomposable "
+    "mean-squared error a curation pipeline tracks release to "
+    "release. Every float is a single division of exact integers.",
+    tags=("corpus", "quality", "eval", "prefixsum"),
+)
+def quality_brier_reliability(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    cls = (
+        _REGISTRY["quality_classifier_logodds"]
+        .spark_fn(spark, sf_dir)
+        .select(
+            "doc_id",
+            "score",
+            F.when(
+                F.col("source").isin("src0", "src1", "src2", "src3"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        # feeds the score-domain histogram AND the per-doc join
+        .persist()
+    )
+    nd = F.broadcast(cls.agg(F.count(F.lit(1)).cast("bigint").alias("nd")))
+    sg = cls.groupBy("score").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sc = distributed_cumsum(
+        sg, order_col="score", value_col="c", tiebreak=[], out_col="cum"
+    ).select("score", F.col("cum").cast("bigint").alias("cum"))
+    pp = (
+        cls.join(sc.hint("shuffle_hash"), "score")
+        .crossJoin(nd)
+        .select(
+            "y",
+            F.expr("CAST(1000000 * cum DIV nd AS BIGINT)").alias("p_ppm"),
+        )
+    )
+    binned = pp.select(
+        F.least(F.expr("p_ppm DIV 100000"), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "y",
+        "p_ppm",
+    )
+    d19 = F.col("p_ppm") - F.col("y") * F.lit(1000000)
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("p_ppm").cast("bigint").alias("sum_p_ppm"),
+        F.sum(d19.cast("decimal(19,0)") * d19.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("brier_e12"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    return spine.join(F.broadcast(agg), "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        (
+            F.col("sum_p_ppm").cast("double")
+            / F.col("n_docs")
+            / F.lit(1000000.0)
+        ).alias("mean_p"),
+        (F.col("n_pos").cast("double") / F.col("n_docs")).alias("mean_y"),
+        (
+            F.col("brier_e12").cast("string").cast("double")
+            / F.col("n_docs")
+            / F.lit(1e12)
+        ).alias("brier"),
+    )

@@ -1893,3 +1893,284 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("ql_score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws
+  FROM documents WHERE length({_NORM}) > 0
+), mx AS (
+  SELECT MAX(doc_id) AS max_id FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM docs
+), toks AS (
+  SELECT doc_id, unnest(ws) AS term FROM docs
+), firsts AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY 1
+), vb AS (
+  SELECT CAST(first_doc * 20 // (max_id + 1) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_vocab
+  FROM firsts, mx GROUP BY 1
+), db AS (
+  SELECT CAST(doc_id * 20 // (max_id + 1) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc, mx GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS bucket
+)
+SELECT s.bucket,
+       CAST(SUM(COALESCE(db.n_docs, 0)) OVER w AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(db.n_tokens, 0)) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(vb.new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM spine s
+LEFT JOIN db ON db.bucket = s.bucket
+LEFT JOIN vb ON vb.bucket = s.bucket
+WINDOW w AS (ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Heaps'-law vocabulary-growth curve over the document corpus: "
+    "cumulative distinct-token count (and token/doc counts) at 20 "
+    "equal-width checkpoints of the doc_id range — the sublinearity "
+    "diagnostic (V ~ K*N^b, b<1) a tokenizer-training pipeline reads "
+    "before sizing a vocabulary, and a dedup-health signal (a corpus "
+    "whose vocab grows LINEARLY is full of unique noise; one that "
+    "flattens too fast is boilerplate). The curve needs no global "
+    "scan order: a token's first occurrence is just MIN(doc_id) per "
+    "term (one map-side-combinable aggregate over the exploded "
+    "tokens), bucketed into checkpoints derived from MAX(doc_id)+1 "
+    "(data-derived, never a fixed offset — the synthetic-id rule), "
+    "and the only window is the running sum over the 20-row bucket "
+    "spine. All counts exact bigint.",
+    tags=("text", "corpus", "tokenizer"),
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    docs = (
+        d.select("doc_id", F.split(norm, " ").alias("ws"), norm.alias("nrm"))
+        .filter(F.length("nrm") > 0)
+        .drop("nrm")
+    )
+    mx = F.broadcast(
+        t_cpu(spark, sf_dir, "documents").agg(
+            F.max("doc_id").alias("max_id")
+        )
+    )
+    bucket_of = lambda c: F.expr(f"CAST({c} * 20 DIV (max_id + 1) AS INT)")  # noqa: E731
+    per_doc = docs.select(
+        "doc_id", F.size("ws").cast("bigint").alias("n_tok")
+    )
+    toks = docs.select("doc_id", F.explode("ws").alias("term"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vb = (
+        firsts.crossJoin(mx)
+        .groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    db = (
+        per_doc.crossJoin(mx)
+        .groupBy(bucket_of("doc_id").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    spine = spark.range(20).select(F.col("id").cast("int").alias("bucket"))
+    # The running window is over the 20-row checkpoint spine, not the
+    # data — bounded constant regardless of corpus size.
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(F.broadcast(db), "bucket", "left")
+        .join(F.broadcast(vb), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce(F.col("n_docs"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("docs_cum"),
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+    )
+
+
+#: Fixed two-term query set for the MRR eval — common corpus vocabulary
+#: (same domain as search_ndcg_eval's query terms), so every query has
+#: relevant (both-term) documents at every gate scale.
+_MRR_QUERIES = (
+    ("q_hash_merge", "hash", "merge"),
+    ("q_window_sort", "window", "sort"),
+    ("q_scan_filter", "scan", "filter"),
+    ("q_spark_table", "spark", "table"),
+    ("q_vector_batch", "vector", "batch"),
+)
+
+_MRR_Q_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS qid, '{t1}' AS term FROM (VALUES (1)) "
+    f"UNION ALL SELECT '{qid}', '{t2}' FROM (VALUES (1))"
+    for qid, t1, t2 in _MRR_QUERIES
+)
+
+
+@register(
+    "search_mrr_eval",
+    oracle=f"""
+WITH q AS ({_MRR_Q_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE length({_NORM}) > 0
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), cand AS MATERIALIZED (
+  SELECT q.qid, tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM tf JOIN q ON q.term = tf.term
+  GROUP BY 1, 2
+), bmax AS (
+  SELECT qid, MAX(score) AS s_star, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM cand WHERE n_terms = 2 GROUP BY 1
+), best AS (
+  SELECT b.qid, b.s_star, b.n_rel, MIN(c.doc_id) AS d_star
+  FROM bmax b
+  JOIN cand c ON c.qid = b.qid AND c.n_terms = 2 AND c.score = b.s_star
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT b.qid, b.n_rel, b.s_star, b.d_star,
+         1 + CAST(COUNT(c.doc_id) AS BIGINT) AS first_rank
+  FROM best b
+  LEFT JOIN cand c ON c.qid = b.qid
+    AND (c.score > b.s_star
+         OR (c.score = b.s_star AND c.doc_id < b.d_star))
+  GROUP BY 1, 2, 3, 4
+), per_q AS (
+  SELECT q.qid,
+         CAST(COALESCE(cn.n_cand, 0) AS BIGINT) AS n_cand,
+         CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel,
+         r.first_rank,
+         CAST(COALESCE(1000000 // r.first_rank, 0) AS BIGINT) AS rr_ppm
+  FROM (SELECT DISTINCT qid FROM q) q
+  LEFT JOIN ranked r ON r.qid = q.qid
+  LEFT JOIN (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+             FROM cand GROUP BY 1) cn ON cn.qid = q.qid
+), mrr AS (
+  SELECT CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm FROM per_q
+)
+SELECT per_q.qid, per_q.n_cand, per_q.n_rel, per_q.first_rank,
+       per_q.rr_ppm, mrr.mrr_ppm
+FROM per_q CROSS JOIN mrr
+""",
+    doc="Mean-reciprocal-rank EVAL for the lexical retrieval stack: five "
+    "fixed two-term queries, documents ranked by summed term "
+    "frequency (score DESC, doc_id ASC — fully deterministic), "
+    "relevant = documents matching BOTH terms. The first relevant "
+    "rank is computed WITHOUT materializing the ranking: it is 1 + "
+    "the count of candidates strictly better than the best relevant "
+    "document (max_by over (score, -doc_id)), so no global "
+    "row_number window exists at any scale — candidate sets are "
+    "posting-list sized, not corpus sized. Reciprocal ranks are "
+    "exact integer ppm (1000000 div rank); MRR is their integer-ppm "
+    "mean over the fixed query set — no float crosses any "
+    "aggregation. Completes the retrieval-eval family next to "
+    "search_ndcg_eval (graded DCG) and ann_recall_eval (vector "
+    "recall).",
+    tags=("text", "search", "eval"),
+)
+def search_mrr_eval(spark: SparkSession, sf_dir: str):
+    d = t_cpu(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    toks = (
+        d.select("doc_id", norm.alias("nrm"))
+        .filter(F.length("nrm") > 0)
+        .select("doc_id", F.explode(F.split(F.col("nrm"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    qrows = [(qid, term) for qid, t1, t2 in _MRR_QUERIES for term in (t1, t2)]
+    q = spark.createDataFrame(qrows, "qid string, term string")
+    cand = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    # cand feeds three consumers (best, better-count, per-query size);
+    # persist the posting-list-sized intermediate once.
+    cand = cand.persist()
+    key = F.struct(F.col("score"), (-F.col("doc_id")).alias("negd"))
+    best = (
+        cand.filter(F.col("n_terms") == 2)
+        .groupBy("qid")
+        .agg(
+            F.max_by("score", key).alias("s_star"),
+            F.max_by("doc_id", key).alias("d_star"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+        )
+    )
+    better = (
+        best.alias("b")
+        .join(
+            cand.alias("c"),
+            (F.col("c.qid") == F.col("b.qid"))
+            & (
+                (F.col("c.score") > F.col("b.s_star"))
+                | (
+                    (F.col("c.score") == F.col("b.s_star"))
+                    & (F.col("c.doc_id") < F.col("b.d_star"))
+                )
+            ),
+            "left",
+        )
+        .groupBy("b.qid", "b.n_rel")
+        .agg(
+            (F.lit(1) + F.count(F.col("c.doc_id"))).cast("bigint")
+            .alias("first_rank")
+        )
+        .select(F.col("qid"), F.col("n_rel"), F.col("first_rank"))
+    )
+    ncand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    spine = spark.createDataFrame(
+        [(qid,) for qid, _, _ in _MRR_QUERIES], "qid string"
+    )
+    per_q = (
+        spine.join(F.broadcast(better), "qid", "left")
+        .join(F.broadcast(ncand), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("bigint")
+            .alias("n_cand"),
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
+            .alias("n_rel"),
+            F.col("first_rank"),
+            F.coalesce(
+                F.expr("1000000 DIV first_rank"), F.lit(0)
+            ).cast("bigint").alias("rr_ppm"),
+        )
+    )
+    mrr = F.broadcast(
+        per_q.agg(
+            F.expr("CAST(SUM(rr_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mrr_ppm"
+            )
+        )
+    )
+    return per_q.crossJoin(mrr).select(
+        "qid", "n_cand", "n_rel", "first_rank", "rr_ppm", "mrr_ppm"
+    )

@@ -170,3 +170,45 @@ def test_ccnet_terciles_partition_each_language(spark):
             assert min(r.score_ppm for r in rs if r.bucket == "middle") >= max(
                 r.score_ppm for r in rs if r.bucket == "tail"
             )
+
+
+def test_brier_reliability_matches_bruteforce(spark):
+    """Rank-normalization + binning replicated in Python from the
+    classifier's own (gate-pinned) output — independent of the nested
+    DuckDB oracle."""
+    cls = (
+        REGISTRY["quality_classifier_logodds"]
+        .spark_fn(spark, SF_DIR)
+        .select("doc_id", "source", "score")
+        .collect()
+    )
+    nd = len(cls)
+    scores = sorted(r.score for r in cls)
+    import bisect
+
+    bins = {b: [0, 0, 0, 0] for b in range(10)}  # n, pos, sum_p, brier_e12
+    for r in cls:
+        cum = bisect.bisect_right(scores, r.score)
+        p_ppm = 1000000 * cum // nd
+        y = 1 if r.source in ("src0", "src1", "src2", "src3") else 0
+        b = min(p_ppm // 100000, 9)
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += p_ppm
+        bins[b][3] += (p_ppm - y * 1000000) ** 2
+    rows = (
+        REGISTRY["quality_brier_reliability"]
+        .spark_fn(spark, SF_DIR)
+        .orderBy("bin")
+        .collect()
+    )
+    assert [r.bin for r in rows] == list(range(10))
+    for r in rows:
+        n, pos, sum_p, brier = bins[r.bin]
+        assert (r.n_docs, r.n_pos) == (n, pos), r.bin
+        if n:
+            assert r.mean_p == float(sum_p) / n / 1000000.0
+            assert r.mean_y == float(pos) / n
+            assert r.brier == float(brier) / n / 1e12
+        else:
+            assert r.mean_p is None and r.brier is None
