@@ -1762,3 +1762,88 @@ def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str):
         ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))))
         .alias("w_stat"),
     )
+
+
+from .registry import REGISTRY as _REG  # noqa: E402  (post-registration)
+
+#: The two REAL registered per-document quality filters whose paired
+#: decisions the McNemar test compares — nested verbatim so the three
+#: chains cannot drift (same construction as quality_brier_reliability).
+_GOPHER_ORACLE = _REG["corpus_gopher_rules"].oracle
+_QC_ORACLE_MCN = _REG["quality_classifier_logodds"].oracle
+
+
+@register(
+    "stats_mcnemar_filters",
+    oracle=f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS r1
+  FROM ({_GOPHER_ORACLE})
+), c AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN above_mean THEN 1 ELSE 0 END AS r2
+  FROM ({_QC_ORACLE_MCN})
+), j AS (
+  SELECT g.r1, c.r2 FROM g JOIN c USING (doc_id)
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+         CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+         CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+         CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+  FROM j
+)
+SELECT n, n11, n10, n01, n00,
+       CASE WHEN n10 + n01 = 0 THEN NULL
+            ELSE (CAST(n10 - n01 AS DOUBLE) * (n10 - n01)) / (n10 + n01)
+       END AS mcnemar_chi2
+FROM cells
+""",
+    doc="McNemar's paired test between the corpus's two REAL quality "
+    "filters — the Gopher heuristic gate (corpus_gopher_rules.keep) "
+    "and the NB classifier (quality_classifier_logodds.above_mean) — "
+    "on the same documents: does one filter systematically keep what "
+    "the other drops? Unlike raw agreement (stats_cohens_kappa), "
+    "McNemar tests the DISCORDANT cells only: chi2 = (n10-n01)^2 / "
+    "(n10+n01), NULL when the filters never disagree. Both filter "
+    "chains are composed verbatim (the oracle nests both registered "
+    "SQLs), so this is also a standing integration test of the two "
+    "pipelines against each other. Shape: two map-side filter chains "
+    "joined once on doc_id, one aggregate to a single row — the "
+    "decision-audit query a curation layer runs before swapping "
+    "filters, at any corpus size.",
+    tags=("stats", "inference", "quality", "corpus"),
+)
+def stats_mcnemar_filters(spark: SparkSession, sf_dir: str):
+    g = (
+        _REG["corpus_gopher_rules"]
+        .spark_fn(spark, sf_dir)
+        .select("doc_id", F.col("keep").cast("int").alias("r1"))
+    )
+    c = (
+        _REG["quality_classifier_logodds"]
+        .spark_fn(spark, sf_dir)
+        .select("doc_id", F.col("above_mean").cast("int").alias("r2"))
+    )
+    j = g.join(c, "doc_id").select("r1", "r2")
+    cells = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("n11"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            F.col("n10") + F.col("n01") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(diff * diff / (F.col("n10") + F.col("n01")))
+        .alias("mcnemar_chi2"),
+    )

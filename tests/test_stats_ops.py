@@ -529,3 +529,69 @@ def test_levene_brownforsythe_matches_bruteforce(spark, orders_pd):
     )
     assert (r["k"], r["n"]) == (k, n)
     assert math.isclose(r["w_stat"], expected, rel_tol=1e-9)
+
+
+def test_assortativity_matches_bruteforce(spark):
+    import itertools
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(set)
+    und = set()
+    for parts in baskets:
+        for a, b in itertools.combinations(sorted(parts), 2):
+            und.add((a, b))
+    ed = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    deg = collections.Counter(s for s, _ in ed)
+    xs = [deg[s] for s, _ in ed]
+    ys = [deg[d] for _, d in ed]
+    m = len(ed)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    expected = (m * sxy - sx * sy) / math.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy)
+    )
+    r = (
+        REGISTRY["graph_degree_assortativity"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert (r["m"], r["n_nodes"]) == (m, len(deg))
+    assert math.isclose(r["assortativity"], expected, rel_tol=1e-9)
+
+
+def test_mcnemar_matches_composed_filters(spark):
+    """2x2 cells recomputed in Python from the two registered filters'
+    own (gate-pinned) outputs — independent of the nested oracle."""
+    g = {
+        r.doc_id: int(r.keep)
+        for r in REGISTRY["corpus_gopher_rules"]
+        .spark_fn(spark, SF_DIR)
+        .select("doc_id", "keep")
+        .collect()
+    }
+    c = {
+        r.doc_id: int(r.above_mean)
+        for r in REGISTRY["quality_classifier_logodds"]
+        .spark_fn(spark, SF_DIR)
+        .select("doc_id", "above_mean")
+        .collect()
+    }
+    common = set(g) & set(c)
+    n11 = sum(1 for d in common if g[d] and c[d])
+    n10 = sum(1 for d in common if g[d] and not c[d])
+    n01 = sum(1 for d in common if not g[d] and c[d])
+    n00 = sum(1 for d in common if not g[d] and not c[d])
+    r = REGISTRY["stats_mcnemar_filters"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+        len(common), n11, n10, n01, n00,
+    )
+    if n10 + n01:
+        assert math.isclose(
+            r["mcnemar_chi2"], (n10 - n01) ** 2 / (n10 + n01), rel_tol=1e-12
+        )
+    else:
+        assert r["mcnemar_chi2"] is None
