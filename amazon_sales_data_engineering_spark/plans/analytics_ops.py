@@ -3737,3 +3737,103 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str):
             as_dbl(num) / (F.sqrt(as_dbl(dx)) * F.sqrt(as_dbl(dy)))
         ).alias("assortativity"),
     )
+
+
+@register(
+    "supply_bullwhip_ratio",
+    oracle="""
+WITH om AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), sm AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+), oa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(c::HUGEINT * c) AS ss
+  FROM om
+), sa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(c::HUGEINT * c) AS ss
+  FROM sm
+)
+SELECT oa.n AS n_months_orders, sa.n AS n_months_ship,
+       CAST(CAST(oa.n::HUGEINT * oa.ss - oa.s::HUGEINT * oa.s
+                 AS VARCHAR) AS DOUBLE)
+         / (CAST(oa.s AS DOUBLE) * oa.s) AS cv2_orders,
+       CAST(CAST(sa.n::HUGEINT * sa.ss - sa.s::HUGEINT * sa.s
+                 AS VARCHAR) AS DOUBLE)
+         / (CAST(sa.s AS DOUBLE) * sa.s) AS cv2_ship,
+       (CAST(CAST(oa.n::HUGEINT * oa.ss - oa.s::HUGEINT * oa.s
+                  AS VARCHAR) AS DOUBLE)
+          / (CAST(oa.s AS DOUBLE) * oa.s))
+         / (CAST(CAST(sa.n::HUGEINT * sa.ss - sa.s::HUGEINT * sa.s
+                      AS VARCHAR) AS DOUBLE)
+            / (CAST(sa.s AS DOUBLE) * sa.s)) AS bullwhip
+FROM oa CROSS JOIN sa
+""",
+    doc="Bullwhip-effect ratio (Lee, Padmanabhan & Whang 1997): the "
+    "squared coefficient of variation of MONTHLY ORDER PLACEMENTS "
+    "over that of MONTHLY SHIPMENTS — >1 means demand variability "
+    "amplifies upstream, the classic supply-chain instability signal "
+    "a demand-planning layer monitors. CV^2 = (n*sum(c^2) - S^2) / "
+    "S^2 from exact bigint/decimal(38,0) monthly-count moments "
+    "(scale-free, so the two series' different magnitudes don't "
+    "distort the ratio); the division tree is fixed IEEE over "
+    "string-routed exact decimals, mirrored verbatim. Shape: two "
+    "independent map-side-combinable month aggregates (orders, "
+    "lineitem) to ~84 rows each, one cross join of two 1-row "
+    "moment tables — no joins on data, no windows, at any scale.",
+    tags=("analytics", "timeseries", "agg"),
+)
+def supply_bullwhip_ratio(spark: SparkSession, sf_dir: str):
+    om = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sm = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def moments(df):
+        d19 = F.col("c").cast("decimal(19,0)")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(d19 * d19).cast("decimal(38,0)").alias("ss"),
+        )
+
+    def cv2(n, s, ss):
+        num = (
+            F.col(n).cast("decimal(38,0)") * F.col(ss)
+            - F.col(s).cast("decimal(38,0)") * F.col(s)
+        )
+        return (
+            num.cast("decimal(38,0)").cast("string").cast("double")
+            / (F.col(s).cast("double") * F.col(s))
+        )
+
+    oa = moments(om).select(
+        F.col("n").alias("n_o"), F.col("s").alias("s_o"),
+        F.col("ss").alias("ss_o"),
+    )
+    sa = moments(sm).select(
+        F.col("n").alias("n_s"), F.col("s").alias("s_s"),
+        F.col("ss").alias("ss_s"),
+    )
+    co = cv2("n_o", "s_o", "ss_o")
+    cs = cv2("n_s", "s_s", "ss_s")
+    return oa.crossJoin(sa).select(
+        F.col("n_o").alias("n_months_orders"),
+        F.col("n_s").alias("n_months_ship"),
+        co.alias("cv2_orders"),
+        cs.alias("cv2_ship"),
+        (co / cs).alias("bullwhip"),
+    )

@@ -1847,3 +1847,221 @@ def stats_mcnemar_filters(spark: SparkSession, sf_dir: str):
         .otherwise(diff * diff / (F.col("n10") + F.col("n01")))
         .alias("mcnemar_chi2"),
     )
+
+
+@register(
+    "stats_mood_median_test",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM orders
+), med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS m FROM pts
+), cls AS (
+  SELECT g, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS above
+  FROM pts
+), grp AS (
+  SELECT g, CAST(SUM(above) AS BIGINT) AS n_above,
+         CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below
+  FROM cls GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+         CAST(SUM(n_below) AS BIGINT) AS tb,
+         CAST(SUM(n_above + n_below) AS BIGINT) AS n
+  FROM grp
+)
+SELECT g, n_above, n_below,
+       CAST((n_above + n_below) AS DOUBLE) * ta / n AS expected_above,
+       (CAST(n_above AS DOUBLE) - CAST((n_above + n_below) AS DOUBLE)
+          * ta / n)
+         * (CAST(n_above AS DOUBLE) - CAST((n_above + n_below) AS DOUBLE)
+            * ta / n)
+         / (CAST((n_above + n_below) AS DOUBLE) * ta / n)
+       + (CAST(n_below AS DOUBLE) - CAST((n_above + n_below) AS DOUBLE)
+          * tb / n)
+         * (CAST(n_below AS DOUBLE) - CAST((n_above + n_below) AS DOUBLE)
+            * tb / n)
+         / (CAST((n_above + n_below) AS DOUBLE) * tb / n) AS chi2_term
+FROM grp CROSS JOIN tot
+""",
+    doc="Mood's median test across the five order priorities: classify "
+    "every order as above/at-or-below the GRAND median price (an "
+    "exact percentile_disc element in integer cents), then the 2xk "
+    "contingency chi-square of group vs side. Emitted per group as "
+    "(n_above, n_below, expected_above, chi2_term) — the same "
+    "per-cell-term discipline as contingency_chi2_cells, so no float "
+    "ever crosses an aggregation (each term is a fixed IEEE tree "
+    "over exact integers; the reader sums k=5 terms). The "
+    "nonparametric location test that tolerates what ANOVA cannot: "
+    "wild outliers and non-normality. Shape: one global percentile "
+    "aggregate broadcast into a map-side classify + one "
+    "map-side-combinable groupBy — no windows, no joins on data.",
+    tags=("stats", "inference", "agg"),
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str):
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    med = F.broadcast(
+        pts.agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias(
+                "m"
+            )
+        )
+    )
+    cls = pts.crossJoin(med).select(
+        "g", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    grp = cls.groupBy("g").agg(
+        F.sum("above").cast("bigint").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n_below"),
+    )
+    tot = F.broadcast(
+        grp.agg(
+            F.sum("n_above").cast("bigint").alias("ta"),
+            F.sum("n_below").cast("bigint").alias("tb"),
+            F.sum(F.col("n_above") + F.col("n_below"))
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    ng = (F.col("n_above") + F.col("n_below")).cast("double")
+    ea = ng * F.col("ta") / F.col("n")
+    eb = ng * F.col("tb") / F.col("n")
+    da = F.col("n_above").cast("double") - ea
+    db = F.col("n_below").cast("double") - eb
+    return grp.crossJoin(tot).select(
+        "g",
+        "n_above",
+        "n_below",
+        ea.alias("expected_above"),
+        (da * da / ea + db * db / eb).alias("chi2_term"),
+    )
+
+
+@register(
+    "stats_runs_test_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS m FROM daily
+), signs AS (
+  SELECT d, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+  FROM daily WHERE cents <> (SELECT m FROM med)
+), led AS (
+  SELECT s, lead(s) OVER (ORDER BY d) AS s_next FROM signs
+), agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN s_next IS NOT NULL AND s <> s_next
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM led
+)
+SELECT n1, n2, runs,
+       1.0 + 2.0 * n1 * CAST(n2 AS DOUBLE) / (n1 + n2) AS mu,
+       (CAST(runs AS DOUBLE)
+        - (1.0 + 2.0 * n1 * CAST(n2 AS DOUBLE) / (n1 + n2)))
+         / sqrt((2.0 * n1 * CAST(n2 AS DOUBLE)
+                 * (2.0 * n1 * CAST(n2 AS DOUBLE) - (n1 + n2)))
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+         AS z
+FROM agg
+""",
+    doc="Wald-Wolfowitz runs test for serial randomness of daily "
+    "revenue: dichotomize each day's exact-cents total against the "
+    "grand daily median (percentile_disc element; tie days excluded, "
+    "the classical convention), count runs as 1 + the number of "
+    "sign changes between CONSECUTIVE remaining days, and standardize "
+    "against the exact run-count moments mu = 1 + 2*n1*n2/n, "
+    "sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n - 1)). Too few "
+    "runs = trend/regime persistence, too many = oscillation — the "
+    "cheap pre-flight before fitting any i.i.d.-assuming monitor. "
+    "The consecutive-day neighbor comes from operators.prefixsum."
+    "distributed_lead over the (filtered) day domain — same "
+    "no-single-partition-window rule as the Wasserstein integral; "
+    "everything else is exact bigint counts into ONE fixed IEEE "
+    "tree mirrored verbatim.",
+    tags=("stats", "inference", "timeseries", "prefixsum"),
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str):
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+        "bigint"
+    )
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            # integer day key: distributed_lead's percentile fences (and
+            # the exact-integer neighbor math) need a NUMERIC order key
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+            cents.alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    med = F.broadcast(
+        daily.agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+            ).alias("m")
+        )
+    )
+    signs = (
+        daily.crossJoin(med)
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "d",
+            F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    led = distributed_lead(signs, "d", out_col="d_next")
+    # distributed_lead gives the next DAY; recover the next day's sign by
+    # self-joining the (day -> sign) map on that neighbor key — a
+    # map-side hash join on the day domain, no window.
+    nxt = signs.select(
+        F.col("d").alias("d_next"), F.col("s").alias("s_next")
+    )
+    paired = led.join(nxt.hint("shuffle_hash"), "d_next", "left")
+    agg = paired.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("s_next").isNotNull()
+                    & (F.col("s") != F.col("s_next")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    n = F.col("n1") + F.col("n2")
+    mu = F.lit(1.0) + F.lit(2.0) * F.col("n1") * n2d / n
+    var = (
+        F.lit(2.0)
+        * F.col("n1")
+        * n2d
+        * (F.lit(2.0) * F.col("n1") * n2d - n)
+    ) / (n.cast("double") * n * (n - 1))
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        mu.alias("mu"),
+        ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )

@@ -595,3 +595,83 @@ def test_mcnemar_matches_composed_filters(spark):
         )
     else:
         assert r["mcnemar_chi2"] is None
+
+
+def test_mood_median_matches_bruteforce(spark, orders_pd):
+    import decimal
+
+    df = orders_pd.assign(
+        y=orders_pd.o_totalprice.map(
+            lambda v: int(decimal.Decimal(repr(v)) * 100)
+        )
+    )
+    ys = sorted(df.y)
+    med = ys[math.ceil(0.5 * len(ys)) - 1]
+    grp = {}
+    for g, sub in df.groupby("o_orderpriority"):
+        above = int((sub.y > med).sum())
+        grp[g] = (above, len(sub) - above)
+    ta = sum(a for a, _ in grp.values())
+    tb = sum(b for _, b in grp.values())
+    n = ta + tb
+    rows = (
+        REGISTRY["stats_mood_median_test"].spark_fn(spark, SF_DIR).collect()
+    )
+    assert sorted(r.g for r in rows) == sorted(grp)
+    for r in rows:
+        a, b = grp[r.g]
+        assert (r.n_above, r.n_below) == (a, b)
+        ea = (a + b) * ta / n
+        eb = (a + b) * tb / n
+        assert math.isclose(r.expected_above, ea, rel_tol=1e-12)
+        assert math.isclose(
+            r.chi2_term,
+            (a - ea) ** 2 / ea + (b - eb) ** 2 / eb,
+            rel_tol=1e-9,
+        )
+
+
+def test_runs_test_matches_bruteforce(spark, orders_pd):
+    import decimal
+
+    df = orders_pd.assign(
+        d=orders_pd.o_orderdate.dt.normalize(),
+        c=orders_pd.o_totalprice.map(
+            lambda v: int(decimal.Decimal(repr(v)) * 100)
+        ),
+    )
+    daily = df.groupby("d")["c"].sum().sort_index()
+    vals = sorted(daily)
+    med = vals[math.ceil(0.5 * len(vals)) - 1]
+    seq = [1 if v > med else 0 for v in daily if v != med]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    n = n1 + n2
+    mu = 1 + 2 * n1 * n2 / n
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+    r = REGISTRY["stats_runs_test_daily"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n1"], r["n2"], r["runs"]) == (n1, n2, runs)
+    assert math.isclose(r["mu"], mu, rel_tol=1e-12)
+    assert math.isclose(r["z"], (runs - mu) / math.sqrt(var), rel_tol=1e-9)
+
+
+def test_bullwhip_matches_bruteforce(spark, orders_pd):
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_shipdate"]
+    ).to_pandas()
+    om = orders_pd.o_orderdate.dt.to_period("M").value_counts()
+    sm = li.l_shipdate.dt.to_period("M").value_counts()
+
+    def cv2(counts):
+        n = len(counts)
+        s = int(counts.sum())
+        ss = int((counts.astype("int64") ** 2).sum())
+        return (n * ss - s * s) / (s * s)
+
+    r = (
+        REGISTRY["supply_bullwhip_ratio"].spark_fn(spark, SF_DIR).collect()[0]
+    )
+    assert (r["n_months_orders"], r["n_months_ship"]) == (len(om), len(sm))
+    assert math.isclose(r["cv2_orders"], cv2(om), rel_tol=1e-9)
+    assert math.isclose(r["cv2_ship"], cv2(sm), rel_tol=1e-9)
+    assert math.isclose(r["bullwhip"], cv2(om) / cv2(sm), rel_tol=1e-9)
