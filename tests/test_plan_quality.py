@@ -494,3 +494,53 @@ def test_lifecycle_gates_record_phase_timings(spark):
         # the drain is never instantaneous — a zero here means the
         # phase clock wrapped the wrong block
         assert d["replay_drain"] > 0.1
+
+
+def test_spearman_broadcasts_quantity_rank_map(spark):
+    """The ~50-row quantity rank map must broadcast; the price map join
+    may shuffle (its domain grows with the data) but must be a hash
+    join, never a cartesian/NL join."""
+    plan = _plan(spark, "stats_spearman_rho")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "Cross" not in plan.split(
+        "BroadcastNestedLoopJoin"
+    )[0]
+
+
+def test_wasserstein_no_global_window_over_value_domain(spark):
+    """Both the ECDF cumsum and the neighbor lead must run inside
+    percentile-fenced buckets: every Window node is partitioned (no
+    single-partition global window)."""
+    df = REGISTRY["stats_wasserstein_drift"].spark_fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", opt):
+        # a global window renders with no partition columns before the
+        # first ordering spec (ASC/DESC marker)
+        head = spec.split(",")[0]
+        assert "__bucket" in head or "ASC" not in head, spec
+
+
+def test_assortativity_single_pass_no_cartesian(spark):
+    plan = _plan(spark, "graph_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    # the two 1-row statistic tables combine via broadcast NL cross —
+    # bounded; the degree joins themselves must be hash joins
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_mcnemar_composes_without_cartesian(spark):
+    plan = _plan(spark, "stats_mcnemar_filters")
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_and_brier_spines_broadcast(spark):
+    """The 20-row / 10-row checkpoint spines must join by broadcast —
+    never shuffle the aggregates against a 20-row table."""
+    for name in ("text_heaps_vocab_growth", "quality_brier_reliability"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
