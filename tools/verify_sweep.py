@@ -102,6 +102,11 @@ _RESOURCE_MARKERS = (
     # fresh JVM
     "sparkcontext was shut down",
     "connection refused",
+    # third surface of the same dying-JVM sequence: a query whose action
+    # started AFTER the context died raises IllegalStateException instead
+    # of the shutdown/refused forms — the round-11 second-close casualty
+    # (histogram_extendedprice) that dodged the retry batch
+    "stopped sparkcontext",
 )
 
 
