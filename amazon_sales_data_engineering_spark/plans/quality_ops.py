@@ -880,3 +880,80 @@ def privacy_dp_clipped_mean(spark: SparkSession, sf_dir: str):
         F.lit(2000).cast("bigint").alias("epsilon_milli"),
         F.lit(_DP_CLIP_CENTS).cast("bigint").alias("clip_cents"),
     )
+
+
+#: Randomized-response coin: portable 32-bit uniform hash of doc_id in
+#: pure int64 arithmetic (same two-round Knuth mix as the bootstrap /
+#: permutation ladders in stats_ops, distinct constants for an
+#: independent stream). P(report truth) = 3/4 <=> coin u32 % 4 < 3.
+_RR_U32 = (
+    "((((doc_id % 2147483648) + 1 * 374761393)"
+    " % 2147483648) * 3266489917) % 4294967296"
+)
+
+
+@register(
+    "privacy_randomized_response",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN ({_RR_U32}) % 4 < 3 THEN 1 ELSE 0 END AS keep
+  FROM documents
+), reported AS (
+  SELECT truth,
+         CASE WHEN keep = 1 THEN truth ELSE 1 - truth END AS resp
+  FROM base
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(truth) AS BIGINT) AS n_true,
+         CAST(SUM(resp) AS BIGINT) AS n_reported
+  FROM reported
+)
+SELECT n, n_true, n_reported,
+       CAST(4 * n_reported - n AS DOUBLE) / (2 * n) AS est_pi,
+       CAST(n_true AS DOUBLE) / n AS true_pi
+FROM agg
+""",
+    doc="Warner's randomized response (JASA 1965) — the local-DP "
+    "mechanism that predates the term: each respondent reports its "
+    "sensitive bit (document language = 'en') truthfully with "
+    "probability p = 3/4, flipped otherwise (epsilon = ln 3 local "
+    "DP), and the aggregate debiases via pi_hat = (p_hat - (1-p)) / "
+    "(2p - 1) = (4R - n) / (2n). The coin is the house DETERMINISTIC "
+    "hash ladder (two-round Knuth mix on doc_id, distinct constants "
+    "from the bootstrap/permutation streams), so the mechanism is "
+    "reproducible cross-engine and the oracle verifies BOTH the "
+    "noisy channel and the debiasing identity; true_pi sits beside "
+    "est_pi as the audit column a privacy layer tracks for estimator "
+    "bias. Exact integer counts, two single divisions. Shape: one "
+    "map-side classify + one global aggregate — no joins, no "
+    "windows, at any corpus size.",
+    tags=("privacy", "corpus", "agg"),
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str):
+    base = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(F.expr(f"({_RR_U32}) % 4 < 3"), 1).otherwise(0).alias("keep"),
+    )
+    reported = base.select(
+        "truth",
+        F.when(F.col("keep") == 1, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("resp"),
+    )
+    agg = reported.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+        F.sum("resp").cast("bigint").alias("n_reported"),
+    )
+    return agg.select(
+        "n",
+        "n_true",
+        "n_reported",
+        (
+            (F.lit(4) * F.col("n_reported") - F.col("n")).cast("double")
+            / (F.lit(2) * F.col("n"))
+        ).alias("est_pi"),
+        (F.col("n_true").cast("double") / F.col("n")).alias("true_pi"),
+    )

@@ -2065,3 +2065,134 @@ def stats_runs_test_daily(spark: SparkSession, sf_dir: str):
         mu.alias("mu"),
         ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
     )
+
+
+@register(
+    "stats_kendall_tau_b",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(substr(l.o_orderpriority, 1, 1) AS BIGINT) AS y
+  FROM lineitem li
+  JOIN orders l ON l.o_orderkey = li.l_orderkey
+), cells AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+), cd AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.c::HUGEINT * b.c
+                       ELSE 0 END) AS HUGEINT) AS c_pairs,
+         CAST(SUM(CASE WHEN b.y < a.y THEN a.c::HUGEINT * b.c
+                       ELSE 0 END) AS HUGEINT) AS d_pairs
+  FROM cells a JOIN cells b ON b.x > a.x
+), rmarg AS (
+  SELECT CAST(SUM(rc::HUGEINT * (rc - 1)) AS HUGEINT) AS tx2
+  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS rc FROM cells GROUP BY 1)
+), cmarg AS (
+  SELECT CAST(SUM(cc::HUGEINT * (cc - 1)) AS HUGEINT) AS ty2
+  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY 1)
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+)
+SELECT tot.n,
+       CAST(cd.c_pairs AS BIGINT) AS c_pairs,
+       CAST(cd.d_pairs AS BIGINT) AS d_pairs,
+       CAST(CAST(cd.c_pairs - cd.d_pairs AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(tot.n::HUGEINT * (tot.n - 1) - rmarg.tx2
+                           AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(tot.n::HUGEINT * (tot.n - 1) - cmarg.ty2
+                             AS VARCHAR) AS DOUBLE))) AS tau_b
+FROM cd CROSS JOIN rmarg CROSS JOIN cmarg CROSS JOIN tot
+""",
+    doc="Kendall's tau-b between two ORDINAL variables — lineitem "
+    "quantity (1..50) and order priority (1..5, the leading digit) — "
+    "the rank-association measure whose all-pairs definition is "
+    "O(n^2) but collapses to EXACT arithmetic over the bounded "
+    "x-by-y contingency grid: concordant/discordant pair counts are "
+    "sums of n_ij * n_kl over grid-cell pairs (k>i, l<>j), a "
+    "<=250-row self-join that is DOMAIN-bounded, not data-bounded — "
+    "the same trick as contingency_chi2_cells, valid for any pair of "
+    "bounded ordinals at any corpus size. Tie corrections use the "
+    "marginal doubled-pair counts (2*n1 = sum r_i(r_i-1)); tau_b = "
+    "(C - D) / (sqrt(n(n-1) - 2n1) * sqrt(n(n-1) - 2n2)) leaves the "
+    "integer domain through string-routed decimal->double in ONE "
+    "fixed IEEE tree. Headroom: C <= n^2/2 fits the decimal(38,0) "
+    "sums to ~1e19 rows; the BIGINT output columns cap at ~4e9 rows "
+    "per stratum (cast wider past that). Shape: one fact-dim hash "
+    "join + one map-side groupBy to the grid; everything after runs "
+    "on <=250 rows.",
+    tags=("stats", "inference", "agg"),
+)
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("y"),
+    )
+    cells = (
+        li.join(o.hint("shuffle_hash"), "l_orderkey")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("c").cast("decimal(19,0)").alias("ca"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("c").cast("decimal(19,0)").alias("cb"),
+    )
+    # grid self-join: <=250 x <=250 cell pairs — bounded by the ordinal
+    # DOMAINS, not the data; broadcast NL join is the right plan here
+    pairs = a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("c_pairs_d"),
+        F.sum(
+            F.when(F.col("yb") < F.col("ya"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("d_pairs_d"),
+    )
+    rmarg = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("decimal(19,0)").alias("rc"))
+        .agg(
+            F.sum(F.col("rc") * (F.col("rc") - 1))
+            .cast("decimal(38,0)")
+            .alias("tx2")
+        )
+    )
+    cmarg = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("decimal(19,0)").alias("cc"))
+        .agg(
+            F.sum(F.col("cc") * (F.col("cc") - 1))
+            .cast("decimal(38,0)")
+            .alias("ty2")
+        )
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    as_dbl = lambda c: c.cast("decimal(38,0)").cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("decimal(38,0)") * (
+        F.col("n").cast("decimal(38,0)") - 1
+    )
+    return (
+        cd.crossJoin(F.broadcast(rmarg))
+        .crossJoin(F.broadcast(cmarg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.col("c_pairs_d").cast("bigint").alias("c_pairs"),
+            F.col("d_pairs_d").cast("bigint").alias("d_pairs"),
+            (
+                as_dbl(F.col("c_pairs_d") - F.col("d_pairs_d"))
+                / (
+                    F.sqrt(as_dbl(nn - F.col("tx2")))
+                    * F.sqrt(as_dbl(nn - F.col("ty2")))
+                )
+            ).alias("tau_b"),
+        )
+    )

@@ -675,3 +675,63 @@ def test_bullwhip_matches_bruteforce(spark, orders_pd):
     assert math.isclose(r["cv2_orders"], cv2(om), rel_tol=1e-9)
     assert math.isclose(r["cv2_ship"], cv2(sm), rel_tol=1e-9)
     assert math.isclose(r["bullwhip"], cv2(om) / cv2(sm), rel_tol=1e-9)
+
+
+def test_kendall_tau_b_matches_bruteforce(spark, orders_pd):
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).to_pandas()
+    pri = dict(
+        zip(orders_pd.o_orderkey, orders_pd.o_orderpriority.str[0].astype(int))
+    )
+    pts = [
+        (int(q), pri[k]) for k, q in zip(li.l_orderkey, li.l_quantity)
+    ]
+    cells = collections.Counter(pts)
+    items = list(cells.items())
+    C = D = 0
+    for i, ((xa, ya), ca) in enumerate(items):
+        for (xb, yb), cb in items:
+            if xb > xa:
+                if yb > ya:
+                    C += ca * cb
+                elif yb < ya:
+                    D += ca * cb
+    n = len(pts)
+    rx = collections.Counter(x for x, _ in pts)
+    cy = collections.Counter(y for _, y in pts)
+    tx2 = sum(v * (v - 1) for v in rx.values())
+    ty2 = sum(v * (v - 1) for v in cy.values())
+    expected = (C - D) / (
+        math.sqrt(n * (n - 1) - tx2) * math.sqrt(n * (n - 1) - ty2)
+    )
+    r = REGISTRY["stats_kendall_tau_b"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n"], r["c_pairs"], r["d_pairs"]) == (n, C, D)
+    assert math.isclose(r["tau_b"], expected, rel_tol=1e-9)
+
+
+def test_randomized_response_matches_bruteforce(spark):
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pylist()
+    n = len(docs)
+    n_true = n_rep = 0
+    for r in docs:
+        truth = 1 if r["lang"] == "en" else 0
+        u32 = (
+            ((r["doc_id"] % 2147483648) + 374761393) % 2147483648
+            * 3266489917
+        ) % 4294967296
+        keep = 1 if u32 % 4 < 3 else 0
+        n_true += truth
+        n_rep += truth if keep else 1 - truth
+    row = (
+        REGISTRY["privacy_randomized_response"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert (row["n"], row["n_true"], row["n_reported"]) == (n, n_true, n_rep)
+    assert row["est_pi"] == (4 * n_rep - n) / (2 * n)
+    assert row["true_pi"] == n_true / n
+    # the debiased estimator should land near the truth even at n=500
+    assert abs(row["est_pi"] - row["true_pi"]) < 0.15
