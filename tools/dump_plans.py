@@ -93,6 +93,12 @@ SHOWCASE = [
     "dedup_rank_maxjoin_skew",
     "pipeline_curated_agg_scale",
     "text_mojibake_repair_deep",
+    # round-11 continuation: the prefix-sum / exact-statistics family
+    "stats_spearman_rho",
+    "stats_wasserstein_drift",
+    "graph_degree_assortativity",
+    "stats_kendall_tau_b",
+    "quality_brier_reliability",
 ]
 
 
