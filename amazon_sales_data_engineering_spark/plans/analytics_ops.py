@@ -3837,3 +3837,102 @@ def supply_bullwhip_ratio(spark: SparkSession, sf_dir: str):
         cs.alias("cv2_ship"),
         (co / cs).alias("bullwhip"),
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), r AS (SELECT status, SUM(o) AS r_tot FROM obs GROUP BY 1),
+c AS (SELECT priority, SUM(o) AS c_tot FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n_tot FROM obs),
+terms AS (
+  SELECT obs.status, obs.priority,
+         ((obs.o - CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot)
+          * (obs.o - CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot))
+         / (CAST(r.r_tot * c.c_tot AS DOUBLE) / n.n_tot) AS chi2_term
+  FROM obs
+  JOIN r ON r.status = obs.status
+  JOIN c ON c.priority = obs.priority
+  CROSS JOIN n
+), folded AS (
+  SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_rows,
+         CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_cols,
+         CAST((SELECT n_tot FROM n) AS BIGINT) AS n,
+         list_reduce(
+           list(chi2_term ORDER BY status, priority),
+           (a, b) -> a + b) AS chi2
+  FROM terms
+)
+SELECT n, n_rows, n_cols, chi2,
+       sqrt(chi2 / (n * LEAST(n_rows - 1, n_cols - 1))) AS cramers_v
+FROM folded
+""",
+    doc="Cramér's V effect size for the status-x-priority association — "
+    "the [0,1]-normalized companion to contingency_chi2_cells' raw "
+    "chi-square terms (a chi2 that looks huge at 1.5M orders can be a "
+    "trivial V; effect sizes, not p-values, are what a monitoring "
+    "layer should alert on). Reuses the cell formulation verbatim; "
+    "the ONE order-sensitive reduction — summing the bounded r*c "
+    "cell terms — is an ORDERED FOLD over the cell list sorted by "
+    "(status, priority) (Spark F.aggregate over sort_array, DuckDB "
+    "list_reduce over list(ORDER BY)), the registry's prescription "
+    "for doubles crossing an aggregation; V = sqrt(chi2 / "
+    "(n*min(r-1,c-1))) is one more fixed IEEE step. Shape: one count "
+    "aggregate + two groups-sized rollups broadcast back, fold over "
+    "<=15 rows.",
+    tags=("stats", "inference", "agg"),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str):
+    obs = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    r = obs.groupBy("status").agg(F.sum("o").alias("r_tot"))
+    c = obs.groupBy("priority").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("n_tot"))
+    e = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n_tot")
+    term = (((F.col("o") - e) * (F.col("o") - e)) / e).alias("chi2_term")
+    terms = (
+        obs.join(F.broadcast(r), "status")
+        .join(F.broadcast(c), "priority")
+        .crossJoin(F.broadcast(n))
+        .select("status", "priority", term)
+    )
+    nr = F.broadcast(r.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    nc = F.broadcast(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_cols")))
+    nt = F.broadcast(n.select(F.col("n_tot").cast("bigint").alias("n")))
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("status", "priority", "chi2_term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["chi2_term"],
+        ).alias("chi2")
+    )
+    return (
+        folded.crossJoin(nr)
+        .crossJoin(nc)
+        .crossJoin(nt)
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            "chi2",
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                )
+            ).alias("cramers_v"),
+        )
+    )

@@ -735,3 +735,24 @@ def test_randomized_response_matches_bruteforce(spark):
     assert row["true_pi"] == n_true / n
     # the debiased estimator should land near the truth even at n=500
     assert abs(row["est_pi"] - row["true_pi"]) < 0.15
+
+
+def test_cramers_v_matches_bruteforce(spark, orders_pd):
+    cells = collections.Counter(
+        zip(orders_pd.o_orderstatus, orders_pd.o_orderpriority)
+    )
+    rt = collections.Counter()
+    ct = collections.Counter()
+    for (s, p), o in cells.items():
+        rt[s] += o
+        ct[p] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for (s, p) in sorted(cells):
+        e = rt[s] * ct[p] / n
+        chi2 += (cells[(s, p)] - e) ** 2 / e
+    expected = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    r = REGISTRY["stats_cramers_v"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"]) == (n, len(rt), len(ct))
+    assert math.isclose(r["chi2"], chi2, rel_tol=1e-9)
+    assert math.isclose(r["cramers_v"], expected, rel_tol=1e-9)
