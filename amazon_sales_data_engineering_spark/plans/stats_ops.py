@@ -2196,3 +2196,92 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str):
             ).alias("tau_b"),
         )
     )
+
+
+@register(
+    "stats_cohens_d",
+    oracle=f"""
+WITH pts AS (
+  SELECT CASE WHEN o_orderpriority = '{_GRP_A}' THEN 'a' ELSE 'b' END AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         SUM(y::HUGEINT * y) AS ss
+  FROM pts GROUP BY 1
+), w AS (
+  SELECT max(CASE WHEN g = 'a' THEN n END) AS n_a,
+         max(CASE WHEN g = 'a' THEN s END) AS s_a,
+         max(CASE WHEN g = 'a' THEN ss END) AS ss_a,
+         max(CASE WHEN g = 'b' THEN n END) AS n_b,
+         max(CASE WHEN g = 'b' THEN s END) AS s_b,
+         max(CASE WHEN g = 'b' THEN ss END) AS ss_b
+  FROM m
+)
+SELECT n_a, n_b,
+       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0
+         AS mean_diff,
+       ((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+        / sqrt(((CAST(CAST(ss_a AS VARCHAR) AS DOUBLE)
+                 - CAST(s_a AS DOUBLE) * s_a / n_a)
+                + (CAST(CAST(ss_b AS VARCHAR) AS DOUBLE)
+                   - CAST(s_b AS DOUBLE) * s_b / n_b))
+               / (n_a + n_b - 2))) AS cohens_d
+FROM w
+""",
+    doc="Cohen's d standardized mean difference between the URGENT and "
+    "LOW order-priority price strata — the effect-size companion to "
+    "the two-sample tests (KS/MWU say WHETHER the distributions "
+    "differ; d says by HOW MANY pooled standard deviations, the "
+    "number an experimentation/monitoring layer thresholds on). "
+    "d = (mean_a - mean_b) / s_pooled with s_pooled^2 = (SS_a + SS_b)"
+    " / (n_a + n_b - 2) from exact bigint/decimal cents moments; the "
+    "two-group pivot makes every division a fixed IEEE tree with no "
+    "cross-group float reduction at all. mean_diff is reported back "
+    "in currency units (/100). Shape: one map-side-combinable "
+    "aggregate to 2 rows, then driver-trivial math.",
+    tags=("stats", "inference", "experimentation", "agg"),
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str):
+    pts = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(_GRP_A, _GRP_B))
+        .select(
+            F.when(F.col("o_orderpriority") == _GRP_A, "a")
+            .otherwise("b")
+            .alias("g"),
+            (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    yd = F.col("y").cast("decimal(18,0)")
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("ss"),
+    )
+    pick = lambda g, c: F.max(F.when(F.col("g") == g, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("a", "n").alias("n_a"), pick("a", "s").alias("s_a"),
+        pick("a", "ss").alias("ss_a"),
+        pick("b", "n").alias("n_b"), pick("b", "s").alias("s_b"),
+        pick("b", "ss").alias("ss_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    ssd = lambda ss, s, n: (  # noqa: E731
+        F.col(ss).cast("string").cast("double")
+        - F.col(s).cast("double") * F.col(s) / F.col(n)
+    )
+    pooled = (
+        ssd("ss_a", "s_a", "n_a") + ssd("ss_b", "s_b", "n_b")
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    return w.select(
+        "n_a",
+        "n_b",
+        ((mean_a - mean_b) / F.lit(100.0)).alias("mean_diff"),
+        ((mean_a - mean_b) / F.sqrt(pooled)).alias("cohens_d"),
+    )

@@ -756,3 +756,24 @@ def test_cramers_v_matches_bruteforce(spark, orders_pd):
     assert (r["n"], r["n_rows"], r["n_cols"]) == (n, len(rt), len(ct))
     assert math.isclose(r["chi2"], chi2, rel_tol=1e-9)
     assert math.isclose(r["cramers_v"], expected, rel_tol=1e-9)
+
+
+def test_cohens_d_matches_bruteforce(spark, orders_pd):
+    import decimal
+
+    cents = orders_pd.o_totalprice.map(
+        lambda v: int(decimal.Decimal(repr(v)) * 100)
+    )
+    a = [c for c, p in zip(cents, orders_pd.o_orderpriority) if p == "1-URGENT"]
+    b = [c for c, p in zip(cents, orders_pd.o_orderpriority) if p == "5-LOW"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    ssa = sum(v * v for v in a) - sum(a) ** 2 / na
+    ssb = sum(v * v for v in b) - sum(b) ** 2 / nb
+    pooled = (ssa + ssb) / (na + nb - 2)
+    r = REGISTRY["stats_cohens_d"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert math.isclose(r["mean_diff"], (ma - mb) / 100.0, rel_tol=1e-9)
+    assert math.isclose(
+        r["cohens_d"], (ma - mb) / math.sqrt(pooled), rel_tol=1e-9
+    )
