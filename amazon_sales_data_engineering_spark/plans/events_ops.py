@@ -1759,3 +1759,79 @@ def events_drift_tvd(spark: SparkSession, sf_dir: str):
         .cast("bigint").alias("n_b"),
     )
     return tvd_report(c)
+
+
+@register(
+    "events_peak_over_threshold",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), u AS (
+  SELECT percentile_disc(0.90) WITHIN GROUP (ORDER BY c) AS u FROM hourly
+), exc AS (
+  SELECT c - (SELECT u FROM u) AS x FROM hourly
+  WHERE c > (SELECT u FROM u)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hourly) AS n_hours,
+       (SELECT CAST(u AS BIGINT) FROM u) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_exceedances,
+       CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_excess,
+       CAST(MAX(x) AS BIGINT) AS max_excess
+FROM exc
+""",
+    doc="Peaks-over-threshold load diagnostic (the empirical first step "
+    "of an extreme-value analysis, Pickands 1975): hourly event "
+    "counts, the exact p90 threshold (percentile_disc ELEMENT — an "
+    "actual observed count, bit-identical cross-engine), and the "
+    "exceedance count / mean excess / max excess above it. The mean "
+    "excess is the quantity a GPD tail fit starts from; a capacity "
+    "planner watches it to size burst headroom. Exact bigint counts "
+    "with ONE final division. Shape: one hour-bucket aggregate, one "
+    "percentile aggregate broadcast back as a scalar, one filtered "
+    "global aggregate — no windows, no joins on data.",
+    tags=("events", "stats", "timeseries", "agg"),
+)
+def events_peak_over_threshold(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "timestamp_ntz":
+        hour = F.make_timestamp_ntz(
+            F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+            F.hour("ts"), F.lit(0), F.lit(0),
+        )
+    else:
+        hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = F.broadcast(
+        hourly.agg(
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY c)")
+            .cast("bigint")
+            .alias("u")
+        )
+    )
+    nh = F.broadcast(
+        hourly.agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"))
+    )
+    exc = hourly.crossJoin(u).filter(F.col("c") > F.col("u")).select(
+        "u", (F.col("c") - F.col("u")).alias("x")
+    )
+    return (
+        exc.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exceedances"),
+            (F.sum("x").cast("double") / F.count(F.lit(1))).alias(
+                "mean_excess"
+            ),
+            F.max("x").cast("bigint").alias("max_excess"),
+        )
+        .crossJoin(nh)
+        .select(
+            "n_hours",
+            F.col("u").alias("threshold"),
+            "n_exceedances",
+            "mean_excess",
+            "max_excess",
+        )
+    )

@@ -777,3 +777,23 @@ def test_cohens_d_matches_bruteforce(spark, orders_pd):
     assert math.isclose(
         r["cohens_d"], (ma - mb) / math.sqrt(pooled), rel_tol=1e-9
     )
+
+
+def test_peak_over_threshold_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts"]
+    ).to_pandas()
+    hourly = ev.ts.dt.floor("h").value_counts()
+    counts = sorted(int(c) for c in hourly)
+    u = counts[math.ceil(0.9 * len(counts)) - 1]
+    exc = [c - u for c in counts if c > u]
+    r = (
+        REGISTRY["events_peak_over_threshold"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert (r["n_hours"], r["threshold"], r["n_exceedances"]) == (
+        len(counts), u, len(exc),
+    )
+    assert r["max_excess"] == max(exc)
+    assert math.isclose(r["mean_excess"], sum(exc) / len(exc), rel_tol=1e-12)
