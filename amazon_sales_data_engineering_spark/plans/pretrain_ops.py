@@ -1386,3 +1386,69 @@ def quality_brier_reliability(spark: SparkSession, sf_dir: str):
             / F.lit(1e12)
         ).alias("brier"),
     )
+
+
+@register(
+    "quality_ece_eval",
+    oracle=f"""
+WITH bins AS (
+  SELECT bin, n_docs, n_pos, mean_p, mean_y
+  FROM ({_REGISTRY["quality_brier_reliability"].oracle})
+  WHERE n_docs > 0
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM bins
+), folded AS (
+  SELECT tot.n,
+         list_reduce(
+           list(CAST(n_docs AS DOUBLE) / tot.n * ABS(mean_p - mean_y)
+                ORDER BY bin),
+           (a, b) -> a + b) AS ece,
+         MAX(ABS(mean_p - mean_y)) AS mce
+  FROM bins CROSS JOIN tot GROUP BY tot.n
+)
+SELECT n, ece, mce FROM folded
+""",
+    doc="Expected / Maximum Calibration Error of the corpus quality "
+    "classifier (Naeini et al. 2015, the standard one-number "
+    "calibration summaries): ECE = sum_b (n_b/N) * |mean_p - mean_y| "
+    "over the 10 reliability bins, MCE the worst bin gap. Composes "
+    "quality_brier_reliability verbatim (the oracle nests the "
+    "registered SQL, so the three chains — classifier, bins, ECE — "
+    "cannot drift). The one order-sensitive reduction, the 10-term "
+    "weighted-gap sum, is an ORDERED FOLD over the bin list sorted "
+    "by bin id (Spark F.aggregate over sort_array, DuckDB "
+    "list_reduce over list(ORDER BY bin)) — the registry rule for "
+    "doubles crossing an aggregation; each per-bin gap is a fixed "
+    "IEEE tree over exact integers. Shape: everything above the "
+    "10-row bin table is the gated classifier chain.",
+    tags=("corpus", "quality", "eval", "agg"),
+)
+def quality_ece_eval(spark: SparkSession, sf_dir: str):
+    bins = (
+        _REGISTRY["quality_brier_reliability"]
+        .spark_fn(spark, sf_dir)
+        .filter(F.col("n_docs") > 0)
+        .select("bin", "n_docs", "mean_p", "mean_y")
+    )
+    tot = F.broadcast(
+        bins.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    )
+    gap = F.abs(F.col("mean_p") - F.col("mean_y"))
+    return (
+        bins.crossJoin(tot)
+        .select(
+            "bin", "n",
+            (F.col("n_docs").cast("double") / F.col("n") * gap).alias("w"),
+            gap.alias("g"),
+        )
+        .groupBy("n")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bin", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            ).alias("ece"),
+            F.max("g").alias("mce"),
+        )
+        .select("n", "ece", "mce")
+    )

@@ -212,3 +212,22 @@ def test_brier_reliability_matches_bruteforce(spark):
             assert r.brier == float(brier) / n / 1e12
         else:
             assert r.mean_p is None and r.brier is None
+
+
+def test_ece_matches_composed_bins(spark):
+    bins = (
+        REGISTRY["quality_brier_reliability"]
+        .spark_fn(spark, SF_DIR)
+        .orderBy("bin")
+        .collect()
+    )
+    live = [r for r in bins if r.n_docs > 0]
+    n = sum(r.n_docs for r in live)
+    ece = 0.0
+    for r in live:  # fold in bin order, matching the op
+        ece += r.n_docs / n * abs(r.mean_p - r.mean_y)
+    mce = max(abs(r.mean_p - r.mean_y) for r in live)
+    row = REGISTRY["quality_ece_eval"].spark_fn(spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["ece"] - ece) < 1e-12
+    assert row["mce"] == mce
