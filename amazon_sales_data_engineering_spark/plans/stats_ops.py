@@ -2285,3 +2285,117 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str):
         ((mean_a - mean_b) / F.lit(100.0)).alias("mean_diff"),
         ((mean_a - mean_b) / F.sqrt(pooled)).alias("cohens_d"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+WITH pts AS (
+  SELECT CASE WHEN o_orderpriority = '{_GRP_A}' THEN 'a' ELSE 'b' END AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         SUM(y::HUGEINT * y) AS ss
+  FROM pts GROUP BY 1
+), w AS (
+  SELECT max(CASE WHEN g = 'a' THEN n END) AS n_a,
+         max(CASE WHEN g = 'a' THEN s END) AS s_a,
+         max(CASE WHEN g = 'a' THEN ss END) AS ss_a,
+         max(CASE WHEN g = 'b' THEN n END) AS n_b,
+         max(CASE WHEN g = 'b' THEN s END) AS s_b,
+         max(CASE WHEN g = 'b' THEN ss END) AS ss_b
+  FROM m
+), v AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / n_a AS mean_a,
+         CAST(s_b AS DOUBLE) / n_b AS mean_b,
+         ((CAST(CAST(ss_a AS VARCHAR) AS DOUBLE)
+           - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a AS ua,
+         ((CAST(CAST(ss_b AS VARCHAR) AS DOUBLE)
+           - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b AS ub
+  FROM w
+)
+SELECT n_a, n_b, mean_a, mean_b,
+       (mean_a - mean_b) / sqrt(ua + ub) AS t_welch,
+       ((ua + ub) * (ua + ub))
+         / (ua * ua / (n_a - 1) + ub * ub / (n_b - 1)) AS df_welch
+FROM v
+""",
+    doc="Welch's unequal-variance t-test between the URGENT and LOW "
+    "order-priority price strata: t = (mean_a - mean_b) / "
+    "sqrt(s_a^2/n_a + s_b^2/n_b) with the Welch-Satterthwaite "
+    "effective degrees of freedom — the default two-sample location "
+    "test an experimentation layer runs when it will NOT assume equal "
+    "variances (the pooled-variance assumption behind stats_cohens_d's "
+    "denominator and Student's t). Same two-group pivot as Cohen's d: "
+    "exact bigint/decimal cents moments (sum, HUGEINT/decimal(38) "
+    "sum-of-squares) reach the driver as 2 rows, the decimal crosses "
+    "to double through the string route, and every division, sqrt "
+    "(correctly-rounded IEEE, not transcendental) and the df ratio is "
+    "a fixed scalar tree mirrored verbatim in the oracle — no float "
+    "ever crosses an aggregation. Means are reported in integer-cents "
+    "units. Shape: one map-side-combinable aggregate to 2 rows, then "
+    "driver-trivial math at any scale.",
+    tags=("stats", "inference", "experimentation", "agg"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str):
+    pts = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(_GRP_A, _GRP_B))
+        .select(
+            F.when(F.col("o_orderpriority") == _GRP_A, "a")
+            .otherwise("b")
+            .alias("g"),
+            (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    yd = F.col("y").cast("decimal(18,0)")
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("ss"),
+    )
+    pick = lambda g, c: F.max(F.when(F.col("g") == g, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("a", "n").alias("n_a"), pick("a", "s").alias("s_a"),
+        pick("a", "ss").alias("ss_a"),
+        pick("b", "n").alias("n_b"), pick("b", "s").alias("s_b"),
+        pick("b", "ss").alias("ss_b"),
+    )
+    sev = lambda ss, s, n: (  # noqa: E731
+        (
+            F.col(ss).cast("string").cast("double")
+            - F.col(s).cast("double") * F.col(s) / F.col(n)
+        )
+        / (F.col(n) - 1)
+    ) / F.col(n)
+    v = w.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a").cast("double") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b").cast("double") / F.col("n_b")).alias("mean_b"),
+        sev("ss_a", "s_a", "n_a").alias("ua"),
+        sev("ss_b", "s_b", "n_b").alias("ub"),
+    )
+    ua, ub = F.col("ua"), F.col("ub")
+    return v.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(ua + ub)
+        ).alias("t_welch"),
+        (
+            ((ua + ub) * (ua + ub))
+            / (
+                ua * ua / (F.col("n_a") - 1)
+                + ub * ub / (F.col("n_b") - 1)
+            )
+        ).alias("df_welch"),
+    )

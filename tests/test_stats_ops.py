@@ -797,3 +797,23 @@ def test_peak_over_threshold_matches_bruteforce(spark):
     )
     assert r["max_excess"] == max(exc)
     assert math.isclose(r["mean_excess"], sum(exc) / len(exc), rel_tol=1e-12)
+
+
+def test_welch_ttest_matches_bruteforce(spark, orders_pd):
+    cents = lambda xs: [round(x * 100) for x in xs]  # noqa: E731
+    a_f, b_f = _two_sample(orders_pd)
+    a, b = cents(a_f), cents(b_f)
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    ua = ((sum(v * v for v in a) - sum(a) * ma) / (na - 1)) / na
+    ub = ((sum(v * v for v in b) - sum(b) * mb) / (nb - 1)) / nb
+    t_w = (ma - mb) / math.sqrt(ua + ub)
+    df_w = ((ua + ub) * (ua + ub)) / (
+        ua * ua / (na - 1) + ub * ub / (nb - 1)
+    )
+    r = REGISTRY["stats_welch_ttest"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert math.isclose(r["mean_a"], ma, rel_tol=1e-12)
+    assert math.isclose(r["mean_b"], mb, rel_tol=1e-12)
+    assert math.isclose(r["t_welch"], t_w, rel_tol=1e-9)
+    assert math.isclose(r["df_welch"], df_w, rel_tol=1e-9)
