@@ -2024,6 +2024,114 @@ def score_auc_exact(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "score_avg_precision",
+    oracle="""
+WITH labeled AS (
+  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), grouped AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM labeled GROUP BY 1
+), cum AS (
+  SELECT score, c, p,
+         CAST(SUM(c) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c,
+         CAST(SUM(p) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_p
+  FROM grouped
+), terms AS (
+  SELECT CAST(SUM(p * ((cum_p * 100000000000) // cum_c)) AS BIGINT)
+           AS ap_num
+  FROM cum
+), totals AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c - p) AS BIGINT) AS n_neg
+  FROM grouped
+)
+SELECT t.n_pos, t.n_neg, terms.ap_num,
+       CAST(terms.ap_num AS DOUBLE) / t.n_pos / 100000000000
+         AS avg_precision
+FROM terms, totals t
+""",
+    doc="EXACT average precision (the area under the precision-recall "
+    "curve by the step-interpolation every ranking library reports) of "
+    "a score as a classifier — n_chars predicting lang='en', the same "
+    "base as score_auc_exact, which AP complements exactly where AUC "
+    "misleads: under heavy class imbalance (a rare positive class at "
+    "100 TB corpus scale) AP weights performance at the top of the "
+    "ranking. Tie-safe threshold form: AP = sum over distinct scores "
+    "descending of (p_v / n_pos) * precision@v with precision@v = "
+    "cum_p/cum_c over the >=v prefix. Each precision is materialized "
+    "as the TRUNCATED integer (cum_p * 10^11) DIV cum_c — both "
+    "engines truncate positive integer division identically, so the "
+    "per-threshold terms and their bigint sum are bit-deterministic "
+    "(error bound n/10^11, mirrored exactly — no float crosses the "
+    "aggregation). The descending cumulative counts ride ONE "
+    "radix-packed distributed_cumsum pass (p*2^32 + c, valid while "
+    "total rows < 2^32 — wider radix above that), so the score "
+    "domain can be billions of distinct values with no "
+    "single-partition window; the oracle's window cumsum is the "
+    "small-scale formulation of the same prefix.",
+    tags=("agg", "stats", "ml", "eval", "prefixsum"),
+)
+def score_avg_precision(spark: SparkSession, sf_dir: str):
+    from ..operators.prefixsum import distributed_cumsum
+
+    labeled = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    grouped = labeled.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    packed = grouped.select(
+        "score",
+        "c",
+        "p",
+        (-F.col("score")).alias("neg_score"),
+        (F.col("p") * F.lit(4294967296).cast("bigint") + F.col("c")).alias(
+            "__packed"
+        ),
+    )
+    cum = distributed_cumsum(
+        packed,
+        order_col="neg_score",
+        value_col="__packed",
+        tiebreak=[],
+        out_col="__cum",
+    ).withColumn("__cum_b", F.col("__cum").cast("bigint")).select(
+        "score",
+        "c",
+        "p",
+        F.expr("__cum_b DIV 4294967296").alias("cum_p"),
+        (F.col("__cum_b") % F.lit(4294967296).cast("bigint")).alias("cum_c"),
+    )
+    terms = cum.agg(
+        F.sum(
+            F.col("p") * F.expr("(cum_p * 100000000000) DIV cum_c")
+        ).cast("bigint").alias("ap_num")
+    )
+    totals = grouped.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("bigint").alias("n_neg"),
+    )
+    return terms.crossJoin(totals).select(
+        "n_pos",
+        "n_neg",
+        "ap_num",
+        (
+            F.col("ap_num").cast("double")
+            / F.col("n_pos")
+            / F.lit(100000000000)
+        ).alias("avg_precision"),
+    )
+
+
+@register(
     "score_lift_calibration",
     oracle="""
 WITH labeled AS (

@@ -231,3 +231,33 @@ def test_ece_matches_composed_bins(spark):
     assert row["n"] == n
     assert abs(row["ece"] - ece) < 1e-12
     assert row["mce"] == mce
+
+
+def test_avg_precision_matches_bruteforce(spark):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["n_chars", "lang"]
+    ).to_pandas()
+    pairs = sorted(
+        zip(docs.n_chars.astype(int), (docs.lang == "en").astype(int)),
+        key=lambda t: -t[0],
+    )
+    S = 100_000_000_000
+    ap_num = cum_c = cum_p = 0
+    n_pos = sum(p for _, p in pairs)
+    i = 0
+    while i < len(pairs):
+        j = i
+        p_v = 0
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            p_v += pairs[j][1]
+            j += 1
+        cum_c += j - i
+        cum_p += p_v
+        ap_num += p_v * ((cum_p * S) // cum_c)  # truncated, per the op
+        i = j
+    r = REGISTRY["score_avg_precision"].spark_fn(spark, SF_DIR).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n_pos, len(pairs) - n_pos)
+    assert r["ap_num"] == ap_num
+    assert r["avg_precision"] == ap_num / n_pos / S
