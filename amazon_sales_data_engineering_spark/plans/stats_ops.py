@@ -2399,3 +2399,266 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str):
             )
         ).alias("df_welch"),
     )
+
+
+_BH_REPS = 128
+#: Fresh mixing constants — independent stream from _PERM_U32 / _CAL_U32.
+_BH_U32 = _u32_sql("o_orderkey", "rep", 3266489917, 2654435761)
+
+_BH_CORE = f"""
+base AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+         c.c_nationkey AS g
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS s_g
+  FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM grp
+), idx AS (
+  SELECT g, n_g, s_g,
+         CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) - 1 AS gi,
+         CAST(SUM(n_g) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n
+  FROM grp
+), bnd AS (
+  SELECT t.n AS nn,
+         list((cum_n * 4294967296) // t.n ORDER BY g) AS bnds
+  FROM idx CROSS JOIN tot t GROUP BY t.n
+), reps AS (
+  SELECT CAST(unnest(range(1, {_BH_REPS + 1})) AS BIGINT) AS rep
+), flips AS (
+  SELECT rep, cents,
+         CAST(len(list_filter(b.bnds, x -> x <= {_BH_U32})) AS BIGINT) AS gi
+  FROM base CROSS JOIN reps CROSS JOIN bnd b
+), cell AS (
+  SELECT rep, gi, CAST(COUNT(*) AS BIGINT) AS na_p,
+         CAST(SUM(cents) AS BIGINT) AS sa_p
+  FROM flips GROUP BY 1, 2
+), dense AS (
+  SELECT i.g, i.n_g, i.s_g,
+         COALESCE(c.na_p, 0) AS na_p, COALESCE(c.sa_p, 0) AS sa_p
+  FROM reps r CROSS JOIN idx i
+  LEFT JOIN cell c ON c.rep = r.rep AND c.gi = i.gi
+), ext AS (
+  SELECT g, n_g, s_g,
+         CAST(SUM(CASE
+           WHEN na_p = 0 OR na_p = t.n THEN 1
+           WHEN ABS(CAST(sa_p AS DOUBLE) / na_p
+                    - CAST(t.s - sa_p AS DOUBLE) / (t.n - na_p))
+                >= ABS(CAST(s_g AS DOUBLE) / n_g
+                       - CAST(t.s - s_g AS DOUBLE) / (t.n - n_g))
+           THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM dense CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+), pv AS (
+  SELECT g, n_g,
+         CAST(s_g AS DOUBLE) / n_g
+           - CAST(t.s - s_g AS DOUBLE) / (t.n - n_g) AS t_obs,
+         1 + cnt AS p_num, t.m AS m
+  FROM ext CROSS JOIN tot t
+), ranked AS (
+  SELECT g, n_g, t_obs, p_num, m,
+         CAST(p_num AS DOUBLE) / {_BH_REPS + 1} AS p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_num, g) AS BIGINT) AS bh_rank
+  FROM pv
+), adj AS (
+  SELECT g, n_g, t_obs, p_num, p_value, bh_rank,
+         MIN(CAST(p_num * m AS DOUBLE) / (bh_rank * {_BH_REPS + 1})) OVER (
+           ORDER BY bh_rank DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+  FROM ranked
+)
+"""
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+WITH {_BH_CORE}
+SELECT g AS nationkey, n_g, t_obs, p_num, p_value, bh_rank,
+       LEAST(sfx, CAST(1 AS DOUBLE)) AS adj_p
+FROM adj
+""",
+    doc="Benjamini-Hochberg FDR-adjusted p-values over a FAMILY of "
+    "hypotheses — one per customer nation: does that nation's mean "
+    "order value differ from the rest of the market? The 25 tests "
+    "share ONE Bernoulli-randomization permutation stream (the "
+    "multi-group generalization of stats_permutation_test): each of "
+    "128 replicates re-labels every order with a pseudo-nation drawn "
+    "from the empirical nation frequencies by a deterministic Knuth "
+    "hash of (o_orderkey, rep) bucketed against the exact integer "
+    "thresholds (cum_n_g * 2^32) DIV N — so ALL per-group permuted "
+    "sufficient statistics come from a single groupBy(rep, group), "
+    "explosion factor R, not R*m. Empirical p = (1 + #extreme) / "
+    "(R + 1) is an exact rational; the BH step-up adj_i = min_{{j>=i}} "
+    "p_(j)*m/j is the textbook suffix-min, computed as a RUNNING min "
+    "over descending rank (O(m), frame-guard-safe) on the m-row "
+    "hypothesis table — m is the number of hypotheses, a fixed small "
+    "constant, so the single-partition window is scale-free. Every "
+    "float is a fixed IEEE tree over exact integers (mean-difference "
+    "statistics, the p*m/(i*(R+1)) ratios); the extreme-count "
+    "comparison is bit-deterministic in both engines. Missing "
+    "(rep, group) cells are densified against the reps*groups grid "
+    "(na_p = 0 counts as extreme, the conservative rule). Shape: one "
+    "broadcast dim join, one R-way explosion into ONE "
+    "map-side-combinable aggregate (R*m cells cross the shuffle), "
+    "then driver-trivial math on m rows.",
+    tags=("stats", "inference", "experimentation", "sampling", "agg"),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("c_nationkey").alias("g"),
+    )
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    tot = F.broadcast(
+        grp.agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.sum("s_g").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    w_g = W.orderBy("g").rowsBetween(W.unboundedPreceding, W.currentRow)
+    idx = grp.select(
+        "g",
+        "n_g",
+        "s_g",
+        (F.row_number().over(W.orderBy("g")) - 1).cast("bigint").alias("gi"),
+        F.sum("n_g").over(w_g).cast("bigint").alias("cum_n"),
+    )
+    bnd = F.broadcast(
+        idx.crossJoin(tot)
+        .groupBy("n")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "g",
+                        F.expr("(cum_n * 4294967296) DIV n").alias("hi"),
+                    )
+                )
+            ).alias("__pairs")
+        )
+        .select(F.expr("transform(__pairs, x -> x.hi)").alias("bnds"))
+    )
+    reps = spark.range(1, _BH_REPS + 1).select(F.col("id").alias("rep"))
+    flips = (
+        base.select(
+            "o_orderkey",
+            "cents",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.lit(_BH_REPS).cast("bigint")
+                )
+            ).alias("rep"),
+        )
+        .crossJoin(bnd)
+        .withColumn("u32", F.expr(_BH_U32))
+        .select(
+            "rep",
+            "cents",
+            F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("u32")))
+            .cast("bigint")
+            .alias("gi"),
+        )
+    )
+    cell = flips.groupBy("rep", "gi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na_p"),
+        F.sum("cents").cast("bigint").alias("sa_p"),
+    )
+    dense = (
+        reps.crossJoin(F.broadcast(idx))
+        .join(cell, ["rep", "gi"], "left")
+        .select(
+            "g",
+            "n_g",
+            "s_g",
+            F.coalesce(F.col("na_p"), F.lit(0).cast("bigint")).alias("na_p"),
+            F.coalesce(F.col("sa_p"), F.lit(0).cast("bigint")).alias("sa_p"),
+        )
+    )
+    t_perm = (
+        F.col("sa_p").cast("double") / F.col("na_p")
+        - (F.col("s") - F.col("sa_p")).cast("double")
+        / (F.col("n") - F.col("na_p"))
+    )
+    t_obs = (
+        F.col("s_g").cast("double") / F.col("n_g")
+        - (F.col("s") - F.col("s_g")).cast("double")
+        / (F.col("n") - F.col("n_g"))
+    )
+    extreme = (
+        F.when((F.col("na_p") == 0) | (F.col("na_p") == F.col("n")), 1)
+        .when(F.abs(t_perm) >= F.abs(t_obs), 1)
+        .otherwise(0)
+    )
+    ext = (
+        dense.crossJoin(tot)
+        .groupBy("g", "n_g", "s_g")
+        .agg(F.sum(extreme).cast("bigint").alias("cnt"))
+    )
+    pv = ext.crossJoin(tot).select(
+        "g",
+        "n_g",
+        t_obs.alias("t_obs"),
+        (F.lit(1) + F.col("cnt")).alias("p_num"),
+        "m",
+    )
+    ranked = pv.select(
+        "g",
+        "n_g",
+        "t_obs",
+        "p_num",
+        "m",
+        (F.col("p_num").cast("double") / F.lit(_BH_REPS + 1)).alias(
+            "p_value"
+        ),
+        F.row_number()
+        .over(W.orderBy("p_num", "g"))
+        .cast("bigint")
+        .alias("bh_rank"),
+    )
+    w_sfx = W.orderBy(F.col("bh_rank").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    adj = ranked.select(
+        "g",
+        "n_g",
+        "t_obs",
+        "p_num",
+        "p_value",
+        "bh_rank",
+        F.min(
+            F.col("p_num").cast("double")
+            * F.col("m")
+            / (F.col("bh_rank") * F.lit(_BH_REPS + 1))
+        )
+        .over(w_sfx)
+        .alias("sfx"),
+    )
+    return adj.select(
+        F.col("g").alias("nationkey"),
+        "n_g",
+        "t_obs",
+        "p_num",
+        "p_value",
+        "bh_rank",
+        F.least(F.col("sfx"), F.lit(1.0)).alias("adj_p"),
+    )

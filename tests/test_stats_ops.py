@@ -817,3 +817,72 @@ def test_welch_ttest_matches_bruteforce(spark, orders_pd):
     assert math.isclose(r["mean_b"], mb, rel_tol=1e-12)
     assert math.isclose(r["t_welch"], t_w, rel_tol=1e-9)
     assert math.isclose(r["df_welch"], df_w, rel_tol=1e-9)
+
+
+def test_benjamini_hochberg_matches_bruteforce(spark, orders_pd):
+    import pyarrow.parquet as pq2
+
+    cust = pq2.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+    rows = [
+        (int(k), round(float(p) * 100), nat[ck])
+        for k, ck, p in zip(
+            orders_pd.o_orderkey, orders_pd.o_custkey, orders_pd.o_totalprice
+        )
+    ]
+    R = 128
+    from collections import defaultdict
+
+    n_g, s_g = defaultdict(int), defaultdict(int)
+    for _, cents, g in rows:
+        n_g[g] += 1
+        s_g[g] += cents
+    gs = sorted(n_g)
+    N, S, m = sum(n_g.values()), sum(s_g.values()), len(gs)
+    cum, bnds = 0, []
+    for g in gs:
+        cum += n_g[g]
+        bnds.append(cum * 4294967296 // N)
+    na = defaultdict(int)
+    sa = defaultdict(int)
+    for k, cents, _ in rows:
+        for rep in range(1, R + 1):
+            u = (((k % 2147483648) + rep * 3266489917) % 2147483648
+                 * 2654435761) % 4294967296
+            gi = sum(1 for b in bnds if b <= u)
+            na[(rep, gi)] += 1
+            sa[(rep, gi)] += cents
+    t_obs = {g: s_g[g] / n_g[g] - (S - s_g[g]) / (N - n_g[g]) for g in gs}
+    p_num = {}
+    for i, g in enumerate(gs):
+        cnt = 0
+        for rep in range(1, R + 1):
+            np_, sp_ = na[(rep, i)], sa[(rep, i)]
+            if np_ == 0 or np_ == N:
+                cnt += 1
+            elif abs(sp_ / np_ - (S - sp_) / (N - np_)) >= abs(t_obs[g]):
+                cnt += 1
+        p_num[g] = 1 + cnt
+    order = sorted(gs, key=lambda g: (p_num[g], g))
+    raw = [p_num[g] * m / ((i + 1) * (R + 1)) for i, g in enumerate(order)]
+    adj = {}
+    run = float("inf")
+    for i in range(m - 1, -1, -1):
+        run = min(run, raw[i])
+        adj[order[i]] = min(run, 1.0)
+    got = {
+        r["nationkey"]: r
+        for r in REGISTRY["stats_benjamini_hochberg"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert sorted(got) == gs
+    for g in gs:
+        r = got[g]
+        assert r["n_g"] == n_g[g]
+        assert r["p_num"] == p_num[g]
+        assert math.isclose(r["t_obs"], t_obs[g], rel_tol=1e-12)
+        assert math.isclose(r["adj_p"], adj[g], rel_tol=1e-12)
+    assert [got[g]["bh_rank"] for g in order] == list(range(1, m + 1))
