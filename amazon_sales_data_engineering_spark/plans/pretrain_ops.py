@@ -1452,3 +1452,100 @@ def quality_ece_eval(spark: SparkSession, sf_dir: str):
         )
         .select("n", "ece", "mce")
     )
+
+
+#: Feature-hashing (Weinberger et al. 2009) bucket count: 16 bits of the
+#: portable md5 hex prefix. 2^16 buckets is the common small-model budget
+#: where collisions are material enough to audit.
+_FH_BITS_HEX = 4
+_FH_BUCKETS = 16 ** _FH_BITS_HEX
+
+
+@register(
+    "feature_hash_collision_audit",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE term <> '' GROUP BY 1
+), bucketed AS (
+  SELECT term, tf,
+         ((instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(term), 4, 1)) - 1))
+           AS bucket
+  FROM tf
+), loads AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS load,
+         CAST(SUM(tf) AS BIGINT) AS mass
+  FROM bucketed GROUP BY 1
+)
+SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+         AS colliding_terms,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       CAST(SUM(mass) AS BIGINT) AS total_tf,
+       CAST(SUM(CASE WHEN load >= 2 THEN mass ELSE 0 END) AS BIGINT)
+         AS collided_tf,
+       CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS DOUBLE)
+         / SUM(load) AS term_collision_rate,
+       CAST(SUM(CASE WHEN load >= 2 THEN mass ELSE 0 END) AS DOUBLE)
+         / SUM(mass) AS tf_collision_rate
+FROM loads
+""",
+    doc="Feature-hashing (hashing-trick, Weinberger et al. 2009) "
+    "collision audit for the corpus vocabulary: every distinct "
+    "whitespace token is hashed into 2^16 buckets via the first 4 hex "
+    "chars of the portable md5 (functions/hashing.py — the one hash "
+    "both engines compute identically; Spark conv(hex,16,10) == "
+    "DuckDB's instr-digit polynomial), and the audit reports how much "
+    "of the vocabulary and how much of the token MASS lands in shared "
+    "buckets — the numbers that decide whether a hashed feature space "
+    "is big enough for a bag-of-words quality model without storing a "
+    "vocabulary (the 100 TB motivation for hashing features at all). "
+    "All counts exact bigint; the two rates are single divisions of "
+    "exact integers. Shape: explode to words, one map-side-combinable "
+    "groupBy(term), one groupBy(bucket) (at most 2^16 rows cross the "
+    "second shuffle), one final fold — no windows, no driver loops; "
+    "the term-frequency table is the same first stage every "
+    "vocabulary op shares.",
+    tags=("corpus", "ml", "text", "agg"),
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str):
+    docs = t_cpu(spark, sf_dir, "documents").select(
+        _NORM_SPARK(F.col("text")).alias("norm")
+    )
+    words = docs.select(
+        F.explode(F.split(F.col("norm"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    bucketed = tf.select(
+        "tf",
+        F.conv(F.substring(F.md5(F.col("term")), 1, _FH_BITS_HEX), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    loads = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("load"),
+        F.sum("tf").cast("bigint").alias("mass"),
+    )
+    coll_load = F.when(F.col("load") >= 2, F.col("load")).otherwise(0)
+    coll_mass = F.when(F.col("load") >= 2, F.col("mass")).otherwise(0)
+    return loads.agg(
+        F.sum("load").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.sum(coll_load).cast("bigint").alias("colliding_terms"),
+        F.max("load").cast("bigint").alias("max_load"),
+        F.sum("mass").cast("bigint").alias("total_tf"),
+        F.sum(coll_mass).cast("bigint").alias("collided_tf"),
+        (F.sum(coll_load).cast("double") / F.sum("load")).alias(
+            "term_collision_rate"
+        ),
+        (F.sum(coll_mass).cast("double") / F.sum("mass")).alias(
+            "tf_collision_rate"
+        ),
+    )

@@ -261,3 +261,38 @@ def test_avg_precision_matches_bruteforce(spark):
     assert (r["n_pos"], r["n_neg"]) == (n_pos, len(pairs) - n_pos)
     assert r["ap_num"] == ap_num
     assert r["avg_precision"] == ap_num / n_pos / S
+
+
+def test_feature_hash_audit_matches_bruteforce(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).to_pandas()
+    tf = Counter()
+    for text in docs.text:
+        for w in _norm(text).split(" "):
+            if w:
+                tf[w] += 1
+    loads, mass = Counter(), Counter()
+    for term, c in tf.items():
+        b = int(hashlib.md5(term.encode()).hexdigest()[:4], 16)
+        loads[b] += 1
+        mass[b] += c
+    coll_terms = sum(l for l in loads.values() if l >= 2)
+    coll_tf = sum(mass[b] for b, l in loads.items() if l >= 2)
+    r = (
+        REGISTRY["feature_hash_collision_audit"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert r["n_terms"] == len(tf)
+    assert r["buckets_used"] == len(loads)
+    assert r["colliding_terms"] == coll_terms
+    assert r["max_load"] == max(loads.values())
+    assert r["total_tf"] == sum(tf.values())
+    assert r["collided_tf"] == coll_tf
+    assert r["term_collision_rate"] == coll_terms / len(tf)
+    assert r["tf_collision_rate"] == coll_tf / sum(tf.values())
