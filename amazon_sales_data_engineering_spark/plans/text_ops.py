@@ -2174,3 +2174,79 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str):
     return per_q.crossJoin(mrr).select(
         "qid", "n_cand", "n_rel", "first_rank", "rr_ppm", "mrr_ppm"
     )
+
+
+@register(
+    "text_readability_fk_bands",
+    oracle=f"""
+WITH feat AS (
+  SELECT CAST({_NTOK_G} AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sents,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syll
+  FROM documents
+), graded AS (
+  SELECT CAST(FLOOR(
+           CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+           + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+           - CAST(15.59 AS DOUBLE)) AS BIGINT) AS grade
+  FROM feat WHERE n_words > 0
+)
+SELECT LEAST(GREATEST(grade, 0), 18) AS grade_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM graded GROUP BY 1 ORDER BY 1
+""",
+    doc="Flesch-Kincaid grade-level distribution of the corpus (Kincaid "
+    "et al. 1975): per document, grade = 0.39*(words/sentences) + "
+    "11.8*(syllables/words) - 15.59 with the standard counting "
+    "heuristics — sentences as [.!?]+ runs, syllables as [aeiouy]+ "
+    "vowel runs, both GREATEST(...,1)-guarded — then a histogram over "
+    "the integer grade clamped to [0, 18]. Readability is a stock "
+    "pretraining quality-filter dimension (too-low grade = fragment "
+    "soup, too-high = OCR noise / jargon); banding to integer grades "
+    "keeps the gated output free of any float aggregation: the only "
+    "float math is the per-row fixed IEEE tree (constants cast to "
+    "DOUBLE on both engines — DuckDB would otherwise stay DECIMAL), "
+    "pinned to an exact bigint by FLOOR, and the rest is exact "
+    "grouped counting. Shape: one narrow projection with three "
+    "regexp counters (JVM codegen, no UDFs), one map-side-combinable "
+    "groupBy over <=19 bands.",
+    tags=("text", "quality", "corpus", "agg"),
+)
+def text_readability_fk_bands(spark: SparkSession, sf_dir: str):
+    from ..functions.text import token_count
+
+    d = t_cpu(spark, sf_dir, "documents")
+    n_words = token_count(F.col("text")).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+            )
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    feat = d.select(
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    grade = F.floor(
+        F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        + F.lit(11.8) * (F.col("n_syll").cast("double") / F.col("n_words"))
+        - F.lit(15.59)
+    ).cast("bigint")
+    return (
+        feat.select(
+            F.least(F.greatest(grade, F.lit(0).cast("bigint")),
+                    F.lit(18).cast("bigint")).alias("grade_band")
+        )
+        .groupBy("grade_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("grade_band")
+    )

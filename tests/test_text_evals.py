@@ -94,3 +94,32 @@ def test_mrr_eval_matches_bruteforce(spark):
         assert (r.n_cand, r.n_rel, r.first_rank, r.rr_ppm, r.mrr_ppm) == (
             n_cand, n_rel, first_rank, rr, mrr,
         ), r.qid
+
+
+def test_readability_fk_bands_matches_bruteforce(spark):
+    import math
+    from collections import Counter as C2
+
+    raw = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).to_pylist()
+    bands = C2()
+    for r in raw:
+        text = r["text"]
+        norm = _norm(text)
+        n_words = len(norm.split(" ")) if norm else 0
+        if n_words == 0:
+            continue
+        n_sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        n_syll = max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+        grade = math.floor(
+            0.39 * (n_words / n_sents) + 11.8 * (n_syll / n_words) - 15.59
+        )
+        bands[min(max(grade, 0), 18)] += 1
+    got = {
+        r["grade_band"]: r["n_docs"]
+        for r in REGISTRY["text_readability_fk_bands"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == dict(bands)
