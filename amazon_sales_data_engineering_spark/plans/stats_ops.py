@@ -2662,3 +2662,111 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str):
         "bh_rank",
         F.least(F.col("sfx"), F.lit(1.0)).alias("adj_p"),
     )
+
+
+@register(
+    "events_holt_linear_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), idxd AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+         CAST(c AS DOUBLE) AS y
+  FROM daily
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idxd
+), holt AS (
+  SELECT i, y, y AS level, CAST(0 AS DOUBLE) AS trend,
+         CAST(0 AS DOUBLE) AS sse
+  FROM idxd WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.y,
+         CAST(0.5 AS DOUBLE) * x.y
+           + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+         CAST(0.5 AS DOUBLE)
+           * ((CAST(0.5 AS DOUBLE) * x.y
+               + CAST(0.5 AS DOUBLE) * (h.level + h.trend)) - h.level)
+           + CAST(0.5 AS DOUBLE) * h.trend,
+         h.sse + (x.y - (h.level + h.trend)) * (x.y - (h.level + h.trend))
+  FROM holt h JOIN idxd x ON x.i = h.i + 1
+)
+SELECT nn.n_days, h.level AS level, h.trend AS trend,
+       h.sse AS sse_one_step,
+       h.level + CAST(7 AS DOUBLE) * h.trend AS forecast_7
+FROM holt h CROSS JOIN nn WHERE h.i = nn.n_days
+""",
+    doc="Holt linear-trend (double) exponential smoothing of the daily "
+    "event count with alpha = beta = 1/2: level' = y/2 + (level+trend)"
+    "/2, trend' = (level'-level)/2 + trend/2, seeded at (level=y_1, "
+    "trend=0), plus the one-step-ahead SSE and the 7-day-ahead "
+    "forecast level + 7*trend — the classical recursive smoother "
+    "behind every ops-capacity dashboard, complementing the "
+    "regression/MASE seats (forecast_backtest_mase fits one global "
+    "line; Holt adapts). The recursion is inherently sequential, so "
+    "it runs as an ORDERED FOLD over the date-sorted daily array "
+    "(Spark F.aggregate seeded with element 1 over slice(2..)); the "
+    "oracle iterates the SAME per-step IEEE tree via a recursive CTE "
+    "— NOT list_reduce, whose struct accumulator in DuckDB 1.0 "
+    "mutates field-by-field (later fields see already-updated level) "
+    "and silently computes a different recursion. Half coefficients "
+    "are exact binary fractions, so every step is bit-identical in "
+    "both engines. Scale shape: the "
+    "fact table collapses through ONE map-side-combinable "
+    "groupBy(date) first; the fold runs on the date-domain-bounded "
+    "daily list (~2.5k elements at ANY corpus size), the same "
+    "bounded-domain exemption events_acf_lags uses.",
+    tags=("events", "timeseries", "forecast", "stats", "agg"),
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "c"))).alias("dc")
+    ).select(
+        F.transform(
+            F.col("dc"),
+            lambda x: F.struct(
+                x["c"].cast("double").alias("y"),
+                x["c"].cast("double").alias("level"),
+                F.lit(0.0).alias("trend"),
+                F.lit(0.0).alias("sse"),
+            ),
+        ).alias("a")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, x):
+        pred = acc["level"] + acc["trend"]
+        newlevel = half * x["y"] + half * pred
+        return F.struct(
+            x["y"].alias("y"),
+            newlevel.alias("level"),
+            (half * (newlevel - acc["level"]) + half * acc["trend"]).alias(
+                "trend"
+            ),
+            (
+                acc["sse"] + (x["y"] - pred) * (x["y"] - pred)
+            ).alias("sse"),
+        )
+
+    folded = arr.select(
+        F.size("a").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice(F.col("a"), F.lit(2), F.size("a") - 1),
+            F.element_at(F.col("a"), 1),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.col("st.level").alias("level"),
+        F.col("st.trend").alias("trend"),
+        F.col("st.sse").alias("sse_one_step"),
+        (F.col("st.level") + F.lit(7).cast("double") * F.col("st.trend"))
+        .alias("forecast_7"),
+    )

@@ -886,3 +886,26 @@ def test_benjamini_hochberg_matches_bruteforce(spark, orders_pd):
         assert math.isclose(r["t_obs"], t_obs[g], rel_tol=1e-12)
         assert math.isclose(r["adj_p"], adj[g], rel_tol=1e-12)
     assert [got[g]["bh_rank"] for g in order] == list(range(1, m + 1))
+
+
+def test_holt_linear_matches_bruteforce(spark):
+    ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pandas()
+    daily = ev.ts.dt.floor("d").value_counts().sort_index()
+    ys = [float(c) for c in daily]
+    level, trend, sse = ys[0], 0.0, 0.0
+    for y in ys[1:]:
+        pred = level + trend
+        newlevel = 0.5 * y + 0.5 * pred
+        trend = 0.5 * (newlevel - level) + 0.5 * trend
+        sse += (y - pred) * (y - pred)
+        level = newlevel
+    r = (
+        REGISTRY["events_holt_linear_forecast"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert r["n_days"] == len(ys)
+    assert r["level"] == level
+    assert r["trend"] == trend
+    assert r["sse_one_step"] == sse
+    assert r["forecast_7"] == level + 7.0 * trend
