@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import decimal_sum, decimal_sum_expr
+from ..functions.hashing import (
+    decimal_sum,
+    decimal_sum_expr,
+    fast_decimal_sum_expr,
+    unscaled_fixed,
+)
 from ..operators.datespine import date_spine
 from ..operators.dedup import rank_dedup
 from ..operators.delta import new_rows
@@ -36,14 +41,24 @@ _REVENUE_SQL = (
 )
 
 
+def _revenue_raw():
+    """Per-row revenue as the plain IEEE product — the value the decimal
+    pin makes exact. eprice is a 2 dp money value, (1-discount) 2 dp, so
+    the true product has <= 4 decimal digits and magnitude < 2^52/1e8:
+    exactly the ``fast_decimal_sum_expr`` precondition at scale 8."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
 def _revenue_col():
-    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(25,8)"
-    )
+    return _revenue_raw().cast("decimal(25,8)")
 
 
 def _revenue_sum():
-    return F.sum(_revenue_col()).cast("decimal(25,6)").cast("double")
+    # Result-identical unscaled-long fast path (r11 §4/§1.2: the per-row
+    # double→DECIMAL cast is a BigDecimal string round-trip that dominated
+    # these scan+agg queries); equivalence proven in
+    # tests/test_fast_decimal.py + the oracle gate.
+    return fast_decimal_sum_expr(_revenue_raw(), scale=8, final_scale=6)
 
 
 @register(
@@ -72,21 +87,21 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str):
     l = t(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
-    charge = (
-        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-        * (F.lit(1.0) + F.col("l_tax"))
-    ).cast("decimal(25,8)")
+    # All per-row pins on the fast unscaled-long path (result-identical —
+    # see fast_decimal_sum_expr): qty is integral, price/discount 2 dp,
+    # charge = revenue*(1+tax) <= 6 dp — all within the scale-6/8 domain.
+    charge = _revenue_raw() * (F.lit(1.0) + F.col("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= ts_lit(l, "l_shipdate", "2000-12-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            decimal_sum("l_quantity", alias="sum_qty"),
-            decimal_sum("l_extendedprice", alias="sum_base_price"),
+            fast_decimal_sum_expr(F.col("l_quantity")).alias("sum_qty"),
+            fast_decimal_sum_expr(F.col("l_extendedprice")).alias("sum_base_price"),
             _revenue_sum().alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(25,6)").cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            fast_decimal_sum_expr(charge, scale=8, final_scale=6).alias("sum_charge"),
+            (fast_decimal_sum_expr(F.col("l_quantity")) / cnt.cast("double")).alias("avg_qty"),
+            (fast_decimal_sum_expr(F.col("l_extendedprice")) / cnt.cast("double")).alias("avg_price"),
+            (fast_decimal_sum_expr(F.col("l_discount")) / cnt.cast("double")).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -420,7 +435,8 @@ def full_outer_daily_totals(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            decimal_sum("o_totalprice", alias="order_value"),
+            # fast path: o_totalprice is a 2 dp money double (result-identical)
+            fast_decimal_sum_expr(F.col("o_totalprice")).alias("order_value"),
         )
     )
     s = (

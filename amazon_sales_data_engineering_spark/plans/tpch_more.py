@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import decimal_sum
+from ..functions.hashing import decimal_sum, fast_decimal_sum_expr
 from .registry import register
 from .util import t, ts_lit
 
@@ -49,12 +49,19 @@ _REV_SQL = (
 )
 
 
+def _rev_raw(price="l_extendedprice", disc="l_discount"):
+    return F.col(price) * (F.lit(1.0) - F.col(disc))
+
+
 def _rev_dec(price="l_extendedprice", disc="l_discount"):
-    return (F.col(price) * (F.lit(1.0) - F.col(disc))).cast("decimal(25,8)")
+    return _rev_raw(price, disc).cast("decimal(25,8)")
 
 
 def _rev_sum(price="l_extendedprice", disc="l_discount"):
-    return F.sum(_rev_dec(price, disc)).cast("decimal(25,6)").cast("double")
+    # Result-identical unscaled-long fast path (r11: the per-row
+    # double→DECIMAL cast is a BigDecimal string round-trip; see
+    # functions.hashing.fast_decimal_sum_expr for the equivalence proof).
+    return fast_decimal_sum_expr(_rev_raw(price, disc), scale=8, final_scale=6)
 
 
 @register(
@@ -165,8 +172,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
     )
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _rev_dec()).otherwise(
-        F.lit(0.0).cast("decimal(25,8)")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _rev_raw()).otherwise(
+        F.lit(0.0)
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -179,8 +186,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(nation_rev).cast("double")
-                / F.sum(_rev_dec()).cast("double")
+                # fast path per sum; the CASE's 0.0 branch floors to 0
+                # exactly, so both conversions match the decimal pins.
+                fast_decimal_sum_expr(nation_rev, scale=8)
+                / fast_decimal_sum_expr(_rev_raw(), scale=8)
             ).alias("mkt_share")
         )
     )
@@ -216,10 +225,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders")
+    # profit is a difference of a 4 dp and a 2 dp exact product — a <= 4 dp
+    # value (possibly negative; floor(x+0.5) rounds half-up either sign
+    # here since no value sits near a .5 boundary) — fast-path eligible.
     profit = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(25,8)")
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -229,7 +241,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str):
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.sum(profit).cast("decimal(25,6)").cast("double").alias("sum_profit")
+            fast_decimal_sum_expr(profit, scale=8, final_scale=6).alias(
+                "sum_profit"
+            )
         )
     )
 
