@@ -101,47 +101,54 @@ GROUP BY 1
     bench=True,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str):
-    base = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
-    d = base.unionByName(
-        base.filter(F.col("doc_id") % 101 == 0).select(
-            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    # r11 restructure (guide §2.4/§2.3): the original built one
+    # union-all corpus (originals + re-injected eval copies) and derived
+    # `grams` from it, referencing it twice (eval aggregate + train
+    # join side) — Catalyst replayed the union + normalize + gram
+    # explode per reference: FOUR documents scans. But the branches are
+    # disjoint by construction: the eval side is exactly the ~1% residue
+    # class (the +1000000 shift leaves it), and the injected train
+    # copies carry the SAME text as the eval docs — so compute the
+    # per-eval-doc distinct gram set ONCE (filter the 1% residue class
+    # BEFORE the normalize/explode chain, persist the small result) and
+    # reuse it both as the capped eval gram table and, re-keyed by
+    # +1000000, as the injected train rows. One full-corpus normalize
+    # pass (non-eval docs) + one 1% pass. Identical rows out.
+    def doc_grams(df):
+        norm = _NORM(F.col("text"))
+        toks = (
+            df.select("doc_id", norm.alias("norm"))
+            .filter(F.length("norm") > 0)
+            .select("doc_id", F.split(F.col("norm"), " ").alias("tk"))
+            .filter(F.size("tk") >= _GRAM_N)
         )
-    )
-    norm = _NORM(F.col("text"))
-    toks = (
-        d.select("doc_id", norm.alias("norm"))
-        .filter(F.length("norm") > 0)
-        .select(
+        # Per-doc distinct grams, built inside the row: transform over
+        # start positions + array_distinct, THEN explode — duplicates
+        # never hit the exchange.
+        return toks.select(
             "doc_id",
-            (F.col("doc_id") % 101 == 0).alias("is_eval"),
-            F.split(F.col("norm"), " ").alias("tk"),
-        )
-        .filter(F.size("tk") >= _GRAM_N)
-    )
-    # Per-doc distinct grams, built inside the row: transform over start
-    # positions + array_distinct, THEN explode — duplicates never hit the
-    # exchange.
-    grams = toks.select(
-        "doc_id",
-        "is_eval",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - F.lit(_GRAM_N - 1)),
-                    lambda i: F.array_join(F.slice("tk", i, _GRAM_N), " "),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - F.lit(_GRAM_N - 1)),
+                        lambda i: F.array_join(F.slice("tk", i, _GRAM_N), " "),
+                    )
                 )
-            )
-        ).alias("gram"),
-    )
+            ).alias("gram"),
+        )
+
+    base = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    eg = doc_grams(base.filter(F.col("doc_id") % 101 == 0)).persist()
     eval_grams = (
-        grams.filter(F.col("is_eval"))
-        .groupBy("gram")
+        eg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_eval_docs"))
         .filter(F.col("n_eval_docs") <= _HOT_GRAM_CAP)
     )
+    train_grams = doc_grams(base.filter(F.col("doc_id") % 101 != 0)).unionByName(
+        eg.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "gram")
+    )
     return (
-        grams.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_grams), "gram")
+        train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared_grams"),
