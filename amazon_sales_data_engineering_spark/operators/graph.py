@@ -425,7 +425,13 @@ def personalized_pagerank_rounds(
     return out
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pre_normalized: bool = False,
+    degrees: DataFrame | None = None,
+) -> DataFrame:
     """Global triangle count of the undirected graph ``edges``, via
     degree orientation (the MapReduce-era Suri–Vassilvitskii shape).
 
@@ -457,21 +463,36 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # n_edges, and through `oriented` the adjacency + closing joins) — an
     # upstream edge construction would re-execute per subtree without the
     # persist (CacheManager dedupes identical plans across calls).
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    #
+    # r11: ``pre_normalized=True`` asserts the caller's edges are already
+    # distinct (u < v) pairs (e.g. the session-cached co-purchase table
+    # filtered to one orientation) — the least/greatest + distinct pass
+    # is then a full-exchange no-op and is skipped; ``degrees`` lets the
+    # caller supply (node, deg) computed without the unionAll double
+    # scan (a symmetric edge table yields it as one groupBy(src) that
+    # reuses the cache partitioning). Both are pure plan shortcuts with
+    # identical values — the oracle re-proves the composition.
+    if pre_normalized:
+        und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if degrees is not None:
+        deg = degrees.select("node", "deg")
+    else:
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     with_deg = und.join(du, "u").join(dv, "v")
@@ -487,10 +508,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     adj = oriented.groupBy("a").agg(F.collect_list("h").alias("nbrs"))
     # Inner joins drop edges whose head has no out-neighbors — those close
     # zero triangles, so the SUM is unaffected.
+    # shuffle_hash: both closing joins are |E|-vs-|V| equi-joins whose
+    # build side (the adjacency table) fits per-partition; SMJ would
+    # sort the |E| stream twice for nothing (guide §3.1).
     tri = (
-        oriented.join(adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")), "a")
+        oriented.join(
+            adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
         .join(
-            adj.select(F.col("a").alias("h"), F.col("nbrs").alias("nbrs_h")),
+            adj.select(F.col("a").alias("h"), F.col("nbrs").alias("nbrs_h"))
+            .hint("shuffle_hash"),
             "h",
         )
         .select(

@@ -680,12 +680,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     # Oriented view of the shared session-cached edge table: both
     # orientations are stored, so src < dst is a narrow filter over
     # cached data — the whole self-join edge build disappears.
-    edges = (
-        t_copurchase_edges(spark, sf_dir)
-        .select("src", "dst")
-        .filter(F.col("src") < F.col("dst"))
+    sym = t_copurchase_edges(spark, sf_dir).select("src", "dst")
+    edges = sym.filter(F.col("src") < F.col("dst"))
+    # r11: the cached pairs are already distinct with src < dst, so the
+    # operator's least/greatest + distinct pass (a full |E| exchange)
+    # is a no-op — skip it; degrees come from ONE groupBy(src) over the
+    # symmetric table, which reuses the cache's src hash-partitioning
+    # (no exchange) instead of the unionAll double scan.
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
-    return triangle_count(edges)
+    return triangle_count(edges, pre_normalized=True, degrees=deg)
 
 
 @register(
@@ -1840,6 +1845,12 @@ FROM exact e JOIN raw r ON r.event_type = e.event_type
     bench=True,
 )
 def hll_portable_distinct(spark: SparkSession, sf_dir: str):
+    # r11 note: persisting `u` (it feeds three subtrees) was tried and
+    # MEASURED SLOWER same-sitting (1.3s -> 2.1s at sf0.1): without the
+    # persist, Catalyst prunes each branch to a narrower parquet scan
+    # (the event-type list never materializes the full user distinct),
+    # and the three pruned scans beat one materialized cache. Left as
+    # is deliberately.
     u = (
         t(spark, sf_dir, "events")
         .select("event_type", F.col("user_id").alias("k"))

@@ -697,7 +697,13 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str):
             .agg(F.min_by("cid", "rank_key").alias(out))
         )
 
-    a1 = assign(init, "c1")
+    # r11: a1 feeds BOTH the round-1 mean recompute and the final
+    # a1 ⋈ a2 join — unpersisted, Catalyst re-executed the whole
+    # broadcast-distance-argmin pass (a full corpus scan + k distance
+    # evaluations per row) a second time. The (vec_id, c1) table is two
+    # integers per vector; persist it (same reduced-intermediate rule
+    # as dsir/ccnet).
+    a1 = assign(init, "c1").persist()
     mu = (
         m.join(a1, "vec_id")
         .select(
