@@ -540,6 +540,11 @@ def mmr_select(
         probes.select(F.col(id_col).alias("probe_id"))
         .join(qv, F.col("probe_id") == F.col("vid"))
         .select("probe_id", F.col("q8").alias("pq"))
+        # r11: the validation count below already computes this 1-row
+        # table; persisting it lets the candidate scan's broadcast reuse
+        # it instead of re-running the probe-resolution subtree (a
+        # second corpus scan + quantize pass) inside the main job.
+        .persist()
     )
     # Bounded validation (limit(2) short-circuits): the global top-N and
     # the probe_id-less output are only correct for a single probe.

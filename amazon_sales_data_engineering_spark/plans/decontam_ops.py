@@ -201,11 +201,11 @@ FROM word_stats w JOIN bi b ON b.doc_id = w.doc_id
     doc="Gopher-style repetition signals: most-frequent-word fraction and "
     "duplicate-bigram fraction (both floor'd milli-units), composed into "
     "a repetitive flag (top word ≥ 20% of tokens OR ≥ 30% of bigrams "
-    "duplicated). Top-word goes through the scalable two-level "
-    "aggregate — (doc,term) counts then per-doc max — both levels "
-    "map-side combinable; the bigram signal is computed inside the row "
-    "(zip_with + array_distinct, no shuffle) and joined back on doc_id. "
-    "All-integer arithmetic: engine-exact.",
+    "duplicated). Both signals are computed INSIDE the row: the top-word "
+    "count is the longest equal-run of the sorted token array (one "
+    "aggregate() fold — max multiplicity by construction), the bigram "
+    "signal zip_with + array_distinct; the whole query is one narrow "
+    "map pass with zero shuffles. All-integer arithmetic: engine-exact.",
     tags=("corpus", "text", "filter"),
     bench=True,
 )
@@ -225,20 +225,42 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str):
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bi = toks.select(
+    # r11 rewrite (guide §2.4 — remove shuffles outright): the top-word
+    # count is the maximum token multiplicity, which equals the longest
+    # equal-run in the SORTED token array — computable in-row with one
+    # aggregate() fold, exactly like the bigram signal. The previous
+    # shape exploded the token stream through a two-level aggregate and
+    # joined the per-doc halves back: 2 documents scans + 3 exchanges
+    # for values that never needed to leave the row. Now the whole
+    # query is ONE narrow map pass: zero exchanges, zero joins. Counts
+    # are identical integers, so every output value is unchanged.
+    run = F.aggregate(
+        F.array_sort("tk"),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("bigint").alias("r"),
+            F.lit(0).cast("bigint").alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            F.when(x.eqNullSafe(acc.getField("p")), acc.getField("r") + 1)
+            .otherwise(F.lit(1))
+            .alias("r"),
+            F.greatest(
+                acc.getField("b"),
+                F.when(
+                    x.eqNullSafe(acc.getField("p")), acc.getField("r") + 1
+                ).otherwise(F.lit(1)),
+            ).alias("b"),
+        ),
+        lambda acc: acc.getField("b"),
+    )
+    stats = toks.select(
         "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        run.alias("top_cnt"),
         F.size(bigrams).alias("n_bi"),
         F.size(F.array_distinct(bigrams)).alias("n_bi_distinct"),
-    )
-    word_stats = (
-        toks.select("doc_id", F.explode("tk").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("top_cnt"),
-            F.sum("cnt").alias("n_tokens"),
-        )
     )
     top_milli = F.floor((F.col("top_cnt") * F.lit(1000.0)) / F.col("n_tokens"))
     dup_milli = F.when(F.col("n_bi") == 0, F.lit(0)).otherwise(
@@ -247,18 +269,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str):
             / F.col("n_bi")
         )
     )
-    return (
-        word_stats.join(bi, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            top_milli.cast("bigint").alias("top_word_milli"),
-            dup_milli.cast("bigint").alias("dup_bigram_milli"),
-            (
-                (top_milli >= 200)
-                | ((F.col("n_bi") > 0) & (dup_milli >= 300))
-            ).alias("repetitive"),
-        )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        top_milli.cast("bigint").alias("top_word_milli"),
+        dup_milli.cast("bigint").alias("dup_bigram_milli"),
+        (
+            (top_milli >= 200) | ((F.col("n_bi") > 0) & (dup_milli >= 300))
+        ).alias("repetitive"),
     )
 
 
