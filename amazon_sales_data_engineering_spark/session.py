@@ -28,8 +28,18 @@ DEFAULT_CONF: dict[str, str] = {
     # star joins (SURVEY.md §2.3 J6) should always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # One shuffle partition per local core; a real cluster overrides this
-    # (or relies on AQE coalescing from a higher initial value).
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
+    # (or relies on AQE coalescing from a higher initial value). r11:
+    # derived from $SPARK_GRAFT_CPUS when the harness pins the core
+    # count — the bench driver also runs at REDUCED core counts to
+    # measure scaling, and a partition count frozen at the full-host
+    # value is exactly the "constant tuned for local mode" the
+    # optimization contract bans (guide §2.2: partition count should
+    # track available parallelism, with AQE coalescing above it).
+    "spark.sql.shuffle.partitions": (
+        os.environ.get("SPARK_GRAFT_CPUS")
+        if str(os.environ.get("SPARK_GRAFT_CPUS", "")).isdigit()
+        else str(os.cpu_count() or 32)
+    ),
     # Spark's 1g local-mode default heap starves 32 concurrent tasks
     # (aggregate spill-readers alone OOM it on graph-sized shuffles); size
     # the single local JVM like the executor it stands in for. Only takes
