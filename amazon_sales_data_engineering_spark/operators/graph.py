@@ -508,19 +508,15 @@ def triangle_count(
     adj = oriented.groupBy("a").agg(F.collect_list("h").alias("nbrs"))
     # Inner joins drop edges whose head has no out-neighbors — those close
     # zero triangles, so the SUM is unaffected.
-    # shuffle_hash: both closing joins are |E|-vs-|V| equi-joins whose
-    # build side (the adjacency table) fits per-partition; SMJ would
-    # sort the |E| stream twice for nothing (guide §3.1).
+    # No join-strategy hints here (r11 lesson, measured): forcing
+    # shuffle_hash made BOTH closing joins shuffle the O(sqrt(|E|))
+    # adjacency arrays through every exchange (23 MB -> 355 MB of
+    # shuffle at sf0.1); left alone, AQE broadcasts the adjacency side
+    # when it fits and falls back to SMJ only above the threshold.
     tri = (
-        oriented.join(
-            adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")).hint(
-                "shuffle_hash"
-            ),
-            "a",
-        )
+        oriented.join(adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")), "a")
         .join(
-            adj.select(F.col("a").alias("h"), F.col("nbrs").alias("nbrs_h"))
-            .hint("shuffle_hash"),
+            adj.select(F.col("a").alias("h"), F.col("nbrs").alias("nbrs_h")),
             "h",
         )
         .select(

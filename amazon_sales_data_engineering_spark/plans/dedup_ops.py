@@ -381,6 +381,12 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str):
         .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
         .persist()
     )
+    # r11 note: persisting docsets (it feeds three subtrees) was tried
+    # and MEASURED 2.6x SLOWER same-sitting: unpersisted, Catalyst
+    # prunes each branch — the prefix-length branch aggregates only the
+    # count (never builds the arrays), and the two verify sides are the
+    # only collect_set consumers; the materialized array cache lost to
+    # those pruned aggregates. Deliberately left unpersisted.
     docsets = ranked.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh_set"),
         F.count(F.lit(1)).alias("n"),
