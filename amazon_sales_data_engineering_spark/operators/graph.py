@@ -667,6 +667,7 @@ def label_propagation_rounds(
     src: str = "src",
     dst: str = "dst",
     symmetric: bool = False,
+    prepartitioned_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), ``n_rounds``
     bounded rounds over the undirected graph ``edges``.
@@ -701,16 +702,42 @@ def label_propagation_rounds(
     orientations of every edge (true for any self-join pair builder,
     e.g. the co-purchase graph) — the symmetrize union is skipped,
     halving the one-time edge exchange.
+
+    ``prepartitioned_distinct=True`` (requires ``symmetric=True``)
+    declares the input is ALREADY a distinct edge set hash-partitioned
+    by ``src`` — the shared session-cached co-purchase table's shape.
+    Then the edge list never re-exchanges at all (r11, guide §2.1):
+    aliasing (u, v) := (dst, src) is a set-identity on a symmetric
+    edge set, and the alias-aware Project turns the cache's
+    hashpartitioning(src) into hashpartitioning(v) — exactly the
+    clustering the per-round join needs — so the one-time
+    repartition-by-v + no-op dedup + second in-memory copy all
+    disappear (measured 51 MB / 3.4M rows of build shuffle at sf0.1).
     """
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if not symmetric:
-        both = both.unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
     n_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    e = both.repartition(n_parts, "v").dropDuplicates(["u", "v"]).persist()
+    if prepartitioned_distinct:
+        if not symmetric:
+            raise ValueError(
+                "prepartitioned_distinct requires symmetric=True: the "
+                "alias swap is only edge-set-preserving when both "
+                "orientations are present"
+            )
+        e = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        owns_cache = False
+    else:
+        both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if not symmetric:
+            both = both.unionByName(
+                edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            )
+        e = (
+            both.repartition(n_parts, "v")
+            .dropDuplicates(["u", "v"])
+            .persist()
+        )
+        owns_cache = True
     # Round 1 from identity labels degenerates exactly: every neighbor
     # carries a distinct label (its own id), so all counts are 1 and the
     # (count desc, label asc) argmax IS min(neighbor) — one aggregate
@@ -745,7 +772,8 @@ def label_propagation_rounds(
             .withColumnRenamed("u", "node")
         )
     out = _ckpt(labels, "label_propagation rounds (full lazy chain)")
-    e.unpersist()
+    if owns_cache:
+        e.unpersist()
     return out
 
 

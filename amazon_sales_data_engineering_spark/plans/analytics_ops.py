@@ -1104,8 +1104,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str):
     # dedup is a no-op over already-unique rows and its u-clustered
     # aggregate needs no fresh exchange.
     edges = t_copurchase_edges(spark, sf_dir).select("src", "dst")
-    # symmetric=True: the table carries both orientations already
-    return label_propagation_rounds(edges, n_rounds=2, symmetric=True)
+    # symmetric + prepartitioned_distinct: the shared table carries
+    # both orientations, is distinct by construction, and arrives
+    # hash-partitioned by src — LPA's alias swap reuses that layout
+    # with ZERO edge exchange (r11; was a 51 MB repartition-by-v).
+    return label_propagation_rounds(
+        edges, n_rounds=2, symmetric=True, prepartitioned_distinct=True
+    )
 
 
 @register(
@@ -1177,8 +1182,11 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str):
     # Shared session-cached distinct edge table (already persisted —
     # no per-query persist/unpersist lifecycle to manage here).
     edges = t_copurchase_edges(spark, sf_dir).select("src", "dst")
-    # symmetric=True: the u≠v generator emits both orientations already
-    labels = label_propagation_rounds(edges, n_rounds=2, symmetric=True)
+    # symmetric + prepartitioned_distinct: same zero-edge-exchange
+    # reuse of the shared table's layout as graph_label_propagation.
+    labels = label_propagation_rounds(
+        edges, n_rounds=2, symmetric=True, prepartitioned_distinct=True
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )

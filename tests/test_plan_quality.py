@@ -309,6 +309,64 @@ def test_lpa_shuffle_diet_idioms(spark):
         e.unpersist()
 
 
+def test_lpa_prepartitioned_swap_elides_edge_exchange(spark):
+    """Pin the idiom behind label_propagation_rounds'
+    prepartitioned_distinct path (r11): on a SYMMETRIC edge set cached
+    with hashpartitioning(src), the alias swap (u, v) := (dst, src) is
+    a set-identity whose alias-aware Project REPORTS
+    hashpartitioning(v) — so the per-round join on v reads the edge
+    side straight from the cache with NO new Exchange (the 51 MB
+    repartition-by-v the pre-r11 build paid is gone)."""
+    from pyspark.sql import functions as F
+
+    pairs = {(i % 7, (i * 3 + 1) % 7) for i in range(40)}
+    sym = sorted(pairs | {(b, a) for a, b in pairs})
+    cached = (
+        spark.createDataFrame(sym, "src int, dst int")
+        .repartition(8, "src")
+        .persist()
+    )
+    try:
+        cached.count()
+        # the operator's swap: u := dst, v := src
+        e = cached.select(
+            F.col("dst").alias("u"), F.col("src").alias("v")
+        )
+        labels = e.groupBy("u").agg(F.min("v").alias("vl"))
+        joined = e.join(
+            labels.select(F.col("u").alias("v"), "vl").hint(
+                "shuffle_hash"
+            ),
+            "v",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        edge_side = plan.split("Join", 1)[1].split(
+            "InMemoryTableScan", 1
+        )[0]
+        assert (
+            "Exchange" not in edge_side
+        ), f"edge side re-exchanged despite alias swap:\n{plan[:2000]}"
+    finally:
+        cached.unpersist()
+
+
+def test_lpa_prepartitioned_requires_symmetric(spark):
+    """The alias swap is only edge-set-preserving on a symmetric input
+    — the operator must refuse the combination loudly."""
+    import pytest as _pytest
+
+    from amazon_sales_data_engineering_spark.operators.graph import (
+        label_propagation_rounds,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with _pytest.raises(ValueError, match="symmetric"):
+        label_propagation_rounds(
+            df, n_rounds=2, symmetric=False, prepartitioned_distinct=True
+        )
+
+
 def test_decontaminate_embedding_broadcasts_eval_side(spark):
     """The eval carve-out is benchmark-sized and must broadcast; a
     SortMergeJoin on bucket would shuffle the whole train corpus."""
