@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ckpt import release_local_checkpoint
+
 
 
 def _to_double(arr: Column) -> Column:
@@ -745,16 +745,24 @@ def kcenter_trace(
     """Greedy k-center (farthest-point) coreset trace: ``k`` rows of
     (round, center_id, radius) — see plans.pretrain_ops.
     sample_kcenter_coreset for the literature + scale notes. Fully
-    deterministic: seed = lowest id, distance ties break on id. Each
-    round broadcasts ONE vector, updates per-point min-distances in a
-    shuffle-free narrow map (localCheckpoint lineage cut), and takes
-    the argmax via TakeOrderedAndProject. Only the LATEST round's
-    corpus-sized state checkpoint is retained — the prior round's is
-    unpersisted as soon as its successor materializes, so executor
-    storage holds O(1) copies of the state, not O(k). NOTE for bench
-    accounting: the eager checkpoints mean the k rounds execute at
-    DataFrame-CONSTRUCTION time; the returned trace plan is a cheap
-    union of 1-row checkpoints."""
+    deterministic: seed = lowest id, distance ties break on id.
+
+    r11 shape (guide §1.2 job-count / §5 storage): ONE job per round.
+    The corpus-sized (id, vector) table is persisted ONCE; each
+    round's min-distance state is a LAZY left-nested ``least(...,
+    sqd(e, center_r))`` fold over the centers selected so far —
+    centers are O(k·dim) driver literals, so the argmax
+    (TakeOrderedAndProject, per-partition top-1 + driver merge of k
+    candidate rows) is the round's ONLY job. The previous shape
+    additionally re-materialized the full (id, vector, d) state into
+    fresh localCheckpoint blocks every round (a second job + a
+    corpus-sized array re-serialization per round, measured 2× the
+    wall at the 16-job scheduling floor). The fold order is identical
+    to the old iterative ``least`` update (and to the oracle's), so
+    every IEEE intermediate — hence every rank and tie — is unchanged.
+    NOTE for bench accounting: the k argmax jobs run at
+    DataFrame-CONSTRUCTION time (as the eager checkpoints did); the
+    returned trace is a k-row local relation."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -765,57 +773,32 @@ def kcenter_trace(
             lambda acc, x: acc + x,
         )
 
+    def vec_lit(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
     v = df.select(
-        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e")
-    )
-    c1 = (
-        v.orderBy(F.asc(id_col))
-        .limit(1)
-        .select(F.col(id_col).alias("cid"), F.col("e").alias("ce"))
-        .localCheckpoint(eager=True)
-    )
-    rows = [
-        c1.select(
-            F.lit(1).alias("round"),
-            F.col("cid").alias("center_id"),
-            F.lit(0.0).alias("radius"),
-        )
-    ]
-    state = (
-        v.crossJoin(F.broadcast(c1.select("ce")))
-        .select(id_col, "e", sqd(F.col("e"), F.col("ce")).alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    for r in range(2, k + 1):
-        nc = (
-            state.orderBy(F.desc("d"), F.asc(id_col))
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        rows.append(
-            nc.select(
-                F.lit(r).alias("round"),
-                F.col(id_col).alias("center_id"),
-                F.col("d").alias("radius"),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    ).persist()
+    try:
+        seed = v.orderBy(F.asc(id_col)).limit(1).collect()[0]
+        trace = [(1, seed[id_col], 0.0)]
+        # Lazy running min-distance to the selected centers — same
+        # left-nested least() chain the materialized update applied.
+        d = sqd(F.col("e"), vec_lit(seed["e"]))
+        for r in range(2, k + 1):
+            far = (
+                v.select(id_col, "e", d.alias("d"))
+                .orderBy(F.desc("d"), F.asc(id_col))
+                .limit(1)
+                .collect()[0]
             )
+            trace.append((r, far[id_col], far["d"]))
+            if r < k:
+                d = F.least(d, sqd(F.col("e"), vec_lit(far["e"])))
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            trace, f"round int, center_id {id_type}, radius double"
         )
-        if r < k:
-            prev = state
-            state = (
-                state.crossJoin(F.broadcast(nc.select(F.col("e").alias("ce"))))
-                .select(
-                    id_col,
-                    "e",
-                    F.least(F.col("d"), sqd(F.col("e"), F.col("ce"))).alias("d"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            # eager=True above means the new state's blocks exist before
-            # we drop the old round's — safe to release immediately.
-            # release_local_checkpoint, not unpersist: the blocks belong
-            # to the checkpoint RDD, invisible to the cache manager.
-            release_local_checkpoint(prev)
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionByName(rdf)
-    return out
+    finally:
+        v.unpersist()

@@ -392,11 +392,13 @@ def test_quality_classifier_broadcasts_vocab_weights(spark):
 
 
 def test_kcenter_round_idioms_shuffle_free(spark):
-    """sample_kcenter_coreset checkpoints each round eagerly, so the
-    final plan is only RDD scans (assert that below); the round idioms
-    are pinned here on a synthetic frame: (1) the min-distance update —
-    broadcast ONE center vector, narrow map, zero Exchange; (2) the
-    argmax is TakeOrderedAndProject, never a global sort."""
+    """sample_kcenter_coreset runs its rounds at construction time (r11:
+    one lazy least()-fold argmax job per round over the persisted
+    corpus; the trace itself is a k-row local relation), so the final
+    plan is only RDD scans (assert that below); the round idioms are
+    pinned here on a synthetic frame: (1) the min-distance update is a
+    narrow map over the corpus — zero corpus Exchange; (2) the argmax
+    is TakeOrderedAndProject, never a global sort."""
     from pyspark.sql import functions as F
 
     v = spark.range(100).select(
