@@ -36,7 +36,18 @@ def distributed_cumsum(
     """Append ``out_col``: exact-decimal cumulative sum of ``value_col``
     over the global (order_col, *tiebreak) order, computed with the
     two-phase bucket scan (no single-partition window). ``descending``
-    orders high-to-low (the Pareto direction)."""
+    orders high-to-low (the Pareto direction).
+
+    The input is referenced by THREE subtrees of the one result plan —
+    the fence percentiles, the per-bucket local window, and the bucket
+    totals — so an uncached upstream (typically a scan + aggregate,
+    e.g. compaction_binpack_plan's 600k-row file inventory build)
+    would execute three times inside the same job (the round-4
+    double-reference trap, triple form). The input is persisted here
+    (r11, guide §1.2): the inventory is manifest-sized (narrow key +
+    size columns) by this module's own scale contract, so the cache is
+    node-safe and the upstream builds exactly once."""
+    df = df.persist()
     q = [p / n_buckets for p in range(1, n_buckets)]
     dirn = "DESC" if descending else "ASC"
     if not q:
@@ -126,7 +137,11 @@ def distributed_cummax(
     "strictly smaller order_col" semantics must pass unique order keys
     (pre-aggregate first), since equal keys are prefix-visible to each
     other through the tiebreak order.
+
+    Input persisted for the same triple-reference reason as
+    :func:`distributed_cumsum` (r11).
     """
+    df = df.persist()
     q = [p / n_buckets for p in range(1, n_buckets)]
     if not q:
         # Same zero-children-agg trap as distributed_cumsum: degenerate
@@ -200,7 +215,11 @@ def distributed_lead(
     DISTINCT ``order_col`` values (pre-aggregate first): with duplicates,
     "next value" is ill-defined across a bucket fence because equal keys
     never split buckets but do share local-lead visibility.
+
+    Input persisted for the same triple-reference reason as
+    :func:`distributed_cumsum` (r11).
     """
+    df = df.persist()
     q = [p / n_buckets for p in range(1, n_buckets)]
     if not q:
         with_b = df.withColumn("__fences", F.lit(None))
