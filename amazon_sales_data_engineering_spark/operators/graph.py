@@ -426,11 +426,7 @@ def personalized_pagerank_rounds(
 
 
 def triangle_count(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    pre_normalized: bool = False,
-    degrees: DataFrame | None = None,
+    edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """Global triangle count of the undirected graph ``edges``, via
     degree orientation (the MapReduce-era Suri–Vassilvitskii shape).
@@ -464,35 +460,30 @@ def triangle_count(
     # upstream edge construction would re-execute per subtree without the
     # persist (CacheManager dedupes identical plans across calls).
     #
-    # r11: ``pre_normalized=True`` asserts the caller's edges are already
-    # distinct (u < v) pairs (e.g. the session-cached co-purchase table
-    # filtered to one orientation) — the least/greatest + distinct pass
-    # is then a full-exchange no-op and is skipped; ``degrees`` lets the
-    # caller supply (node, deg) computed without the unionAll double
-    # scan (a symmetric edge table yields it as one groupBy(src) that
-    # reuses the cache partitioning). Both are pure plan shortcuts with
-    # identical values — the oracle re-proves the composition.
-    if pre_normalized:
-        und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    else:
-        und = (
-            edges.select(
-                F.least(F.col(src), F.col(dst)).alias("u"),
-                F.greatest(F.col(src), F.col(dst)).alias("v"),
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .persist()
+    # r11 NOTE (measured, then REVERTED): a variant skipped the
+    # least/greatest+distinct pass for pre-normalized cached input and
+    # took degrees from one groupBy over the symmetric cache. It saved
+    # 6 MB of shuffle at sf0.1 (wall-neutral) but measured 1.8× SLOWER
+    # at sf1 isolated (8.6s → 15.8s; 32.9s → 93.6s inside the sf1
+    # mini-bench sitting where its spill also evicted the shared edge
+    # cache ahead of pagerank). The materialized distinct's own
+    # exchange is what gives the degree joins and the adjacency build
+    # a freshly balanced, fully-partitioned base at scale — keep it.
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
-    if degrees is not None:
-        deg = degrees.select("node", "deg")
-    else:
-        deg = (
-            und.select(F.col("u").alias("node"))
-            .unionAll(und.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     with_deg = und.join(du, "u").join(dv, "v")

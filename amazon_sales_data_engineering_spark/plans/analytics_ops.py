@@ -680,17 +680,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     # Oriented view of the shared session-cached edge table: both
     # orientations are stored, so src < dst is a narrow filter over
     # cached data — the whole self-join edge build disappears.
-    sym = t_copurchase_edges(spark, sf_dir).select("src", "dst")
-    edges = sym.filter(F.col("src") < F.col("dst"))
-    # r11: the cached pairs are already distinct with src < dst, so the
-    # operator's least/greatest + distinct pass (a full |E| exchange)
-    # is a no-op — skip it; degrees come from ONE groupBy(src) over the
-    # symmetric table, which reuses the cache's src hash-partitioning
-    # (no exchange) instead of the unionAll double scan.
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # (r11: a skip-the-distinct + cache-partitioned-degrees variant was
+    # measured 1.8× slower at sf1 and reverted — see the operator's
+    # docstring note. The materialized distinct stays.)
+    edges = (
+        t_copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .filter(F.col("src") < F.col("dst"))
     )
-    return triangle_count(edges, pre_normalized=True, degrees=deg)
+    return triangle_count(edges)
 
 
 @register(
