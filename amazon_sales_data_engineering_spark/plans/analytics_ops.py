@@ -2229,27 +2229,24 @@ def score_lift_calibration(spark: SparkSession, sf_dir: str):
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
-    fences = labeled.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY score)"
-                )
-                for p in range(1, 10)
-            ]
-        ).alias("bnds")
-    )
-    binned = (
-        labeled.crossJoin(F.broadcast(fences))
-        .groupBy(
-            F.size(F.filter(F.col("bnds"), lambda x: x < F.col("score")))
-            .cast("int")
-            .alias("decile")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("pos").cast("bigint").alias("n_pos"),
-        )
+    # Bounded fence row collected as literals (the histogram_equidepth
+    # recipe): 9 codegen compares per row replace the interpreted
+    # 9-element lambda filter per row. Identical decile integers.
+    fence_row = labeled.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY score)"
+            ).alias(f"f{p}")
+            for p in range(1, 10)
+        ]
+    ).collect()[0]
+    decile = sum(
+        F.when(F.lit(v) < F.col("score"), 1).otherwise(0)
+        for v in [fence_row[f"f{p}"] for p in range(1, 10)]
+    ).cast("int")
+    binned = labeled.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
     )
     tot = binned.agg(F.sum("n_pos").cast("bigint").alias("total_pos"))
     w = Window.orderBy(F.col("decile").desc()).rowsBetween(

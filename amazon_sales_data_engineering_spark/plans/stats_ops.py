@@ -2543,22 +2543,30 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str):
         (F.row_number().over(W.orderBy("g")) - 1).cast("bigint").alias("gi"),
         F.sum("n_g").over(w_g).cast("bigint").alias("cum_n"),
     )
-    bnd = F.broadcast(
-        idx.crossJoin(tot)
-        .groupBy("n")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        "g",
-                        F.expr("(cum_n * 4294967296) DIV n").alias("hi"),
-                    )
-                )
-            ).alias("__pairs")
-        )
-        .select(F.expr("transform(__pairs, x -> x.hi)").alias("bnds"))
-    )
+    # The m bucket boundaries are dim-domain-sized (one per nation,
+    # <=25) and data-derived; collect them ONCE per run as literals (the
+    # kcenter lazy-fold recipe — a bounded driver action inside the
+    # timed region, never a cache across runs) so the per-row bucket
+    # lookup below compiles to a whole-stage-codegen comparison chain.
+    # The replaced form cross-joined a 1-row boundary ARRAY onto every
+    # exploded row and ran an interpreted higher-order lambda filter
+    # per row — m lambda evals x rows x reps (~480M at sf0.1) was the
+    # measured wall (guide §1.2 step 2 / §4: HOFs are NOT codegen'd).
+    his = [
+        int(r["hi"])
+        for r in idx.crossJoin(tot)
+        .select("g", F.expr("(cum_n * 4294967296) DIV n").alias("hi"))
+        .orderBy("g")
+        .collect()
+    ]
     reps = spark.range(1, _BH_REPS + 1).select(F.col("id").alias("rep"))
+    # gi = |{boundaries <= u32}| — identical integers to the lambda
+    # filter over the sorted boundary array, now as codegen int adds.
+    gi_expr = F.expr(
+        "CAST("
+        + " + ".join(f"(CASE WHEN {h} <= u32 THEN 1 ELSE 0 END)" for h in his)
+        + " AS BIGINT)"
+    )
     flips = (
         base.select(
             "o_orderkey",
@@ -2569,15 +2577,8 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str):
                 )
             ).alias("rep"),
         )
-        .crossJoin(bnd)
         .withColumn("u32", F.expr(_BH_U32))
-        .select(
-            "rep",
-            "cents",
-            F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("u32")))
-            .cast("bigint")
-            .alias("gi"),
-        )
+        .select("rep", "cents", gi_expr.alias("gi"))
     )
     cell = flips.groupBy("rep", "gi").agg(
         F.count(F.lit(1)).cast("bigint").alias("na_p"),
