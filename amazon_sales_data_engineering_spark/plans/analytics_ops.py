@@ -3786,11 +3786,26 @@ def regression_theilsen_slope(spark: SparkSession, sf_dir: str):
     n_days = daily.groupBy("priority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
     )
-    med = slopes.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)")
-        .cast("bigint")
-        .alias("theilsen_slope_micro"),
+    # Median slope via bucketed distributed selection
+    # (operators.percentiles; equality to grouped percentile_disc
+    # pinned in tests/test_percentiles_exact.py). The ObjectAggregate
+    # form buffered all ~2.9M pair slopes per priority into one final
+    # task (+46s over the 17s pair pipeline at sf0.1); the slopes are
+    # ~100% distinct, so the histogram form compresses nothing — the
+    # selection form persists the pair join ONCE (bounded: pairs are
+    # date-domain², ~3M/priority at any fact size) and sorts only the
+    # 1/32 bucket containing the median. Also keeps the median as an
+    # EXACT BIGINT element (percentile_disc returns DOUBLE, lossy past
+    # 2^53 — the exact element is what the DuckDB oracle selects).
+    from ..operators.percentiles import grouped_disc_percentile_bucketed
+
+    med = grouped_disc_percentile_bucketed(
+        slopes,
+        "priority",
+        "slope_micro",
+        0.5,
+        "theilsen_slope_micro",
+        n_col="n_pairs",
     )
     return med.join(F.broadcast(n_days), "priority").select(
         "priority", "n_days", "n_pairs", "theilsen_slope_micro"

@@ -253,12 +253,18 @@ FROM dev d JOIN mad m ON m.o_orderstatus = d.o_orderstatus
     tags=("agg", "profile", "stats"),
 )
 def outliers_mad_by_status(spark: SparkSession, sf_dir: str):
+    # Both medians via the per-group value histogram
+    # (operators.percentiles; equality to the grouped percentile_disc
+    # aggregate pinned in tests/test_percentiles_exact.py): the
+    # ObjectAggregate form buffered every one of the ~500k rows per
+    # status group into its single final task — the measured 15s sf0.1
+    # wall. The histogram form shuffles one row per distinct (status,
+    # value) and streams a running count. o_totalprice is never NULL,
+    # so the all-NULL-group contract difference cannot arise.
+    from ..operators.percentiles import grouped_disc_percentile
+
     o = t(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderstatus").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
-        ).alias("med")
-    )
+    med = grouped_disc_percentile(o, "o_orderstatus", "o_totalprice", 0.5, "med")
     dev = o.join(F.broadcast(med), "o_orderstatus").select(
         "o_orderkey",
         "o_orderstatus",
@@ -266,11 +272,7 @@ def outliers_mad_by_status(spark: SparkSession, sf_dir: str):
         "med",
         F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("o_orderstatus").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias(
-            "mad"
-        )
-    )
+    mad = grouped_disc_percentile(dev, "o_orderstatus", "adev", 0.5, "mad")
     return dev.join(F.broadcast(mad), "o_orderstatus").select(
         "o_orderkey",
         "o_orderstatus",
@@ -319,23 +321,22 @@ GROUP BY 1
 )
 def histogram_equidepth_price(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
-    # The 9 decile fences are a bounded scalar row; collect them ONCE
-    # per run as double literals (bit-exact Python float round-trip)
-    # so bucket assignment compiles to 9 codegen compares per row
-    # instead of an interpreted 9-element lambda filter per row (HOFs
-    # are not codegen'd — measured 18s at sf0.1, dominated by the
-    # lambda evals, not the percentile pass). Same integers out: the
+    # The 9 decile fences are a bounded scalar row; compute them via
+    # the value HISTOGRAM (operators.percentiles — groupBy + prefix
+    # scan + conditional min; equality to percentile_disc pinned in
+    # tests/test_percentiles_exact.py) instead of the 9-buffer
+    # percentile_disc ObjectAggregate that funnels every row into one
+    # task (measured: the remaining 19s of this query's sf0.1 wall
+    # after the fence-literal rewrite), then collect ONCE per run as
+    # double literals so bucket assignment compiles to 9 codegen
+    # compares per row instead of an interpreted 9-element lambda
+    # filter per row (HOFs are not codegen'd). Same integers out: the
     # count of fences strictly below the value.
-    fence_row = li.agg(
-        *[
-            F.expr(
-                f"percentile_disc(0.{p}) WITHIN GROUP "
-                "(ORDER BY l_extendedprice)"
-            ).alias(f"f{p}")
-            for p in range(1, 10)
-        ]
-    ).collect()[0]
-    fences = [fence_row[f"f{p}"] for p in range(1, 10)]
+    from ..operators.percentiles import collect_disc_percentiles
+
+    fences = collect_disc_percentiles(
+        li, "l_extendedprice", [p / 10 for p in range(1, 10)]
+    )
     bucket = sum(
         F.when(F.lit(v) < F.col("l_extendedprice"), 1).otherwise(0)
         for v in fences
