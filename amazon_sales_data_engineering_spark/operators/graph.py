@@ -615,6 +615,9 @@ def edge_neighborhood_similarity(
         .persist()
     )
     both = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # NOTE (r11): persisting adj here (it feeds both join sides) was
+    # MEASURED SLOWER (7.8 vs 7.0s at sf0.1) — materializing the full
+    # adjacency-array cache costs more than the second 2|E| aggregate.
     adj = both.groupBy("u").agg(
         F.collect_list("v").alias("nbrs"), F.count(F.lit(1)).alias("deg")
     )
@@ -914,11 +917,15 @@ def triangle_counts_per_node(
         .distinct()
         .persist()
     )
+    # deg is referenced THREE times in one plan (du, dv, the final
+    # output join): uncached, the 2|E| union + shuffle executed three
+    # times per call (r11). |V|-sized cache, released below.
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
@@ -971,6 +978,7 @@ def triangle_counts_per_node(
         .localCheckpoint()
     )
     und.unpersist()
+    deg.unpersist()
     closed.unpersist()
     return out
 

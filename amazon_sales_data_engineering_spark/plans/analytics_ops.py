@@ -2824,16 +2824,19 @@ def brand_affinity_matrix(spark: SparkSession, sf_dir: str):
     )
     n_orders = items.agg(F.count_distinct("okey").alias("n"))
     brand_cnt = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # Pairs generated IN-ROW from the per-order brand set (bounded:
+    # baskets ≤7 items) instead of the items self-join — the
+    # assoc_rules_copurchase recipe (r11 change 3) applied at brand
+    # level: one hash aggregate + codegen array expansion replaces the
+    # sort-merge self-join's two sorted cache reads. items is DISTINCT
+    # (okey, brand), so set-pairs count each co-basket exactly once —
+    # identical `together`.
+    from ..operators.graph import cooccurrence_pairs
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        cooccurrence_pairs(items, "okey", "brand", ordered=True)
         .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+            F.col("src").alias("brand_a"), F.col("dst").alias("brand_b")
         )
         .agg(F.count(F.lit(1)).alias("together"))
     )

@@ -1602,13 +1602,21 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", k=3).persist()
     exact_cand = prefix_filter_candidates(sh, "doc_id", threshold_pct=50)
-    truth = jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=exact_cand)
+    # truth and lsh_cand are each referenced TWICE (their own count +
+    # the hit semi-join): uncached, both full candidate-generation
+    # subtrees executed twice per run (r11 plan audit: 29 parquet
+    # scans / 34 joins in one plan). Both are candidate-PAIR-sized
+    # (banded/prefix-filtered, never all-pairs), so the caches are
+    # bounded by construction.
+    truth = jaccard_pairs(
+        sh, "doc_id", threshold=0.5, candidates=exact_cand
+    ).persist()
 
     aggs = [
         F.min(seeded_md5(s, F.col("shingle"))).alias(f"h{s}") for s in range(6)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    lsh_cand = minhash_lsh_pairs(sig, "doc_id", num_hashes=6, bands=3)
+    lsh_cand = minhash_lsh_pairs(sig, "doc_id", num_hashes=6, bands=3).persist()
 
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_cand = lsh_cand.agg(

@@ -305,7 +305,13 @@ SELECT
     tags=("pipeline", "star"),
 )
 def pipeline_star_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sales = _curated_all(spark)
+    # The curated pipeline (3 CSV sources → full-outer forex join →
+    # rank dedup → deduplicating union) is referenced by SIX dim
+    # frames, the date spine AND the star fact — ~14 copies of the
+    # whole subtree in one 443KB plan, each executed independently
+    # (r11, plans/r11/pipeline_star_counts_before.txt). The curated
+    # table is reference-dataset sized; build it once.
+    sales = _curated_all(spark).persist()
     region = region_dim_frame(sales).select("country", "region")
     product = product_dim_frame(sales).select(
         "mobile_key", "brand", "model", "color", "memory"

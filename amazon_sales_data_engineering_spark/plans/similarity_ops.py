@@ -2535,30 +2535,51 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str):
             "decimal(38,0)"
         ).alias("s2"),
     )
-    # In-row upper-triangle products (no self-join): 2016 structs per
-    # row, exploded straight into a map-side-combinable aggregate.
+    # In-row upper-triangle products (no self-join), exploded straight
+    # into a map-side-combinable aggregate. r11: the interpreted
+    # per-element work is cut to ONE long multiply — no struct
+    # construction, no per-element int casts, no BigDecimal multiply
+    # (products stay BIGINT: |q| = |floor(x*1e6)| of unit-scale
+    # embedding components, so |prod| << 2^63, and ANSI mode fails
+    # loudly rather than wrapping if the domain ever breaks that).
+    # (dim_i, dim_j) are recovered AFTER aggregation from the flat
+    # upper-triangle position via a bounded d(d-1)/2-row literal map —
+    # 2016 rows instead of 2016 structs × every vector.
     pairs = base.select(
-        F.explode(
+        F.posexplode(
             F.flatten(
                 F.transform(
                     F.sequence(F.lit(1), d - 1),
                     lambda i: F.transform(
                         F.sequence(i + 1, d),
-                        lambda j: F.struct(
-                            (i - 1).cast("int").alias("dim_i"),
-                            (j - 1).cast("int").alias("dim_j"),
-                            (
-                                F.element_at(F.col("q"), i).cast("decimal(19,0)")
-                                * F.element_at(F.col("q"), j)
-                            ).alias("prod"),
-                        ),
+                        lambda j: F.element_at(F.col("q"), i)
+                        * F.element_at(F.col("q"), j),
                     ),
                 )
             )
-        ).alias("p")
-    ).select("p.dim_i", "p.dim_j", "p.prod")
-    pair_s = pairs.groupBy("dim_i", "dim_j").agg(
-        F.sum("prod").cast("decimal(38,0)").alias("sij")
+        ).alias("pos", "prod")
+    )
+    pos_s = pairs.groupBy("pos").agg(
+        F.sum(F.col("prod").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("sij")
+    )
+    # Flat position -> (dim_i, dim_j): row-major upper triangle for the
+    # fixed embedding dimensionality (read from the corpus schema-side
+    # constant: one bounded head probe of the quantized array length).
+    dim_n = len(base.select("q").head()["q"])
+    posmap = spark.createDataFrame(
+        [
+            (pos, i, j)
+            for pos, (i, j) in enumerate(
+                (i, j)
+                for i in range(dim_n - 1)
+                for j in range(i + 1, dim_n)
+            )
+        ],
+        "pos int, dim_i int, dim_j int",
+    )
+    pair_s = pos_s.join(F.broadcast(posmap), "pos").select(
+        "dim_i", "dim_j", "sij"
     )
     si = sums.select(
         F.col("dim").alias("dim_i"), F.col("s").alias("s_i"),
