@@ -87,9 +87,12 @@ def _write_replay(
     """
     n_sent = (1 if sentinel else 0) if n_sentinels is None else n_sentinels
     sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    # Persisted: the min/max probe materializes the narrow projection
+    # once; the three slice writes below then read the cache instead
+    # of re-running the events scan + NANOS timestamp rebuild.
     e = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", sec.alias("sec")
-    )
+    ).persist()
     lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
     b1 = lo + (hi - lo) // 3
     b2 = lo + 2 * (hi - lo) // 3
@@ -104,8 +107,24 @@ def _write_replay(
     shutil.rmtree(base, ignore_errors=True)
     s = F.col("sec")
     slices = [s < b1, (s >= b1) & (s < b2), s >= b2]
+    # repartition(1), NOT coalesce(1): coalesce collapses the whole
+    # upstream (events scan + NANOS timestamp rebuild + filter) into
+    # the single writer task — measured 37s per replay landing at
+    # sf0.1, serializing three full single-core scans, and every
+    # streaming gate pays it. The exchange keeps the scan parallel and
+    # leaves only the (slice-sized) write single-task.
+    # sortWithinPartitions keeps the file content deterministic (a
+    # post-shuffle partition has arrival order) — within-file order is
+    # otherwise free: watermarks advance on the per-batch max, and
+    # every gate's oracle comparison is order-insensitive.
     for i, pred in enumerate(slices):
-        e.filter(pred).coalesce(1).write.parquet(f"{base}/b{i}")
+        (
+            e.filter(pred)
+            .repartition(1)
+            .sortWithinPartitions("sec", "event_id")
+            .write.parquet(f"{base}/b{i}")
+        )
+    e.unpersist()
     n_files = len(slices)
     for j in range(n_sent):
         rows = [
@@ -372,9 +391,12 @@ def _write_replay_stragglers(spark: SparkSession, sf_dir: str) -> str:
     — then the far-future sentinel. Separate directory tag so it never
     races the plain replay."""
     sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    # Persist + repartition(1) for the same reason as _write_replay:
+    # coalesce(1) serialized the whole scan+rebuild into one task per
+    # slice (4 single-core passes here).
     e = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", sec.alias("sec")
-    )
+    ).persist()
     lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
     b1 = lo + (hi - lo) // 3
     b2 = lo + 2 * (hi - lo) // 3
@@ -395,7 +417,12 @@ def _write_replay_stragglers(spark: SparkSession, sf_dir: str) -> str:
         spark.createDataFrame([(-1, -1, "eos", hi + 10**9)], _REPLAY_SCHEMA),
     ]
     for i, df in enumerate(parts):
-        df.coalesce(1).write.parquet(f"{base}/b{i}")
+        (
+            df.repartition(1)
+            .sortWithinPartitions("sec", "event_id")
+            .write.parquet(f"{base}/b{i}")
+        )
+    e.unpersist()
     flat = f"{base}/flat"
     os.makedirs(flat)
     now = time.time()
@@ -1025,18 +1052,27 @@ def streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (replay, root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist + repartition(1): the coalesce(1) form serialized the
+    # whole documents scan into the single writer task, three times
+    # (the _write_replay lesson, r11).
+    docs = t_cpu(spark, sf_dir, "documents").select("doc_id", "text").persist()
     os.makedirs(replay)
     now = time.time()
     for i in range(3):
         part = os.path.join(replay, f"part_{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(part)
+        (
+            docs.filter(F.col("doc_id") % 3 == i)
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+            .write.parquet(part)
+        )
         for fn in sorted(os.listdir(part)):
             if fn.endswith(".parquet"):
                 dst = os.path.join(replay, f"{i:02d}-{fn}")
                 os.rename(os.path.join(part, fn), dst)
                 os.utime(dst, (now + i, now + i))
         shutil.rmtree(part)
+    docs.unpersist()
 
     idx = MinHashDedupIndex(root)
     pairs_root = os.path.join(root, "pairs")
@@ -1100,12 +1136,19 @@ def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (replay, root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    v = t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # persist + repartition(1): same single-writer-task scan fix as the
+    # documents replay above (r11); v also feeds the centroid seed.
+    v = t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     os.makedirs(replay)
     now = time.time()
     for i in range(3):
         part = os.path.join(replay, f"part_{i}")
-        v.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(part)
+        (
+            v.filter(F.col("vec_id") % 3 == i)
+            .repartition(1)
+            .sortWithinPartitions("vec_id")
+            .write.parquet(part)
+        )
         for fn in sorted(os.listdir(part)):
             if fn.endswith(".parquet"):
                 dst = os.path.join(replay, f"{i:02d}-{fn}")
@@ -1117,6 +1160,7 @@ def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IVFIndex(root).create(
         v.filter(F.col("vec_id") % m == 0), "vec_id", "embedding"
     )
+    v.unpersist()
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty() or idx.completed(batch_id):
@@ -1144,7 +1188,9 @@ def _land_replay_file(df: DataFrame, replay: str, i: int) -> None:
     ``replay`` (single parquet file, mtime = now + i so the file source
     feeds micro-batches in landing order with maxFilesPerTrigger=1)."""
     part = os.path.join(replay, f"_part_{i}")
-    df.coalesce(1).write.parquet(part)
+    # repartition(1), not coalesce(1): keep the upstream scan parallel
+    # (r11); sort on all columns for a deterministic file byte order.
+    df.repartition(1).sortWithinPartitions(*df.columns).write.parquet(part)
     now = time.time()
     for fn in sorted(os.listdir(part)):
         if fn.endswith(".parquet"):
