@@ -200,6 +200,45 @@ def _await_drained(q, timeout_sec: int | None = None) -> None:
         q.stop()
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Session CLONE with state-store-sized shuffle partitions for the
+    streaming gates.
+
+    Every stateful streaming operator keys its state store count to the
+    session's ``spark.sql.shuffle.partitions`` at query start, and pays
+    a fixed per-partition-per-micro-batch cost (one HDFS-backed store
+    open + delta file write + commit per store per partition per batch
+    — AQE never coalesces streaming exchanges). The gates replay small
+    bounded slices (maxFilesPerTrigger=1), so at 32 host-sized
+    partitions that fixed cost dominates the wall 2-3x over the actual
+    join/aggregate work (r11 A/B: stream_join_outer 36-51s -> 17-18s,
+    watermark_drops 34.8 -> 10.6s at 8 partitions, same JVM).
+
+    ``newSession()`` shares the SparkContext but owns its SQLConf, so
+    the reduced partition count NEVER leaks into the caller's session —
+    safe under the repo's concurrent-runner contract (gate functions
+    must not mutate the session they are handed). Builder-time conf
+    (UTC timezone, AQE, pushdown) lives in the SparkContext conf and is
+    inherited by the clone; under the driver's vanilla session the
+    clone simply inherits the vanilla defaults, which the gates already
+    tolerate.
+
+    Sizing: state partitions should track per-micro-batch volume (the
+    replay slices), not host cores — a production stream sizes them to
+    steady-state throughput via $SPARK_GRAFT_STREAM_STATE_PARTITIONS;
+    the default 8 covers the gate corpora (sf0.01-sf1) with partitions
+    well above the guide-§2.2 floor. Result identity is unaffected:
+    state partitioning changes WHERE rows are buffered, never the
+    emitted set (all 16 gates oracle-verified at both SFs on this
+    change).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "")
+    n = int(env) if env.isdigit() and int(env) > 0 else 8
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(n))
+    return s
+
+
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a bounded stream to completion through a memory sink
     (Trigger.AvailableNow) and return the final table."""
@@ -238,6 +277,7 @@ FROM events
     tags=("streaming", "dedup", "events"),
 )
 def streaming_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     src = stream_source(
@@ -285,6 +325,7 @@ GROUP BY 1, 2
     tags=("streaming", "agg", "events"),
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     src = stream_source(
@@ -351,6 +392,7 @@ GROUP BY user_id, session_idx
     tags=("streaming", "sessionize", "events"),
 )
 def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     src = stream_source(
@@ -476,6 +518,7 @@ GROUP BY 1, 2
     tags=("streaming", "agg", "events", "watermark"),
 )
 def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     src = stream_source(
@@ -536,6 +579,7 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     tags=("streaming", "join", "events", "watermark"),
 )
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     # ONE file source self-joined: both sides share the micro-batch
@@ -606,6 +650,7 @@ FROM v LEFT JOIN p ON v.user_id = p.user_id
     tags=("streaming", "join", "events", "watermark", "outer"),
 )
 def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
 
     src = stream_source(
@@ -679,6 +724,7 @@ FROM ranked WHERE rn = 1
     tags=("streaming", "sink", "merge", "events"),
 )
 def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from pyspark.sql import Window
@@ -796,6 +842,7 @@ FROM pick p JOIN j ON j.q_permille = p.q_permille AND j.bin = p.bin
     tags=("streaming", "sketch", "quantile", "agg"),
 )
 def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from pyspark.sql import Window
 
     from ..streaming.ingest import stream_source
@@ -911,6 +958,7 @@ FROM est
     tags=("streaming", "sketch", "heavy-hitters"),
 )
 def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
     from .analytics_ops import _BLOOM_BITS, _BLOOM_HASHES, _CMS_W
 
@@ -982,6 +1030,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "drift", "monitoring"),
 )
 def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     from ..streaming.ingest import stream_source
     from .events_ops import tvd_report
 
@@ -1038,6 +1087,7 @@ from .dedup_ops import LSH_FULL_PAIRS_ORACLE as _LSH_FULL_PAIRS  # noqa: E402
     tags=("streaming", "dedup", "incremental", "index", "sink"),
 )
 def streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from ..operators.dedup_index import MinHashDedupIndex
@@ -1122,6 +1172,7 @@ from .similarity_ops import _ivf_centroid_modulus  # noqa: E402
     tags=("streaming", "similarity", "ivf", "incremental", "index", "sink"),
 )
 def streaming_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from ..operators.ann_index import IVFIndex
@@ -1227,6 +1278,7 @@ from .dedup_ops import _DELETE_EQUIV_FILTER as _DEL_FILTER  # noqa: E402
           "cdc"),
 )
 def streaming_index_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import glob as _glob
     import tempfile
 
@@ -1301,6 +1353,7 @@ def streaming_index_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
           "sink", "delete", "cdc"),
 )
 def streaming_index_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from ..operators.ann_index import IVFIndex
@@ -1386,6 +1439,7 @@ def streaming_index_ann_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
           "layout", "lifecycle"),
 )
 def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from ..operators.dedup_index import MinHashDedupIndex
@@ -1471,6 +1525,7 @@ def dedup_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
           "delete", "cdc", "layout", "lifecycle"),
 )
 def ann_index_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     import tempfile
 
     from ..operators.ann_index import IVFIndex

@@ -441,3 +441,26 @@ def test_incremental_append_resumes_for_new_files_only(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == len(EVENTS) + len(late)
     assert out.select("event_id").distinct().count() == len(EVENTS) + len(late)
+
+
+def test_stream_session_clone_isolated(spark):
+    """_stream_session must reduce state partitions on a CLONE and leave
+    the caller's session conf untouched (concurrent-runner contract)."""
+    from amazon_sales_data_engineering_spark.plans.streaming_ops import (
+        _stream_session,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    clone = _stream_session(spark)
+    assert clone is not spark
+    assert clone.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # shared context, isolated SQLConf
+    assert clone.sparkContext is spark.sparkContext
+
+    os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = "5"
+    try:
+        assert (_stream_session(spark)
+                .conf.get("spark.sql.shuffle.partitions") == "5")
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
