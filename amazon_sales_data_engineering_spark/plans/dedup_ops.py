@@ -1511,6 +1511,13 @@ SELECT id_a, id_b, 0 AS label FROM neg
 )
 def export_labeled_pairs(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents")
+    # NOTE (r11, measured and REJECTED): persisting the shingle
+    # inventory here is 1.5-2x SLOWER (4.5-5.0s -> 7.7-10.0s A/B at
+    # sf0.1) — jaccard_pairs' branches each prune to one column of the
+    # explode chain (hot-filter: shingle; sizes: doc_id) and Catalyst
+    # recomputes those narrow codegen pipelines faster than a full
+    # two-column cache materializes; the dedup_prefix_jaccard /
+    # keyphrase_rake lesson again.
     sh = shingles(d, "text", "doc_id", k=3)
     pos = jaccard_pairs(
         sh, "doc_id", threshold=0.5, max_shingle_freq=100

@@ -2697,9 +2697,15 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("cy"),
     )
+    # The grid-bounded cell table (<= ~40k rows) feeds FOUR plan
+    # branches (edge probes, edge targets, the cluster rollup join and
+    # the noise row); uncached, each branch re-scans the wide
+    # embeddings array column and redoes the quantize+count pass
+    # (r11: 4 FileScans in the before plan). Persist collapses them
+    # to one embeddings pass over a tiny cache.
     cells = pts.groupBy("cx", "cy").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    ).persist()
     cell_id = (F.col("cx") + 100) * 201 + (F.col("cy") + 100)
     core = cells.filter(F.col("n") >= 5).withColumn("cell", cell_id)
     # 9 neighbor keys per core cell (incl. self), equi-joined back

@@ -1645,6 +1645,13 @@ def search_sparse_cosine_join(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import shingles
 
     d = t_cpu(spark, sf_dir, "documents")
+    # NOTE (r11, measured and REJECTED): persisting the shingle
+    # inventory and/or the posting table here measured wash-to-slower
+    # across 5 alternating fresh-JVM A/Bs at sf0.1 (V 7.0-8.9s vs
+    # B 6.6-8.6s) — tot prunes to doc_id and idf to shingle, so the
+    # recomputed branches are narrower codegen pipelines than the
+    # two-column cache materialization (the export_labeled_pairs /
+    # keyphrase_rake lesson).
     sh = shingles(d, "text", "doc_id", k=3)
     tot = sh.agg(F.countDistinct("doc_id").cast("bigint").alias("d_docs"))
     idf = (
