@@ -3771,10 +3771,26 @@ def regression_theilsen_slope(spark: SparkSession, sf_dir: str):
     a = daily.select(
         "priority", F.col("d").alias("d_a"), F.col("rev_cents").alias("rev_a")
     )
+    # AQE coalesces the ~12k-row daily aggregate to ONE post-shuffle
+    # partition (it sizes by the agg output, ~200 KB), which would run
+    # the 14.45M-pair broadcast-join explode, the slope division and
+    # the selection pass's cache materialization on a single task — a
+    # guaranteed straggler whose cost grows with the date domain
+    # (measured: pair stage partitions = 1 before this). Re-spreading
+    # the tiny stream side costs a 12k-row exchange and buys full
+    # parallelism for everything date-domain-quadratic downstream.
+    a = a.repartition(
+        a.sparkSession.sparkContext.defaultParallelism, "priority", "d_a"
+    )
     b = daily.select(
         "priority", F.col("d").alias("d_b"), F.col("rev_cents").alias("rev_b")
     )
-    pairs = a.join(b, "priority").filter(F.col("d_b") > F.col("d_a")).select(
+    # Explicit broadcast: b is the bounded date-domain aggregate (~12k
+    # rows); an SMJ fallback would re-shuffle `a` on the 5-value
+    # priority key and undo the spread above.
+    pairs = a.join(F.broadcast(b), "priority").filter(
+        F.col("d_b") > F.col("d_a")
+    ).select(
         "priority",
         (F.col("rev_b") - F.col("rev_a")).cast("decimal(38,0)").alias("dy"),
         F.datediff(F.col("d_b"), F.col("d_a")).cast("bigint").alias("dx"),
