@@ -213,11 +213,33 @@ GROUP BY 1, 2
 )
 def multimodal_audio_frames(spark: SparkSession, sf_dir: str):
     d = t_cpu(spark, sf_dir, "documents").select("doc_id")
-    meta = decode_media_meta(synthesize_media(d, "doc_id"), "doc_id", "payload")
-    wav = meta.filter(F.col("format") == "wav").select(
-        F.col("channels").cast("int").alias("channels"),
-        F.col("sample_rate").cast("int").alias("sample_rate"),
-        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    # Synthesize + decode per DISTINCT payload (r11): every WAV header
+    # field is a pure function of doc_id mod 600 (parity and the //2%2
+    # channel term need mod 4, rate mod 3, frames mod 50 — all divide
+    # 600), so the Arrow synthesize/decode boundary runs over <= 600
+    # residue payloads instead of every document, and the per-doc
+    # multiplicities re-attach as an integer weight on the final
+    # aggregate — the multimodal_phash_dedup "hash per distinct image
+    # key, broadcast back" shape (guide §4: shrink what crosses the
+    # Python boundary). Row-identical to the per-doc form: each doc's
+    # decoded fields equal its residue's.
+    rids = d.groupBy((F.col("doc_id") % 600).alias("rid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    meta = decode_media_meta(
+        synthesize_media(rids.select(F.col("rid").alias("doc_id")), "doc_id"),
+        "doc_id",
+        "payload",
+    )
+    wav = (
+        meta.filter(F.col("format") == "wav")
+        .join(F.broadcast(rids), meta.doc_id == rids.rid)
+        .select(
+            F.col("channels").cast("int").alias("channels"),
+            F.col("sample_rate").cast("int").alias("sample_rate"),
+            F.col("duration_ms").cast("bigint").alias("duration_ms"),
+            "cnt",
+        )
     )
     nsamp = F.expr("(duration_ms * sample_rate) DIV 1000")
     n_stft = F.when(
@@ -227,15 +249,24 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str):
     ).otherwise(F.lit(0).cast("bigint"))
     pairs = F.expr("(n_stft + 1) DIV 2")
     tok = wav.select(
-        "channels", "sample_rate", "duration_ms", n_stft.alias("n_stft")
+        "channels", "sample_rate", "duration_ms", "cnt",
+        n_stft.alias("n_stft"),
     ).withColumn("pairs", pairs)
+    # Weighted rollup: each residue row stands for `cnt` identical
+    # clips, so every per-clip term is multiplied by the integer count
+    # — bit-identical to aggregating the per-doc rows (all terms are
+    # exact integers).
     return tok.groupBy("sample_rate", "channels").agg(
-        F.count(F.lit(1)).alias("n_clips"),
-        F.sum(F.col("pairs") + 1).cast("bigint").alias("total_tokens"),
-        F.sum(F.col("pairs") * 2 - F.col("n_stft"))
+        F.sum("cnt").alias("n_clips"),
+        F.sum((F.col("pairs") + 1) * F.col("cnt"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum((F.col("pairs") * 2 - F.col("n_stft")) * F.col("cnt"))
         .cast("bigint")
         .alias("pad_frames_total"),
-        F.sum("duration_ms").cast("bigint").alias("duration_ms_total"),
+        F.sum(F.col("duration_ms") * F.col("cnt"))
+        .cast("bigint")
+        .alias("duration_ms_total"),
     )
 
 
