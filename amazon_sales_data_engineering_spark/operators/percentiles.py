@@ -170,6 +170,13 @@ def grouped_disc_percentile_bucketed(
     sample = src.where(
         F.pmod(F.xxhash64(F.col(value_col)), F.lit(sample_mod)) == 0
     )
+    # The fences table is joined by BOTH downstream passes (bucket
+    # counts and the target-bucket selection); without a persist the
+    # whole sample subtree — a full cache scan plus the
+    # value-buffering percentile aggregate — executes once per
+    # consumer (measured in theilsen's SQL graph: the 56k-row sample
+    # filter and its ObjectHashAggregate appeared twice). The table is
+    # at most one row per group, so the cache is a handful of rows.
     fences = sample.groupBy(group_col).agg(
         F.array(
             *[
@@ -180,7 +187,7 @@ def grouped_disc_percentile_bucketed(
                 for q in qs
             ]
         ).alias("__fences")
-    )
+    ).persist()
     # Left join: a group too small to sample gets NULL fences → every
     # comparison NULL → bucket 0 → pass 3 sorts the whole (small) group.
     terms = [

@@ -3801,14 +3801,32 @@ def regression_theilsen_slope(spark: SparkSession, sf_dir: str):
         F.col("d_b") > F.col("d_a")
     ).select(
         "priority",
-        (F.col("rev_b") - F.col("rev_a")).cast("decimal(38,0)").alias("dy"),
+        (F.col("rev_b") - F.col("rev_a")).alias("dy"),
         F.datediff(F.col("d_b"), F.col("d_a")).cast("bigint").alias("dx"),
     )
+    # Sign-split truncated integer division, evaluated once per pair —
+    # the hot expression of the whole query (the pair stage runs it
+    # date-domain² times). DECIMAL(38,0) arithmetic is BigDecimal-backed
+    # per row (precision > 18 leaves Spark's compact-long Decimal
+    # representation), which the r11 SQL-graph profile showed as the
+    # pair stage's CPU+GC wall. |dy| * 1e6 fits a BIGINT whenever
+    # |dy| <= (2^63-1) div 1e6 = 9_223_372_036_854 — daily revenue
+    # deltas in cents sit orders of magnitude below that at any
+    # realistic scale — so the common case runs as pure codegen long
+    # arithmetic and only the overflow-risk tail pays the exact
+    # DECIMAL(38,0) path (identical truncated quotient on non-negative
+    # operands in both arms; equivalence pinned over the boundary in
+    # tests/test_percentiles_exact.py).
     slopes = pairs.select(
         "priority",
         F.expr(
-            "CAST(CASE WHEN dy < 0 THEN -(((-dy) * 1000000) DIV dx)"
-            " ELSE (dy * 1000000) DIV dx END AS BIGINT)"
+            "CASE WHEN dy BETWEEN -9223372036854 AND 9223372036854 THEN"
+            " CASE WHEN dy < 0 THEN -(((-dy) * CAST(1000000 AS BIGINT))"
+            " DIV dx) ELSE (dy * CAST(1000000 AS BIGINT)) DIV dx END"
+            " ELSE CAST(CASE WHEN dy < 0 THEN"
+            " -(((-CAST(dy AS DECIMAL(38,0))) * 1000000) DIV dx)"
+            " ELSE (CAST(dy AS DECIMAL(38,0)) * 1000000) DIV dx END"
+            " AS BIGINT) END"
         ).alias("slope_micro"),
     )
     n_days = daily.groupBy("priority").agg(

@@ -196,3 +196,38 @@ def test_grouped_drops_null_values_like_the_aggregate(spark):
     # "no row" and "NULL median" must only differ for all-NULL groups —
     # assert exactly that contract.
     assert got == {"A": 1.0}
+
+
+def test_theilsen_slope_fast_path_matches_decimal(spark):
+    """The r11 guarded-bigint slope expression (plans/analytics_ops.py
+    regression_theilsen_slope) must equal the pure DECIMAL(38,0) form it
+    replaced for every (dy, dx), including both sides of the
+    |dy| <= (2^63-1) div 1e6 guard where the expression switches from
+    long arithmetic to the decimal fallback."""
+    lim = 9_223_372_036_854  # (2**63 - 1) // 1_000_000
+    rng = random.Random(11)
+    dys = [
+        0, 1, -1, 999_999, -999_999, lim, -lim, lim + 1, -(lim - 1),
+        -(lim + 1), lim * 1000, -(lim * 1000), 10**17, -(10**17),
+    ] + [rng.randrange(-(10**15), 10**15) for _ in range(60)]
+    rows = [(dy, dx) for dy in dys for dx in (1, 2, 3, 7, 365, 2400)]
+    df = spark.createDataFrame(rows, "dy long, dx long")
+    fast = (
+        "CASE WHEN dy BETWEEN -9223372036854 AND 9223372036854 THEN"
+        " CASE WHEN dy < 0 THEN -(((-dy) * CAST(1000000 AS BIGINT))"
+        " DIV dx) ELSE (dy * CAST(1000000 AS BIGINT)) DIV dx END"
+        " ELSE CAST(CASE WHEN dy < 0 THEN"
+        " -(((-CAST(dy AS DECIMAL(38,0))) * 1000000) DIV dx)"
+        " ELSE (CAST(dy AS DECIMAL(38,0)) * 1000000) DIV dx END"
+        " AS BIGINT) END"
+    )
+    slow = (
+        "CAST(CASE WHEN CAST(dy AS DECIMAL(38,0)) < 0 THEN"
+        " -(((-CAST(dy AS DECIMAL(38,0))) * 1000000) DIV dx)"
+        " ELSE (CAST(dy AS DECIMAL(38,0)) * 1000000) DIV dx END"
+        " AS BIGINT)"
+    )
+    bad = df.select(
+        "dy", "dx", F.expr(fast).alias("f"), F.expr(slow).alias("s")
+    ).where("f IS DISTINCT FROM s")
+    assert bad.count() == 0, bad.limit(5).collect()
