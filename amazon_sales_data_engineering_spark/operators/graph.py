@@ -946,23 +946,37 @@ def triangle_counts_per_node(
         )
         .select("a", "h", F.array_intersect("nbrs_a", "nbrs_h").alias("common"))
         .filter(F.size("common") > 0)
-        .persist()
     )
-    endpoint_credit = closed.select(
+    # Both credit streams — |common| to each oriented endpoint, 1 to
+    # each closing node — come out of ONE explode per closed wedge:
+    # [(a,|c|), (h,|c|)] ++ [(x,1) for x in common]. The previous form
+    # persisted `closed` (the intersection ARRAYS materialized into
+    # cache) only to run two separate passes + a union over it; fusing
+    # the passes removes the cache round-trip and runs the expensive
+    # intersection stage exactly once (r11 — same integer credit
+    # multiset, same sums).
+    credits = closed.select(
         F.explode(
-            F.array(
-                F.struct(F.col("a").alias("node"), F.size("common").alias("c")),
-                F.struct(F.col("h").alias("node"), F.size("common").alias("c")),
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("node"), F.size("common").alias("c")
+                    ),
+                    F.struct(
+                        F.col("h").alias("node"), F.size("common").alias("c")
+                    ),
+                ),
+                F.transform(
+                    F.col("common"),
+                    lambda x: F.struct(
+                        x.alias("node"), F.lit(1).alias("c")
+                    ),
+                ),
             )
         ).alias("s")
     ).select(F.col("s.node").alias("node"), F.col("s.c").alias("c"))
-    closer_credit = closed.select(
-        F.explode("common").alias("node"), F.lit(1).alias("c")
-    )
-    n_tri = (
-        endpoint_credit.unionByName(closer_credit)
-        .groupBy("node")
-        .agg(F.sum("c").cast("bigint").alias("n_tri"))
+    n_tri = credits.groupBy("node").agg(
+        F.sum("c").cast("bigint").alias("n_tri")
     )
     out = (
         deg.join(n_tri, "node", "left")
@@ -979,7 +993,6 @@ def triangle_counts_per_node(
     )
     und.unpersist()
     deg.unpersist()
-    closed.unpersist()
     return out
 
 
