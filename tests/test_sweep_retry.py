@@ -23,6 +23,12 @@ def test_resource_failure_classification():
     )
     assert vs._is_resource_failure("OutOfMemoryError: Java heap space")
     assert vs._is_resource_failure("failed to allocate data of size 1.5 GiB")
+    # BroadcastExchange's heap failure (the r11 final-close sf1
+    # casualty: dedup_suffix_apply_chars, green on an isolated re-run)
+    assert vs._is_resource_failure(
+        "SparkException: Not enough memory to build and broadcast the "
+        "table to all worker nodes."
+    )
     # value mismatches and plan failures are NOT resource failures
     # a dying chunk JVM (round-10 close: driver OOM after 56 sf1
     # queries) surfaces as these two — both must retry in a fresh JVM

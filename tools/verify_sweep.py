@@ -95,6 +95,11 @@ _RESOURCE_MARKERS = (
     "memory limit",
     "java heap space",
     "gc overhead limit",
+    # Spark's BroadcastExchange heap failure says "Not enough memory to
+    # build and broadcast the table" — none of the markers above match
+    # it, so the r11 final-close sf1 casualty (dedup_suffix_apply_chars,
+    # healed green by an isolated 12g re-run) dodged the retry batch.
+    "not enough memory",
     # a dying chunk JVM (driver OOM at sf1) surfaces as these two in
     # sequence: jobs cancelled while the context tears down, then bare
     # socket refusals once the gateway is gone — the round-10 close lost
