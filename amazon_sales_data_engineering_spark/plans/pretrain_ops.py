@@ -268,42 +268,29 @@ FROM sc, mx
     bench=True,
 )
 def dsir_importance_ppm(spark: SparkSession, sf_dir: str):
+    from ..functions.wordhash import feature_bucket_counts
+
     nrm = _NORM_SPARK(F.col("text"))
     docs = (
         t_cpu(spark, sf_dir, "documents")
         .filter(F.length(nrm) > 0)
         .select("doc_id", "lang", F.split(nrm, " ").alias("ws"))
     )
-    hs = docs.select(
-        "doc_id", "lang",
-        F.transform("ws", _word_hash_spark).alias("h"),
-    )
-    bigrams = F.when(F.size("h") < 2, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("h") - 1),
-            lambda i: (
-                (F.element_at("h", i) * F.lit(131) + F.element_at("h", i + 1))
-                % F.lit(_HASH_P)
-            )
-            % F.lit(_N_BUCKETS),
-        )
-    )
-    feats = hs.select(
-        "doc_id", "lang",
-        F.explode(
-            F.concat(
-                F.transform("h", lambda x: x % F.lit(_N_BUCKETS)), bigrams
-            )
-        ).alias("b"),
-    )
-    # Reduce to per-doc bucket counts ONCE and persist: the char-level
-    # hash fold is the expensive narrow stage, and the stream is needed
-    # twice (global target/source counts + per-doc scoring). The reduced
-    # form is per-doc-DISTINCT sized, far smaller than the occurrence
-    # stream, and the map-side combine happens doc-locally.
+    # Per-doc bucket counts in ONE vectorized Arrow projection (r12,
+    # guide §4.2/§2.3): the interpreted per-char hash fold, the bigram
+    # HOF, the ~40-occurrences-per-doc explode AND the (doc, b)
+    # hash-aggregate exchange all collapse into a numpy batch pass that
+    # emits the identical (b -> k) map per doc — exploding it yields
+    # bit-for-bit the rows of the replaced
+    # feats.groupBy(doc, lang, b).count() (pinned in
+    # tests/test_wordhash_arrow.py; same-sitting A/B of the fc build:
+    # 1.18 -> 0.58s at sf0.1). Persisted because the counts feed BOTH
+    # the global target/source totals and the per-doc scoring join.
     fc = (
-        feats.groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        docs.select(
+            "doc_id", "lang",
+            F.explode(feature_bucket_counts("ws")).alias("b", "k"),
+        )
         .persist()
     )
     cnts = fc.groupBy("b").agg(
@@ -400,28 +387,30 @@ FROM scored
     bench=True,
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str):
+    from ..functions.wordhash import trigram_counts
+
     nrm = _NORM_SPARK(F.col("text"))
     n0 = (
         t_cpu(spark, sf_dir, "documents")
         .filter(F.length(nrm) >= 3)
         .select("doc_id", "lang", nrm.alias("s"))
     )
-    tg = n0.select(
-        "doc_id", "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - 2),
-                lambda i: F.substr(F.col("s"), i, F.lit(3)),
-            )
-        ).alias("g"),
-    )
-    # Per-doc-distinct trigram counts, computed once and persisted: the
-    # normalize+explode stream feeds BOTH the global counts and the
-    # per-doc scores — without the persist the regex normalization and
-    # explode re-execute per reference (round-4 double-reference rule).
+    # Per-doc trigram counts in ONE vectorized Arrow projection (r12,
+    # guide §4.2/§2.3), trigrams PACKED as c1·2^42 + c2·2^21 + c3
+    # (injective over all code points; g never reaches the output, so
+    # swapping the 3-char string key for a bigint changes nothing
+    # downstream — full-query equality pinned in
+    # tests/test_wordhash_arrow.py and the oracle hash). Replaces the
+    # interpreted substr HOF + ~140-occurrences-per-doc explode + the
+    # (doc, g) hash-aggregate exchange; same-sitting full-query A/B
+    # 1.51 -> 1.18s at sf0.1. Persisted: the counts feed BOTH the
+    # global vocabulary counts and the per-doc scores (round-4
+    # double-reference rule).
     tgc = (
-        tg.groupBy("doc_id", "lang", "g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        n0.select(
+            "doc_id", "lang",
+            F.explode(trigram_counts("s")).alias("g", "k"),
+        )
         .persist()
     )
     cg = tgc.groupBy("g").agg(F.sum("k").cast("bigint").alias("c"))
