@@ -800,8 +800,11 @@ def bfs_layers(
     frontier = settled
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("node"))
     for depth in range(1, max_depth + 1):
+        # shuffle_hash on the frontier side: same per-round edge-cache
+        # broadcast pathology (and fix) as sssp_rounds below.
         nxt = (
             frontier.select(F.col("node").alias("u"))
+            .hint("shuffle_hash")
             .join(e, "u")
             .select("node")
             .distinct()
@@ -861,8 +864,20 @@ def sssp_rounds(
     )
     to_release: list[DataFrame] = []
     for _ in range(rounds):
+        # shuffle_hash on the FRONTIER side (r12, guide §3): the
+        # checkpointed frontier has unknown (huge) stats while the
+        # cached edge table's estimate sits under the broadcast
+        # threshold, so the planner re-BROADCAST the whole edge cache
+        # every round (measured: 2.39M rows / 128 MiB, ~0.7s/round at
+        # sf0.1). The hint makes the node-sized frontier the build
+        # side; the edge side's exchange is elided against the cache's
+        # src(=u) hash partitioning (the LPA pattern), so per-round
+        # cost is one tiny frontier shuffle + an in-place probe of the
+        # cached edges. Scale-safe where a frontier broadcast is not:
+        # the build side is frontier/n_partitions, and edges never move.
         cand = (
             frontier.select(F.col("node").alias("u"), "dist")
+            .hint("shuffle_hash")
             .join(e, "u")
             .groupBy("node")
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
