@@ -20,7 +20,7 @@ per round replaces the join+isEmpty probe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .ckpt import release_local_checkpoint
@@ -40,6 +40,27 @@ def _ckpt(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
     if PLAN_OBSERVER is not None:
         PLAN_OBSERVER(tag, df)
     return df.localCheckpoint(eager=eager)
+
+
+def _ckpt_probe(df: DataFrame, tag: str, probe: Column):
+    """Eager localCheckpoint whose materializing job ALSO delivers the
+    round's convergence probe via ``observe()`` — returns
+    ``(checkpointed_df, probe_value)``.
+
+    r12 (guide §1/§5): the lazy-checkpoint-then-probe pattern the round
+    loops used (``_ckpt(..., eager=False)`` + ``count()``/``agg()``)
+    costs TWO SQL executions per round — one materializing the
+    checkpoint, one re-scanning the cached blocks for the probe — and
+    at small scale the second is pure per-job scheduling floor
+    (~0.1s/round measured). An ``observe`` node inside the checkpointed
+    plan delivers the aggregate from the SAME job that materializes the
+    blocks (verified: 1 SQL execution, observation consistent), so each
+    round is now genuinely one job."""
+    if PLAN_OBSERVER is not None:
+        PLAN_OBSERVER(tag, df)
+    obs = Observation()
+    out = df.observe(obs, probe.alias("p")).localCheckpoint(eager=True)
+    return out, obs.get["p"]
 
 
 def cooccurrence_pairs(
@@ -117,9 +138,10 @@ def connected_components(
     # when the input is an expensive uncached plan (e.g. the bucketed
     # cosine self-join) both branches execute it independently inside
     # the setup job — a silent 2x of the candidate-generation cost. The
-    # explode reads the input exactly once. LAZY checkpoints throughout:
-    # the convergence-probe aggregate doubles as the action that
-    # materializes each table, so setup and each round cost ONE job each.
+    # explode reads the input exactly once. The convergence-probe sum is
+    # delivered by an observe() INSIDE each round's checkpoint job
+    # (_ckpt_probe), so setup and each round cost ONE SQL execution each
+    # — no separate probe re-scan of the cached blocks.
     both = edges.select(
         F.explode(
             F.array(
@@ -141,20 +163,17 @@ def connected_components(
     # costs zero extra shuffles, so convergence needs one fewer loop
     # round (measured ~0.7s/round of almost pure stage overhead at the
     # bench scale, and one fewer full label-table shuffle at any scale).
-    labels = (
+    _probe = F.sum(F.col("label").cast("decimal(38,0)"))
+    labels, prev_sum = _ckpt_probe(
         neighbors.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(
             F.col("u").alias("node"),
             F.least(F.col("u"), F.col("mv")).alias("label"),
-        )
-        .localCheckpoint(eager=False)
-    )
-
-    def label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
-
-    prev_sum = label_sum(labels)  # materializes neighbors + labels
+        ),
+        "connected_components initial labels",
+        _probe,
+    )  # one job: materializes neighbors + labels AND delivers the sum
     for _ in range(max_iter):
         # (a) candidate label per node: min over its own and neighbors' labels
         neighbor_labels = (
@@ -196,10 +215,9 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = _ckpt(
-            new_labels, "connected_components round", eager=False
-        )
-        cur_sum = label_sum(new_labels)  # one job: materialize + probe
+        new_labels, cur_sum = _ckpt_probe(
+            new_labels, "connected_components round", _probe
+        )  # one job: materialize + probe (observe)
         # The previous round's blocks are dead once this round is
         # materialized — release them so long sessions / deep graphs
         # don't accumulate `rounds` cached label tables.
@@ -567,12 +585,13 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         keep = deg.filter(F.col("c") >= k).select("node")
+        # one job: materialize this round (and, transitively, `cur`) —
+        # eager checkpoint, no separate probe scan (r12, see _ckpt_probe)
         nxt = _ckpt(
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"),
-            "kcore_peel round", eager=False,
+            "kcore_peel round", eager=True,
         )
-        nxt.count()  # materialize this round (and, transitively, `cur`)
         release_local_checkpoint(cur)
         cur = nxt
     out = (
@@ -811,13 +830,12 @@ def bfs_layers(
             .join(settled, "node", "left_anti")
             .select("node", F.lit(depth).cast("int").alias("dist"))
         )
-        nxt = _ckpt(nxt, "bfs round", eager=False)
-        n_new = nxt.count()  # one job: materialize + probe
+        # one job: materialize + probe (observe inside the checkpoint)
+        nxt, n_new = _ckpt_probe(nxt, "bfs round", F.count(F.lit(1)))
         if n_new == 0:
             release_local_checkpoint(frontier)
             break
-        new_settled = settled.unionByName(nxt).localCheckpoint(eager=False)
-        new_settled.count()
+        new_settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         release_local_checkpoint(settled)
         release_local_checkpoint(frontier)
         settled, frontier = new_settled, nxt
@@ -882,15 +900,16 @@ def sssp_rounds(
             .groupBy("node")
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        improved = _ckpt(
+        # one job per round: materializes `improved` AND (as its join
+        # input) the previous round's lazy merged `dist`, and the same
+        # job delivers the improvement count via observe (_ckpt_probe).
+        improved, n_improved = _ckpt_probe(
             cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
             .select("node", F.col("cand").alias("dist")),
-            "sssp round (relax + improvement anti-join)", eager=False,
+            "sssp round (relax + improvement anti-join)",
+            F.count(F.lit(1)),
         )
-        # one job per round: materializes `improved` AND (as its join
-        # input) the previous round's lazy merged `dist`.
-        n_improved = improved.count()
         for old in to_release:
             release_local_checkpoint(old)
         to_release = []
