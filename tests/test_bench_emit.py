@@ -43,6 +43,8 @@ def _payload() -> dict:
         "sf": 0.1,
         "canary_first_sec": 0.2468,
         "canary_last_sec": 0.1234,
+        "canary_ratio": 12.34,  # worst-case width
+        "contended": False,
         "plan_metrics": pm,
         "plan_totals": {
             "shuffle_write_bytes": 1,
@@ -106,6 +108,20 @@ def test_watermark_none_skips_metrics():
     """ADVICE fix: an unavailable stage API must yield ABSENT metrics,
     never a since-app-start sum."""
     assert bench._metrics_since(None, None) is None
+
+
+def test_contention_flag_thresholds():
+    """Round-11 verdict #6: the r11 poisoned sitting (canary 0.507)
+    must classify contended; the healthy r10/r12 sittings must not."""
+    a = bench.ANCHOR_CANARY_FIRST_SEC
+    assert 0.507 / a >= bench.CONTENDED_RATIO          # r11 poisoned
+    assert 0.622 / a >= bench.CONTENDED_RATIO          # r11 8-core sitting
+    assert 0.289 / a < bench.CONTENDED_RATIO           # r10 anchor
+    assert 0.3229 / a < bench.CONTENDED_RATIO          # r12 baseline
+    # and the fields survive the headline line
+    line = bench.headline_line(_payload())
+    doc = json.loads(line)
+    assert "canary_ratio" in doc and "contended" in doc
 
 
 def test_sf1_bench_names_are_registered():
